@@ -1,0 +1,671 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.batch.Rolling
+import graft.dedup.Dedup
+import graft.operators.AsOfJoin
+import graft.similarity.Similarity
+import graft.text.TextStats
+
+/** The engine's query inventory: one entry per operator class from
+  * SURVEY.md §2 plus the training-data-pipeline extensions. Each query has
+  * a Spark implementation and (where SQL-expressible) a DuckDB oracle that
+  * reproduces it bit-for-bit.
+  *
+  * Float-parity discipline (SURVEY.md §7.4 #6): aggregates over money-like
+  * 2-decimal doubles are summed as DECIMAL (exact, associative — immune to
+  * partial-aggregation order) and only cast to DOUBLE at the end; ratios
+  * divide exact integers/decimals in one IEEE op. This makes Spark and the
+  * oracle produce identical doubles regardless of row order or parallelism.
+  */
+object Queries {
+
+  /** One registered query: Spark impl + optional DuckDB oracle SQL. */
+  final case class Q(name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def d(c: Column): Column = c.cast("double")
+  private val one = lit(1).cast(DecimalType(12, 2))
+  private def ntz(s: String): Column = expr(s"TIMESTAMP_NTZ '$s'")
+  /** µs since epoch of a naive timestamp (oracle: `epoch_us(ts)`). */
+  private def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  import Tables._
+
+  // ---------------------------------------------------------------------
+  // Relational core: scans, aggregations, joins (SURVEY §2.3, §2.6 parity)
+  // ---------------------------------------------------------------------
+
+  val q01_pricing_summary = Q("q01_pricing_summary",
+    (s, dir) => lineitem(s, dir)
+      .filter(col("l_shipdate") <= ntz("2000-12-01 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        d(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        d(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        d(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))).as("sum_disc_price"),
+        d(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount")))
+          * (one + dec2(col("l_tax"))))).as("sum_charge"),
+        (d(sum(dec2(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (d(sum(dec2(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  val q02_top_customers = Q("q02_top_customers",
+    (s, dir) => {
+      val byCust = orders(s, dir).groupBy("o_custkey")
+        .agg(d(sum(dec2(col("o_totalprice")))).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+      byCust.join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("total_spend"), col("n_orders"))
+        .orderBy(col("total_spend").desc, col("c_custkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT c_custkey, c_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend,
+        COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY total_spend DESC, c_custkey
+      LIMIT 10"""))
+
+  val q03_shipping_priority = Q("q03_shipping_priority",
+    (s, dir) => {
+      val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, dir).filter(col("o_orderdate") < ntz("1998-07-01 00:00:00"))
+      val l = lineitem(s, dir).filter(col("l_shipdate") > ntz("1998-07-01 00:00:00"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(d(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  val q04_order_priority = Q("q04_order_priority",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val l = lineitem(s, dir)
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  val q05_region_revenue = Q("q05_region_revenue",
+    (s, dir) => {
+      val dims = customer(s, dir)
+        .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      val o = orders(s, dir)
+        .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ntz("1998-01-01 00:00:00"))
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(d(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("r_name"), col("n_name"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY r_name, n_name
+      ORDER BY revenue DESC, r_name, n_name"""))
+
+  val q06_revenue_forecast = Q("q06_revenue_forecast",
+    (s, dir) => lineitem(s, dir)
+      .filter(col("l_shipdate") >= ntz("1997-01-01 00:00:00") &&
+        col("l_shipdate") < ntz("1998-01-01 00:00:00") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 25)
+      .agg(d(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items")),
+    Some("""
+      SELECT
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 25"""))
+
+  // ---------------------------------------------------------------------
+  // Telemetry read path: range scan, filter, pivot (SURVEY §2.3 Q1-Q6)
+  // ---------------------------------------------------------------------
+
+  val q07_events_range = Q("q07_events_range",
+    (s, dir) => events(s, dir)
+      .filter(col("ts") >= ntz("2024-01-10 00:00:00") && col("ts") < ntz("2024-01-20 00:00:00"))
+      .select(col("event_id"), col("ts"), col("event_type").as("etype"), col("value"))
+      .orderBy("event_id"),
+    Some("""
+      SELECT event_id, ts, event_type AS etype, value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      ORDER BY event_id"""))
+
+  val q08_events_pivot = Q("q08_events_pivot",
+    (s, dir) => events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(d(sum(dec2(col("value")))))
+      .orderBy("user_id"),
+    Some("""
+      SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------------
+  // Rolling time windows (SURVEY §2.3 R11/R12) + ranking/lag windows
+  // ---------------------------------------------------------------------
+
+  val q09_rolling_window = Q("q09_rolling_window",
+    (s, dir) => {
+      val w = Rolling.timeWindow(col("ts").cast("timestamp"), 300, col("user_id"))
+      events(s, dir)
+        .withColumn("roll_avg_5m", d(sum(dec2(col("value"))).over(w)) / count(col("value")).over(w))
+        .withColumn("roll_max_5m", max(col("value")).over(w))
+        .withColumn("roll_n_5m", count(col("value")).over(w))
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          col("roll_avg_5m"), col("roll_max_5m"), col("roll_n_5m"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, ts, user_id, value,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / (COUNT(value) OVER w) AS roll_avg_5m,
+        MAX(value) OVER w AS roll_max_5m,
+        COUNT(value) OVER w AS roll_n_5m
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  val q10_asof_join = Q("q10_asof_join",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey", "o_orderdate").orderBy(col("o_orderkey").desc)
+      val o = orders(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      AsOfJoin.asofJoin(events(s, dir), o,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"), tiebreaker = "o_orderkey")
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                       ORDER BY o_orderkey DESC) AS rn
+          FROM orders) WHERE rn = 1)
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+      FROM events e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      ORDER BY e.event_id"""))
+
+  val q11_window_rank = Q("q11_window_rank",
+    (s, dir) => {
+      val wRn = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wRk = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+      orders(s, dir)
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("rk", rank().over(wRk))
+        .withColumn("drk", dense_rank().over(wRk))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rk", "drk")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+          rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk,
+          dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drk
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn"""))
+
+  val q12_lag_delta = Q("q12_lag_delta",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .withColumn("running_n", count(lit(1)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select("event_id", "user_id", "ts", "value", "prev_value", "next_value", "delta", "running_n")
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, ts, value,
+        lag(value, 1)  OVER w AS prev_value,
+        lead(value, 1) OVER w AS next_value,
+        value - lag(value, 1) OVER w AS delta,
+        count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------------
+  // Union / dedup (SURVEY §2.3 R2-R4), ingest transforms (SURVEY §2.2)
+  // ---------------------------------------------------------------------
+
+  val q13_union_dedup = Q("q13_union_dedup",
+    (s, dir) => {
+      val e = events(s, dir)
+      e.unionByName(e).dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), d(sum(dec2(col("value")))).as("total"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM (SELECT DISTINCT * FROM (SELECT * FROM events UNION ALL SELECT * FROM events))
+      GROUP BY event_type ORDER BY event_type"""))
+
+  val q14_bit_unpack = Q("q14_bit_unpack",
+    (s, dir) => {
+      val e = events(s, dir).filter(col("event_type") === "click")
+        .withColumn("mask", round(col("value") * 100, 0).cast("long"))
+      graft.transforms.Transforms.bitUnpackLong(e, col("mask"), 16)
+        .select("event_id", "channel", "bit")
+        .orderBy("event_id", "channel")
+    },
+    Some("""
+      SELECT event_id, channel, (CAST(round(value * 100, 0) AS BIGINT) >> channel) & 1 AS bit
+      FROM events, (SELECT unnest(generate_series(0, 15)) AS channel)
+      WHERE event_type = 'click'
+      ORDER BY event_id, channel"""))
+
+  val q15_flatten_json = Q("q15_flatten_json",
+    (s, dir) => events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id"),
+    Some("""
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events ORDER BY event_id"""))
+
+  val q16_calibration = Q("q16_calibration",
+    (s, dir) => events(s, dir)
+      .select(col("event_id"),
+        round(graft.transforms.Transforms.voltsToTorr(col("value") / 100.0), 12).as("torr"))
+      .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+        round(pow(10.0, (value / 100.0) * 2.04545 + -6.86373) * 0.00750062, 12) AS torr
+      FROM events ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------------
+  // Grouping sets / rollup / cube, semi/anti/outer joins (SURVEY §2.6)
+  // ---------------------------------------------------------------------
+
+  val q17_rollup = Q("q17_rollup",
+    (s, dir) => orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), d(sum(dec2(col("o_totalprice")))).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  val q18_cube = Q("q18_cube",
+    (s, dir) => events(s, dir)
+      .cube("event_type", "user_id")
+      .agg(count(lit(1)).as("n"), d(sum(dec2(col("value")))).as("total"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_id").asc_nulls_first),
+    Some("""
+      SELECT event_type, user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events GROUP BY CUBE (event_type, user_id)
+      ORDER BY event_type NULLS FIRST, user_id NULLS FIRST"""))
+
+  val q19_grouping_sets = Q("q19_grouping_sets",
+    (s, dir) => {
+      events(s, dir).createOrReplaceTempView("graft_events_gs")
+      s.sql("""
+        SELECT event_type, user_id, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM graft_events_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        ORDER BY event_type NULLS FIRST, user_id NULLS FIRST""")
+    },
+    Some("""
+      SELECT event_type, user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events
+      GROUP BY GROUPING SETS ((event_type), (user_id), ())
+      ORDER BY event_type NULLS FIRST, user_id NULLS FIRST"""))
+
+  val q20_semi_anti = Q("q20_semi_anti",
+    (s, dir) => {
+      val c = customer(s, dir)
+      val o = orders(s, dir)
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .withColumn("label", lit("has_orders"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+        .withColumn("label", lit("no_orders"))
+      semi.unionByName(anti).select("label", "c_nationkey", "n")
+        .orderBy("label", "c_nationkey")
+    },
+    Some("""
+      SELECT 'has_orders' AS label, c_nationkey, COUNT(*) AS n FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey
+      UNION ALL
+      SELECT 'no_orders' AS label, c_nationkey, COUNT(*) AS n FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey
+      ORDER BY label, c_nationkey"""))
+
+  val q21_outer_join = Q("q21_outer_join",
+    (s, dir) => nation(s, dir)
+      .join(supplier(s, dir), col("n_nationkey") === col("s_nationkey"), "left_outer")
+      .groupBy("n_name")
+      .agg(count(col("s_suppkey")).as("n_suppliers"),
+        coalesce(d(sum(dec2(col("s_acctbal")))), lit(0.0)).as("total_acctbal"))
+      .orderBy("n_name"),
+    Some("""
+      SELECT n_name, COUNT(s_suppkey) AS n_suppliers,
+        COALESCE(CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_acctbal
+      FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  // ---------------------------------------------------------------------
+  // Text analysis (north star): stats, language ID, fingerprints
+  // ---------------------------------------------------------------------
+
+  private val Stopwords = Seq("the", "a", "of", "and", "is")
+
+  val q22_text_stats = Q("q22_text_stats",
+    (s, dir) => {
+      val t = col("text")
+      documents(s, dir).select(
+        col("doc_id"),
+        TextStats.tokenCount(t).as("n_tokens"),
+        round(TextStats.lexicalDiversity(t), 6).as("lexical_diversity"),
+        round(TextStats.meanTokenLength(t), 6).as("mean_token_len"),
+        round(TextStats.stopwordRatio(t, Stopwords), 6).as("stopword_ratio"),
+        TextStats.fingerprint(t).as("fingerprint"),
+        TextStats.qualityScore(t, Stopwords).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+      SELECT doc_id,
+        len(words) AS n_tokens,
+        round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS lexical_diversity,
+        round(CAST(list_aggregate(list_transform(words, x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE) / len(words), 6) AS mean_token_len,
+        round(CAST(len(list_filter(words, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(words), 6) AS stopword_ratio,
+        md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint,
+        round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+            + least(CAST(len(list_filter(words, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(words) * 5.0, 1.0) * 0.3
+            + CAST(len(list_distinct(words)) AS DOUBLE) / len(words) * 0.4, 6) AS quality
+      FROM w ORDER BY doc_id"""))
+
+  val q23_langid = Q("q23_langid",
+    (s, dir) => {
+      val t = col("text")
+      val scored = documents(s, dir).select(
+        (col("doc_id") +: TextStats.LangMarkers.map { case (l, ws) =>
+          TextStats.langScore(t, ws).as(s"s_$l")
+        }) :+ TextStats.languageId(t).as("lang_pred"): _*)
+      scored.orderBy("doc_id")
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+          len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','is'))) AS s_en,
+          len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','que','es'))) AS s_es,
+          len(list_filter(string_split(text,' '), x -> x IN ('le','la','de','et','est'))) AS s_fr,
+          len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+          len(list_filter(string_split(text,' '), x -> x IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
+        FROM documents)
+      SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh,
+        CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+             WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+             WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+             ELSE 'zh' END AS lang_pred
+      FROM s ORDER BY doc_id"""))
+
+  val q24_token_histogram = Q("q24_token_histogram",
+    (s, dir) => documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20),
+    Some("""
+      SELECT word, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word ORDER BY n DESC, word LIMIT 20"""))
+
+  // ---------------------------------------------------------------------
+  // Deduplication (north star): exact, jaccard, minhash, simhash
+  // ---------------------------------------------------------------------
+
+  val q25_exact_dedup = Q("q25_exact_dedup",
+    (s, dir) => Dedup.exactGroups(documents(s, dir), "doc_id", "text")
+      .orderBy("fingerprint"),
+    Some("""
+      SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint,
+        COUNT(*) AS n_dups, MIN(doc_id) AS survivor_id
+      FROM documents GROUP BY 1 ORDER BY fingerprint"""))
+
+  val q26_jaccard_pairs = Q("q26_jaccard_pairs",
+    (s, dir) => Dedup.jaccardPairs(documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.0, maxShingleFreq = Long.MaxValue)
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id AS id,
+          list_distinct([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                         FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]) AS s
+        FROM documents),
+      post AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS inter
+        FROM post a JOIN post b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      FROM pairs ORDER BY jaccard DESC, id_a, id_b LIMIT 20"""))
+
+  val q27_minhash_sig = Q("q27_minhash_sig",
+    (s, dir) => documents(s, dir)
+      .select((col("doc_id") +: (0 until 4).map(i =>
+        element_at(Dedup.minhashSignature(col("text"), 3, 4), i + 1).as(s"mh$i"))): _*)
+      .orderBy("doc_id"),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+          list_transform(
+            list_distinct([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                           FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]),
+            s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM documents)
+      SELECT doc_id,
+        list_min(list_transform(hs, h -> (1 * h + 1) % 4294967311)) AS mh0,
+        list_min(list_transform(hs, h -> (3 * h + 7920) % 4294967311)) AS mh1,
+        list_min(list_transform(hs, h -> (5 * h + 15839) % 4294967311)) AS mh2,
+        list_min(list_transform(hs, h -> (7 * h + 23758) % 4294967311)) AS mh3
+      FROM sh ORDER BY doc_id"""))
+
+  val q28_simhash = Q("q28_simhash",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv FROM tok),
+      votes AS (
+        SELECT doc_id, j, SUM(((hv >> j) & 1) * 2 - 1) AS vote
+        FROM h, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc_id, j)
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // Similarity search (north star): exact brute-force + ANN variants
+  // ---------------------------------------------------------------------
+
+  private def embQueries(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), Similarity.asDouble(col("embedding")).as("query_vec"))
+
+  private def embCandidates(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id").as("cand_id"), Similarity.asDouble(col("embedding")).as("cand_vec"))
+
+  val q29_ann_cosine = Q("q29_ann_cosine",
+    (s, dir) => Similarity.bruteForceTopK(embQueries(s, dir), embCandidates(s, dir), 5)
+      .select(col("query_id"), col("cand_id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rank"),
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      scored AS (
+        SELECT query_id, cand_id,
+          list_inner_product(qv, cv) /
+            (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos
+        FROM q, c WHERE query_id <> cand_id),
+      ranked AS (
+        SELECT query_id, cand_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, rank, round(cos, 6) AS cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  // Oracle-less (driver records rows-only checks): ANN scale paths and
+  // blocked simhash pairs — verified against the exact baselines in
+  // ScalaTest instead.
+  val q30_ann_lsh = Q("q30_ann_lsh",
+    (s, dir) => Similarity.lshTopK(embQueries(s, dir), embCandidates(s, dir), 5,
+        numPlanes = 4, dim = 64)
+      .select(col("query_id"), col("cand_id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rank"),
+    None)
+
+  val q31_ann_ivf = Q("q31_ann_ivf",
+    (s, dir) => {
+      val (centroids, assigned) = Similarity.ivfIndex(embCandidates(s, dir), nlist = 16)
+      Similarity.ivfTopK(embQueries(s, dir), centroids, assigned, k = 5, nprobe = 4)
+        .select(col("query_id"), col("cand_id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  val q32_simhash_pairs = Q("q32_simhash_pairs",
+    (s, dir) => Dedup.simhashPairs(documents(s, dir), "doc_id", "text",
+        bits = 16, maxHamming = 8)
+      .orderBy("id_a", "id_b"),
+    None)
+
+  val q33_minhash_pairs = Q("q33_minhash_pairs",
+    (s, dir) => Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text",
+        n = 3, numPerm = 16, bands = 4, threshold = 0.0)
+      .orderBy("id_a", "id_b"),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id AS id,
+          list_transform(
+            list_distinct([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                           FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]),
+            s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM documents),
+      sig AS (
+        SELECT id,
+          [list_min(list_transform(hs, h -> ((2*i+1) * h + (7919*i+1)) % 4294967311))
+           FOR i IN generate_series(0, 15)] AS sig
+        FROM sh),
+      banded AS (
+        SELECT id, sig, b,
+          array_to_string(sig[b*4+1:b*4+4], '-') AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b ON a.b = b.b AND a.band_key = b.band_key AND a.id < b.id)
+      SELECT id_a, id_b,
+        CAST(len(list_filter([sa[i] = sb[i] FOR i IN generate_series(1, 16)], x -> x)) AS DOUBLE) / 16 AS est_jaccard
+      FROM cand ORDER BY id_a, id_b"""))
+
+  /** Registry: every query, in order. */
+  val all: Seq[Q] = Seq(
+    q01_pricing_summary, q02_top_customers, q03_shipping_priority,
+    q04_order_priority, q05_region_revenue, q06_revenue_forecast,
+    q07_events_range, q08_events_pivot, q09_rolling_window, q10_asof_join,
+    q11_window_rank, q12_lag_delta, q13_union_dedup, q14_bit_unpack,
+    q15_flatten_json, q16_calibration, q17_rollup, q18_cube,
+    q19_grouping_sets, q20_semi_anti, q21_outer_join, q22_text_stats,
+    q23_langid, q24_token_histogram, q25_exact_dedup, q26_jaccard_pairs,
+    q27_minhash_sig, q28_simhash, q29_ann_cosine, q30_ann_lsh, q31_ann_ivf,
+    q32_simhash_pairs, q33_minhash_pairs)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the synthetic test tables (TESTDATA.md).
+  *
+  * Timestamp policy: the driver data carries parquet `timestamp[ns]`
+  * (events) and `timestamp[ms]` (orders/lineitem), both timezone-naive.
+  * Spark 4 rejects nanosecond parquet timestamps unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[GraftSession]]),
+  * in which case `ts` arrives as a LongType of nanoseconds; we convert to
+  * `TIMESTAMP_NTZ` at microsecond precision (floor division — identical to
+  * what DuckDB does when it truncates ns→µs), keeping everything
+  * timezone-naive so parity with the oracle is bit-exact.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame = read(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame = read(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = read(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = read(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = read(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame = read(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = read(s, dir, "lineitem")
+  def documents(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
+
+  /** `events` with `ts` normalized from raw nanoseconds to TIMESTAMP_NTZ
+    * (µs, floor — identical to DuckDB's ns→µs truncation, so the oracle
+    * sees the very same values). Use [[eventsRawNs]] for the lossless long. */
+  def events(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "events")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** `events` with the original nanosecond epoch as `ts_ns LONG`. */
+  def eventsRawNs(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "events").withColumnRenamed("ts", "ts_ns")
+}
+
+/** Session factory with the engine's standard configuration. */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

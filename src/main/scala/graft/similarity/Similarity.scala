@@ -1,0 +1,126 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Baseline: exact brute-force cosine top-k with a
+  * broadcast query side. Scale path: random-hyperplane LSH bucketing so
+  * only same-bucket candidates are compared, and an IVF (inverted-file)
+  * variant with deterministic centroids.
+  *
+  * All vector math is `zip_with`/`aggregate` over `array<double>` —
+  * deterministic left-to-right folds, so results are bit-reproducible
+  * (and oracle-checkable) across engines.
+  */
+object Similarity {
+
+  /** Cast float embedding to double for deterministic IEEE math. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product: left-to-right fold of pairwise products. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k by cosine: broadcast the (small) query set
+    * against the candidate corpus — the correctness baseline. One
+    * broadcast, zero shuffle for the scoring pass; the only shuffle is the
+    * per-query top-k (window over queryId, k rows survive per partition
+    * before the final merge). */
+  def bruteForceTopK(
+      queries: DataFrame, // (query_id, query_vec: array<double>)
+      candidates: DataFrame, // (cand_id, cand_vec: array<double>)
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val scored = candidates.crossJoin(broadcast(queries))
+      .filter(if (excludeSelf) col("query_id") =!= col("cand_id") else lit(true))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("query_vec"), col("cand_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed) as literal
+    * arrays, generated at plan time on the driver. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH bucket id: bit i is the
+    * sign of `v · plane_i`. Vectors in the same bucket are likely cosine
+    * neighbors. */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: score only candidates sharing the query's bucket.
+    * At 100 TB this turns the O(Q×N) scoring pass into O(Q×N/2^planes)
+    * with a plain equi-join shuffle on the bucket id. Recall < 1 by
+    * construction; raise `numPlanes` groups for multi-probe if needed. */
+  def lshTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      numPlanes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val qb = queries.withColumn("bucket", lshBucket(col("query_vec"), planes))
+    val cb = candidates.withColumn("bucket", lshBucket(col("cand_vec"), planes))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("query_vec"), col("cand_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted file) ANN: deterministic "training" picks the first
+    * `nlist` candidate vectors (by id) as centroids; every vector is
+    * assigned to its nearest centroid (one broadcast pass); a query scores
+    * only the `nprobe` nearest centroid lists. The candidate corpus is
+    * therefore pre-partitioned by centroid — at scale, write it bucketed
+    * by `centroid` so probes become partition-pruned scans. */
+  def ivfIndex(candidates: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
+    val centroids = candidates.orderBy(col("cand_id")).limit(nlist)
+      .select(col("cand_id").as("centroid_id"), col("cand_vec").as("centroid_vec"))
+    val w = Window.partitionBy(col("cand_id"))
+      .orderBy(col("cdist").desc, col("centroid_id"))
+    val assigned = candidates.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(col("cand_vec"), col("centroid_vec")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("cand_id"), col("cand_vec"), col("centroid_id").as("centroid"))
+    (centroids, assigned)
+  }
+
+  def ivfTopK(
+      queries: DataFrame,
+      centroids: DataFrame,
+      assigned: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(col("query_vec"), col("centroid_vec")))
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("centroid_id").as("centroid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    assigned.join(broadcast(probes), Seq("centroid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("query_vec"), col("cand_vec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

