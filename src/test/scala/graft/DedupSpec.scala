@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text with no overlap here"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("shingles: distinct word n-grams") {
+    val out = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 2).as("s")).as[Seq[String]].head()
+    assert(out == Seq("a b", "b c", "c d"))
+  }
+
+  test("exactGroups finds the duplicate pair, keeps min id as survivor") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(col("n_dups") > 1).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_dups") == 2)
+    assert(g(0).getAs[Long]("survivor_id") == 1L)
+  }
+
+  test("jaccardPairs: near-dups score high, unrelated docs absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.3, maxShingleFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 4L)) == 1.0) // exact dup
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash est_jaccard approximates true jaccard; LSH finds exact dups") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numPerm = 32, bands = 8, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 4L)) == 1.0) // identical signatures
+    pairs.get((1L, 2L)).foreach(est => assert(est > 0.3))
+  }
+
+  test("simhash: identical texts share fingerprint; hamming grows with difference") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("simhashPairs blocking finds all pairs within maxHamming") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", bits = 16, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 4L)))
+    // brute-force ground truth for hamming <= 3
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
+      .as[(Long, Long)].collect()
+    val truth = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == truth)
+  }
+}

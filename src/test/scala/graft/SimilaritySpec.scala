@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+    (1L, Seq(0.9, 0.1, 0.0, 0.0)),
+    (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+    (3L, Seq(0.0, 0.0, 1.0, 0.0)),
+    (4L, Seq(-1.0, 0.0, 0.0, 0.0))
+  )
+
+  test("dot / cosine column math") {
+    val (dot, cos) = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")),
+        Similarity.cosine(col("a"), col("a")))
+      .as[(Double, Double)].head()
+    assert(dot == 32.0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val q = vecs.take(1).toDF("query_id", "query_vec")
+    val c = vecs.toDF("cand_id", "cand_vec")
+    val top = Similarity.bruteForceTopK(q, c, 2)
+      .orderBy("rank").select("cand_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L)) // 1 is closest; 2 and 3 tie at 0, id breaks tie
+  }
+
+  test("lshTopK returns a subset of brute-force candidates with same scores") {
+    val q = vecs.take(2).toDF("query_id", "query_vec")
+    val c = vecs.toDF("cand_id", "cand_vec")
+    val bf = Similarity.bruteForceTopK(q, c, 5)
+      .select("query_id", "cand_id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val lsh = Similarity.lshTopK(q, c, 5, numPlanes = 2, dim = 4)
+      .select("query_id", "cand_id", "cos").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, s) => assert(math.abs(bf((a, b)) - s) < 1e-12) }
+  }
+
+  test("ivf assigns every candidate and probes return k results") {
+    val c = vecs.toDF("cand_id", "cand_vec")
+    val q = vecs.take(1).toDF("query_id", "query_vec")
+    val (centroids, assigned) = Similarity.ivfIndex(c, nlist = 2)
+    assert(assigned.count() == vecs.length)
+    val top = Similarity.ivfTopK(q, centroids, assigned, k = 2, nprobe = 2)
+    assert(top.count() <= 2 && top.count() > 0)
+  }
+}
