@@ -1,0 +1,167 @@
+package graft.control
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.yaml.snakeyaml.Yaml
+import graft.model.Point
+import graft.sources.{ReplaySource, TelemetrySource}
+import graft.sinks.TelemetrySink
+import graft.streaming.StreamOps
+
+/** Config-driven control plane — parity with the reference's `Cerebellum`
+  * metaclass config parser + `SourceList` supervisor
+  * (cerebro/cerebro.py:34-235):
+  *
+  *   - YAML with `sources:` / `observers:` maps keyed by name, each with a
+  *     `type` discriminator (cerebro.py:222-235)
+  *   - `profiles:` selecting source/observer subsets (cerebro.py:167-205)
+  *   - `${ENV_VAR}` interpolation anywhere in the file (the reference uses
+  *     it for hosts/tokens, etc/cerebro.yaml:40,47,119)
+  *   - a runtime registry of named running streams with status/stop/restart
+  *     (SourceList / the status Unix-socket verbs, cerebro.py:369-460)
+  */
+object EngineConfig {
+
+  final case class SourceConf(name: String, typ: String,
+      options: Map[String, Any], bucket: Option[String], tags: Map[String, String])
+  final case class ObserverConf(name: String, typ: String, options: Map[String, Any])
+  final case class Config(
+      tags: Map[String, String],
+      sources: Seq[SourceConf],
+      observers: Seq[ObserverConf])
+
+  /** `${VAR}` → env value (empty string when unset), reference-style. */
+  private[control] def interpolate(s: String, env: Map[String, String]): String =
+    "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        env.getOrElse(m.group(1), "")))
+
+  private def asScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> asScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(asScala).toList
+    case other => other
+  }
+
+  def parse(yamlText: String,
+      profile: Option[String] = None,
+      env: Map[String, String] = sys.env): Config = {
+    val rootAny = asScala(new Yaml().load[Any](interpolate(yamlText, env)))
+    val root = rootAny.asInstanceOf[Map[String, Any]]
+    def section(key: String): Map[String, Map[String, Any]] =
+      root.getOrElse(key, Map.empty).asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[Map[String, Any]] }
+
+    val allSources = section("sources")
+    val allObservers = section("observers")
+
+    // profile selection (cerebro.py:167-205): a profile lists source and
+    // observer names; absent profile = everything.
+    val (srcNames, obsNames) = profile match {
+      case None => (allSources.keys.toSeq.sorted, allObservers.keys.toSeq.sorted)
+      case Some(p) =>
+        val profiles = section("profiles")
+        val prof = profiles.getOrElse(p,
+          throw new IllegalArgumentException(s"profile not found: $p"))
+        def names(k: String, fallback: Seq[String]): Seq[String] =
+          prof.get(k).map(_.asInstanceOf[List[Any]].map(_.toString)).getOrElse(fallback)
+        (names("sources", allSources.keys.toSeq.sorted),
+          names("observers", allObservers.keys.toSeq.sorted))
+    }
+
+    def strMap(m: Any): Map[String, String] =
+      m.asInstanceOf[Map[String, Any]].map { case (k, v) =>
+        k -> Option(v).map(_.toString).getOrElse("") // empty YAML scalar -> null
+      }
+
+    Config(
+      tags = root.get("tags").map(strMap).getOrElse(Map.empty),
+      sources = srcNames.map { n =>
+        val c = allSources.getOrElse(n,
+          throw new IllegalArgumentException(s"source not found: $n"))
+        SourceConf(n,
+          c.getOrElse("type", throw new IllegalArgumentException(s"$n: missing type")).toString,
+          c - "type" - "bucket" - "tags",
+          c.get("bucket").map(_.toString),
+          c.get("tags").map(strMap).getOrElse(Map.empty))
+      },
+      observers = obsNames.map { n =>
+        val c = allObservers.getOrElse(n,
+          throw new IllegalArgumentException(s"observer not found: $n"))
+        ObserverConf(n,
+          c.getOrElse("type", throw new IllegalArgumentException(s"$n: missing type")).toString,
+          c - "type")
+      })
+  }
+}
+
+/** Runtime engine: builds sources from config via a type registry, unions
+  * them through the normalize stage, runs one sink query per observer, and
+  * supervises (status/stop/restart — the reference CLI's verbs,
+  * cerebro/__main__.py:101-143). */
+final class Engine(spark: SparkSession) {
+  import EngineConfig._
+
+  /** `type` string → factory, the Spark form of `get_source_subclass`
+    * (source.py:232-244). Extensible: register custom types before start. */
+  val sourceRegistry: scala.collection.mutable.Map[String, SourceConf => TelemetrySource] =
+    scala.collection.mutable.Map(
+      "replay" -> (c => ReplaySource(c.name,
+        c.options("path").toString, c.bucket, c.tags)))
+
+  private val queries = scala.collection.mutable.Map[String, StreamingQuery]()
+  private var conf: Config = _
+
+  def buildSources(config: Config): Seq[TelemetrySource] =
+    config.sources.map { sc =>
+      val factory = sourceRegistry.getOrElse(sc.typ,
+        throw new IllegalArgumentException(s"unknown source type: ${sc.typ}"))
+      factory(sc)
+    }
+
+  /** Per-source tag merge (source-level tags + source name tag, mirroring
+    * source.py:98-99) then global normalize (T11). */
+  def unifiedStream(config: Config): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val streams = buildSources(config).map { s =>
+      val base = s.stream(spark)
+      val withSrcTags =
+        if (s.tags.isEmpty) base
+        else base.withColumn(Point.Tags, map_concat(
+          coalesce(col(Point.Tags), map()),
+          map(s.tags.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)))
+      s.bucket.map(b => withSrcTags.withColumn(Point.Bucket,
+        coalesce(col(Point.Bucket), lit(b)))).getOrElse(withSrcTags)
+    }
+    val unioned = streams.reduce(_ unionByName _)
+    StreamOps.normalize(config.tags)(unioned)
+  }
+
+  def start(config: Config, workDir: String): Unit = {
+    conf = config
+    val stream = unifiedStream(config)
+    config.observers.foreach { o =>
+      val q = o.typ match {
+        case "parquet" => TelemetrySink.start(stream,
+          o.options.getOrElse("path", s"$workDir/data/${o.name}").toString,
+          s"$workDir/checkpoints/${o.name}",
+          o.options.getOrElse("default_bucket", "default").toString,
+          queryName = o.name)
+        case "memory" => stream.writeStream.queryName(o.name)
+          .format("memory").outputMode("append")
+          .option("checkpointLocation", s"$workDir/checkpoints/${o.name}").start()
+        case other => throw new IllegalArgumentException(s"unknown observer type: $other")
+      }
+      queries(o.name) = q
+    }
+  }
+
+  /** `cerebro status` parity. */
+  def status: Map[String, Boolean] = queries.view.mapValues(_.isActive).toMap
+
+  def stop(name: String): Unit = queries.get(name).foreach(_.stop())
+  def stopAll(): Unit = queries.values.foreach(_.stop())
+  def awaitAnyTermination(timeoutMs: Long): Boolean =
+    spark.streams.awaitAnyTermination(timeoutMs)
+}

@@ -1,0 +1,61 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.model.Point
+
+/** The engine's native store: parquet partitioned by (bucket, measurement)
+  * — the Spark form of the reference's InfluxDB observer (K2,
+  * cerebro/observer.py:67-130), with the idempotence contract SURVEY.md §4
+  * requires: at-least-once upstream delivery is forgiven by deduping on
+  * (measurement, tags, time) within each batch, exactly-once overall via
+  * Structured Streaming checkpointing + idempotent file commits.
+  *
+  * Partitioning rationale at scale: bucket/measurement are the universal
+  * query predicates (every Flux read starts `from(bucket) |> range |>
+  * filter(_measurement)`, client.py:68-80), so they become partition
+  * columns and reads prune to exactly the series touched. Time-range
+  * predicates then push into parquet row-group stats within a partition.
+  */
+object TelemetrySink {
+
+  /** Canonical serialization of the tag map (sorted `k=v` pairs) — MAP
+    * columns can't be grouping/dedup keys in Spark, and map_entries order
+    * is undefined, so the idempotence key uses this stable string. */
+  def canonicalTags(tags: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(",", array_sort(transform(
+      map_entries(coalesce(tags, map())),
+      e => concat(e.getField("key"), lit("="), e.getField("value")))))
+
+  /** Write one (micro-)batch: dedup on the idempotence key
+    * (measurement, tags, time), default the bucket, append partitioned
+    * files. Usable directly for batch backfill (K3,
+    * `ingest_dataframe_to_influxdb`, tools.py:345-411). */
+  def writeBatch(batch: DataFrame, outDir: String,
+      defaultBucket: String = "default"): Unit =
+    batch
+      .withColumn(Point.Bucket, coalesce(col(Point.Bucket), lit(defaultBucket)))
+      .withColumn("__tags_key", canonicalTags(col(Point.Tags)))
+      .dropDuplicates(Seq(Point.Measurement, "__tags_key", Point.Time))
+      .drop("__tags_key")
+      .write.mode(SaveMode.Append)
+      .partitionBy(Point.Bucket, Point.Measurement)
+      .parquet(outDir)
+
+  /** Continuous sink: foreachBatch → [[writeBatch]], checkpointed. The
+    * reference's 1000-point write batching (R18, tools.py:354) maps to the
+    * micro-batch itself — trigger interval controls batch size. */
+  def start(points: DataFrame, outDir: String, checkpointDir: String,
+      defaultBucket: String = "default",
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      queryName: String = "telemetry-sink"): StreamingQuery =
+    points.writeStream
+      .queryName(queryName)
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeBatch(batch, outDir, defaultBucket)
+      }
+      .start()
+}

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Point
+
+/** Wire-protocol parsers for the reference's sensor sources, re-expressed
+  * as pure `DataFrame => DataFrame` transforms over a frame of raw replies
+  * (`raw STRING, recv_time TIMESTAMP`, plus any per-source columns). Each
+  * returns rows in the uniform point schema ([[graft.model.Point]]).
+  *
+  * Splitting protocol *parsing* from socket *polling* is the executor/driver
+  * boundary of SURVEY.md §3.1: a driver-side poller only appends raw reply
+  * lines; all parsing is distributed, codegen'd column work.
+  */
+object Parsers {
+
+  private def pointCols(measurement: Column, tags: Column, fields: Column,
+      time: Column, bucket: Column): Seq[Column] = Seq(
+    measurement.as(Point.Measurement),
+    tags.cast(MapType(StringType, StringType)).as(Point.Tags),
+    fields.cast(MapType(StringType, DoubleType)).as(Point.Fields),
+    lit(null).cast(MapType(StringType, StringType)).as(Point.FieldsStr),
+    time.cast(TimestampType).as(Point.Time),
+    lit(null).cast(LongType).as(Point.TimeNs),
+    bucket.cast(StringType).as(Point.Bucket))
+
+  /** S3 — Govee BT bridge reply (`cerebro/sources/lvm.py:57-109`):
+    * `"<ADDR> <temp> <hum> <x> <isoTime>"`; emits `temperature` and
+    * `humidity` points. Applies the reference's guards: `?` not-found
+    * replies dropped, address mismatch dropped (lvm.py:88-93), stale
+    * points (older than `2*delay` vs `recv_time`) dropped (lvm.py:80-82).
+    */
+  def govee(raw: DataFrame, expectedAddress: String, device: String,
+      delaySeconds: Long = 10, bucket: String = "sensors"): DataFrame = {
+    val parts = split(col("raw"), "\\s+")
+    val parsed = raw
+      .filter(col("raw") =!= "?" && size(split(col("raw"), "\\s+")) >= 5)
+      .select(
+        upper(parts.getItem(0)).as("address"),
+        parts.getItem(1).cast(DoubleType).as("temp"),
+        parts.getItem(2).cast(DoubleType).as("hum"),
+        to_timestamp(parts.getItem(4)).as("device_time"),
+        col("recv_time"))
+      .filter(col("address") === lit(expectedAddress.toUpperCase)) // T7 guard
+      .filter( // T6 staleness
+        unix_timestamp(col("recv_time")) - unix_timestamp(col("device_time")) <= 2 * delaySeconds)
+    val tags = map(lit("address"), col("address"), lit("device"), lit(device))
+    val temperature = parsed.select(pointCols(lit("temperature"), tags,
+      map(lit("value"), col("temp")), col("device_time"), lit(bucket)): _*)
+    val humidity = parsed.select(pointCols(lit("humidity"), tags,
+      map(lit("value"), col("hum")), col("device_time"), lit(bucket)): _*)
+    temperature.unionByName(humidity)
+  }
+
+  private val sens4Num = "([0-9]+?\\.[0-9]+E[+-][0-9]+)"
+  private val sens4Re =
+    s"^@[0-9]{1,3}ACKQ?$sens4Num,$sens4Num,$sens4Num,([0-9]+\\.[0-9]+),.+\\\\$$"
+
+  /** S4 — Sens4 transducer reply (`lvm.py:140-174`):
+    * `@{id}ACKQ<pz>,<pir>,<cmb>,<temp>,...\` → one `pressure` point with
+    * fields pz/pir/cmb/temp and the ccd tag. Unparseable replies dropped. */
+  def sens4(raw: DataFrame, ccd: String = "NA", bucket: String = "sensors"): DataFrame = {
+    val g = (i: Int) => regexp_extract(col("raw"), sens4Re, i).cast(DoubleType)
+    raw.filter(regexp_extract(col("raw"), sens4Re, 1) =!= "")
+      .select(pointCols(lit("pressure"), map(lit("ccd"), lit(ccd)),
+        map(lit("pz"), g(1), lit("pir"), g(2), lit("cmb"), g(3), lit("temp"), g(4)),
+        col("recv_time"), lit(bucket)): _*)
+  }
+
+  /** S5 — LN2 scale reply (`lvm.py:217-240`): `... <weight> lb ...` →
+    * `ln2_weigth` point (sic — the reference's measurement name, kept for
+    * storage parity) with the `spectrograph: sp1` tag. */
+  def ln2Scale(raw: DataFrame, bucket: String = "sensors"): DataFrame = {
+    val w = regexp_extract(col("raw"), "\\s([\\-0-9.]+)\\slb", 1)
+    raw.filter(w =!= "")
+      .select(pointCols(lit("ln2_weigth"), map(lit("spectrograph"), lit("sp1")),
+        map(lit("value"), w.cast(DoubleType)), col("recv_time"), lit(bucket)): _*)
+  }
+
+  /** S7 — ADAM-6251 thermistor reply (`lvm.py:383-418`): `!01<HEX>\r` →
+    * 16 points, one per channel, field key `channel{n}`, bit extracted from
+    * the hex mask, `channel_name` tag from `mapping`. The explode is a
+    * generator (no shuffle); the mapping lookup is a literal map lookup,
+    * the Spark form of the reference's dict.get. */
+  def thermistors(raw: DataFrame, mapping: Map[String, String],
+      channels: Int = 16, bucket: String = "sensors"): DataFrame = {
+    val hexMask = regexp_extract(col("raw"), "^!01([0-9A-F]+)\\r?$", 1)
+    val mappingCol =
+      if (mapping.isEmpty) map()
+      else map(mapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    raw.filter(hexMask =!= "")
+      .withColumn("__mask", conv(hexMask, 16, 10).cast(LongType))
+      .withColumn("channel", explode(sequence(lit(0), lit(channels - 1))))
+      .withColumn("bit",
+        when(expr("shiftright(__mask, channel) & 1") > 0, 1.0).otherwise(0.0))
+      .select(pointCols(lit("thermistors"),
+        map(lit("channel_name"),
+          coalesce(element_at(mappingCol, concat(lit("channel"), col("channel"))), lit(""))),
+        map(concat(lit("channel"), col("channel")), col("bit")),
+        col("recv_time"), lit(bucket)): _*)
+  }
+
+  /** T8/S12 — Modbus device reading (`drift.py:128-162`): one row per
+    * `(device, value, units, offset)` read; relays (`units == "relay"`)
+    * decode closed→1.0/open→0.0 into the measurement's field, others pass
+    * through with units/offset tags. */
+  def driftDevices(readings: DataFrame, measurement: String = "devices",
+      bucket: String = "actors"): DataFrame = {
+    val isRelay = lower(col("units")) === "relay"
+    val value = when(isRelay,
+        when(lower(col("raw_value")) === "closed", 1.0)
+          .when(lower(col("raw_value")) === "open", 0.0))
+      .otherwise(col("raw_value").cast(DoubleType))
+    readings.select(pointCols(lit(measurement),
+      map_filter(map(
+        lit("units"), when(isRelay, lit(null)).otherwise(col("units")),
+        lit("offset"), col("offset").cast(StringType)), (_, v) => v.isNotNull),
+      map(col("device"), value),
+      col("recv_time"), lit(bucket)): _*)
+  }
+}
