@@ -51,6 +51,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tag-merge semantics: later maps win, like dict.update in the
+      // reference (cerebro.py:412)
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
