@@ -660,6 +660,135 @@ object Queries {
         CAST(len(list_filter([sa[i] = sb[i] FOR i IN generate_series(1, 16)], x -> x)) AS DOUBLE) / 16 AS est_jaccard
       FROM cand ORDER BY id_a, id_b"""))
 
+  // ---------------------------------------------------------------------
+  // Statistical aggregates, percentiles, time bucketing, conditional aggs
+  // ---------------------------------------------------------------------
+
+  val q34_stats_agg = Q("q34_stats_agg",
+    (s, dir) => events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(stddev_samp(col("value")), 6).as("sd"),
+        round(var_samp(col("value")), 6).as("vr"),
+        round(corr(col("value"), col("user_id").cast("double")), 6).as("cr"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("cv"))
+      .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+        round(stddev_samp(value), 6) AS sd,
+        round(var_samp(value), 6) AS vr,
+        round(corr(value, CAST(user_id AS DOUBLE)), 6) AS cr,
+        round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cv
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val q35_percentiles = Q("q35_percentiles",
+    (s, dir) => events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        round(min(col("value")), 6).as("vmin"),
+        round(max(col("value")), 6).as("vmax"))
+      .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+        round(quantile_cont(value, 0.5), 6) AS p50,
+        round(quantile_cont(value, 0.9), 6) AS p90,
+        round(quantile_cont(value, 0.99), 6) AS p99,
+        round(min(value), 6) AS vmin,
+        round(max(value), 6) AS vmax
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val q36_time_bucket = Q("q36_time_bucket",
+    (s, dir) => events(s, dir)
+      .groupBy(window(col("ts"), "1 day").getField("start").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), d(sum(dec2(col("value")))).as("total"))
+      .orderBy("day", "event_type"),
+    Some("""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+
+  val q37_conditional_agg = Q("q37_conditional_agg",
+    (s, dir) => lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(col("l_discount") > 0.05, 1)).as("n_highdisc"),
+        d(sum(when(col("l_quantity") > 25, dec2(col("l_extendedprice")))
+          .otherwise(lit(null)))).as("bulk_price"),
+        count_distinct(col("l_suppkey")).as("n_suppliers"))
+      .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+        COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_highdisc,
+        CAST(SUM(CASE WHEN l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS bulk_price,
+        COUNT(DISTINCT l_suppkey) AS n_suppliers
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val q38_string_ops = Q("q38_string_ops",
+    (s, dir) => part(s, dir)
+      .select(
+        upper(split(col("p_name"), " ").getItem(0)).as("first_word"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_prefix"))
+      .groupBy("first_word", "type_prefix")
+      .agg(count(lit(1)).as("n"), max(col("name_len")).as("max_len"))
+      .orderBy("first_word", "type_prefix"),
+    Some("""
+      SELECT upper(string_split(p_name, ' ')[1]) AS first_word,
+        regexp_extract(p_type, '^([A-Z]+)', 1) AS type_prefix,
+        COUNT(*) AS n, MAX(length(p_name)) AS max_len
+      FROM part GROUP BY 1, 2 ORDER BY first_word, type_prefix"""))
+
+  val q39_array_agg = Q("q39_array_agg",
+    (s, dir) => orders(s, dir)
+      .filter(col("o_custkey") < 50)
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n"))
+      .select(col("o_custkey"), concat_ws(",", col("statuses")).as("statuses"), col("n"))
+      .orderBy("o_custkey"),
+    Some("""
+      SELECT o_custkey,
+        array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
+        COUNT(*) AS n
+      FROM orders WHERE o_custkey < 50
+      GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  val q40_dedup_survivors = Q("q40_dedup_survivors",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val survivors = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("survivor_id").as("doc_id"))
+      docs.join(survivors, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))))
+      ORDER BY doc_id"""))
+
+  // Multimodal plumbing over real data: documents text bytes as the opaque
+  // payload; stub features must be deterministic (rows-only driver check,
+  // exactness asserted in MultimodalSpec).
+  val q41_multimodal_features = Q("q41_multimodal_features",
+    (s, dir) => {
+      val media = documents(s, dir).select(
+        col("doc_id").as("media_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("content"),
+        map(lit("src"), lit("documents")).as("meta"))
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 4)
+        .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        .orderBy("media_id")
+    },
+    None)
+
   /** Registry: every query, in order. */
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
@@ -670,5 +799,7 @@ object Queries {
     q19_grouping_sets, q20_semi_anti, q21_outer_join, q22_text_stats,
     q23_langid, q24_token_histogram, q25_exact_dedup, q26_jaccard_pairs,
     q27_minhash_sig, q28_simhash, q29_ann_cosine, q30_ann_lsh, q31_ann_ivf,
-    q32_simhash_pairs, q33_minhash_pairs)
+    q32_simhash_pairs, q33_minhash_pairs, q34_stats_agg, q35_percentiles,
+    q36_time_bucket, q37_conditional_agg, q38_string_ops, q39_array_agg,
+    q40_dedup_survivors, q41_multimodal_features)
 }
