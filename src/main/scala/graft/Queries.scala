@@ -520,9 +520,13 @@ object Queries {
         COUNT(*) AS n_dups, MIN(doc_id) AS survivor_id
       FROM documents GROUP BY 1 ORDER BY fingerprint"""))
 
+  // maxShingleFreq=100: drop shingles appearing in >100 docs before the
+  // inverted-index self-join — the posting-list join is quadratic per
+  // shingle, and stop-shingles are what make it blow up at scale. The
+  // oracle applies the identical guard.
   val q26_jaccard_pairs = Q("q26_jaccard_pairs",
     (s, dir) => Dedup.jaccardPairs(documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.0, maxShingleFreq = Long.MaxValue)
+        n = 3, threshold = 0.0, maxShingleFreq = 100)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
       .limit(20),
     Some("""
@@ -532,9 +536,11 @@ object Queries {
                          FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]) AS s
         FROM documents),
       post AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
+      keep AS (SELECT shingle FROM post GROUP BY shingle HAVING COUNT(*) <= 100),
+      postk AS (SELECT post.* FROM post JOIN keep USING (shingle)),
       pairs AS (
         SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS inter
-        FROM post a JOIN post b ON a.shingle = b.shingle AND a.id < b.id
+        FROM postk a JOIN postk b ON a.shingle = b.shingle AND a.id < b.id
         GROUP BY 1, 2, 3, 4)
       SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
       FROM pairs ORDER BY jaccard DESC, id_a, id_b LIMIT 20"""))
@@ -789,6 +795,37 @@ object Queries {
     },
     None)
 
+  val q42_set_ops = Q("q42_set_ops",
+    (s, dir) => {
+      val active = orders(s, dir).filter(col("o_orderdate") >= ntz("1997-01-01 00:00:00"))
+        .select("o_custkey").distinct()
+      val early = orders(s, dir).filter(col("o_orderdate") < ntz("1997-01-01 00:00:00"))
+        .select("o_custkey").distinct()
+      val both = active.intersect(early).withColumn("cohort", lit("both"))
+      val onlyNew = active.except(early).withColumn("cohort", lit("new_only"))
+      both.unionByName(onlyNew)
+        .groupBy("cohort").agg(count(lit(1)).as("n"))
+        .orderBy("cohort")
+    },
+    Some("""
+      WITH active AS (SELECT DISTINCT o_custkey FROM orders
+                      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+      early AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      u AS (
+        SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM active INTERSECT SELECT o_custkey FROM early)
+        UNION ALL
+        SELECT 'new_only' AS cohort, o_custkey FROM (SELECT o_custkey FROM active EXCEPT SELECT o_custkey FROM early))
+      SELECT cohort, COUNT(*) AS n FROM u GROUP BY cohort ORDER BY cohort"""))
+
+  // Same task and oracle as q29, executed through the custom bounded-heap
+  // aggregate instead of a window sort (see TopKByScore scaladoc).
+  val q43_ann_topk_agg = Q("q43_ann_topk_agg",
+    (s, dir) => Similarity.bruteForceTopKAgg(embQueries(s, dir), embCandidates(s, dir), 5)
+      .select(col("query_id"), col("cand_id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rank"),
+    q29_ann_cosine.oracle)
+
   /** Registry: every query, in order. */
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
@@ -801,5 +838,6 @@ object Queries {
     q27_minhash_sig, q28_simhash, q29_ann_cosine, q30_ann_lsh, q31_ann_ivf,
     q32_simhash_pairs, q33_minhash_pairs, q34_stats_agg, q35_percentiles,
     q36_time_bucket, q37_conditional_agg, q38_string_ops, q39_array_agg,
-    q40_dedup_survivors, q41_multimodal_features)
+    q40_dedup_survivors, q41_multimodal_features, q42_set_ops,
+    q43_ann_topk_agg)
 }

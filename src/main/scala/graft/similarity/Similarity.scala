@@ -46,6 +46,24 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Brute-force top-k via the bounded-heap aggregate
+    * ([[graft.operators.TopKByScore]]) instead of a window sort: the
+    * scoring pass stays identical, but per-query top-k happens as partial
+    * aggregation (≤k rows per query survive each map task) — at 100 TB
+    * the shuffle carries kilobytes instead of the full N×Q score matrix. */
+  def bruteForceTopKAgg(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val scored = candidates.crossJoin(broadcast(queries))
+      .filter(if (excludeSelf) col("query_id") =!= col("cand_id") else lit(true))
+      .select(col("query_id"), col("cand_id").cast("long").as("cand_id"),
+        cosine(col("query_vec"), col("cand_vec")).as("cos"))
+    graft.operators.TopKByScore.topKPerGroup(
+      scored, Seq("query_id"), "cos", "cand_id", k)
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed) as literal
     * arrays, generated at plan time on the driver. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
