@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions — the scale contract, enforced: filters
+  * must reach the parquet scan, small dimensions must broadcast, heavy
+  * aggregations must partial-aggregate. A regression here (e.g. a filter
+  * stuck above a join, a broadcast turned sort-merge) changes nothing at
+  * sf0.01 but everything at 100 TB, so it's tested like correctness. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = Queries.all.find(_.name == name).get.run(spark, sf())
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate predicate pushed to parquet scan; partial aggregation") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_"))
+  }
+
+  test("q02/q03/q05: dimension joins broadcast, never sort-merge") {
+    Seq("q02_top_customers", "q03_shipping_priority", "q05_region_revenue").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q must not SMJ")
+    }
+  }
+
+  test("q05: five-way star join keeps one shuffle-free broadcast chain") {
+    assert("BroadcastHashJoin".r.findAllIn(plan("q05_region_revenue")).length == 5)
+  }
+
+  test("q07: time-range + column pruning reach the events scan") {
+    val p = plan("q07_events_range")
+    assert(p.contains("PushedFilters: [IsNotNull(ts)"))
+    // projection pruned to the selected columns only
+    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,event_type:string,value:double>"))
+  }
+
+  test("q29/q43: query side broadcasts; scoring side never shuffles whole rows") {
+    Seq("q29_ann_cosine", "q43_ann_topk_agg").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q should broadcast the query set")
+    }
+  }
+
+  test("q43: top-k runs as partial aggregation, not a window sort") {
+    val p = plan("q43_ann_topk_agg")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+    assert(p.contains("partial_topkbyscore") ||
+      p.toLowerCase.contains("partial_topk"))
+    assert(!p.contains("Window"), "q43 must not fall back to a window")
+  }
+
+  test("q27: minhash is scan -> hash-aggregate (no higher-order lambdas in the agg)") {
+    val p = plan("q27_minhash_sig")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_min"))
+  }
+
+  test("q36: window(ts) bucketing partial-aggregates map-side") {
+    assert(plan("q36_time_bucket").contains("partial_"))
+  }
+}
