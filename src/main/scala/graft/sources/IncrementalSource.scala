@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.io.File
+import java.util.OptionalLong
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 micro-batch source with ROW-LEVEL incremental offsets —
+  * the Spark-native form of the reference's LCO API pattern
+  * (cerebro/sources/lco.py:116-122): each poll fetches only records with
+  * `ts` greater than the last seen timestamp, and that timestamp IS the
+  * stream's offset (checkpointed by Spark, so restarts resume exactly).
+  *
+  * The "API" is modeled as a directory of append-only JSON-lines files
+  * (`{"ts": <epochMillis>, "measurement": "...", "value": <double>}`) —
+  * the shape an HTTP poller would spool. Unlike Spark's built-in file
+  * source (which tracks FILES), offsets here are event-time values, so a
+  * file may keep growing and only new rows are consumed: `latestOffset`
+  * scans for the current max ts (driver-side, metadata-light), and each
+  * micro-batch plans one partition per file, with executors parsing and
+  * filtering `start < ts <= end`.
+  *
+  * Usage:
+  * {{{
+  * spark.readStream.format("graft.sources.IncrementalSource")
+  *   .option("path", dir).load()
+  * }}}
+  */
+class IncrementalSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IncrementalSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new IncrementalTable(properties.get("path"))
+}
+
+object IncrementalSource {
+  val schema: StructType = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("measurement", StringType),
+    StructField("value", DoubleType)))
+
+  private[sources] def listFiles(path: String): Seq[File] = {
+    val d = new File(path)
+    if (!d.exists()) Nil
+    else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".jsonl")).sortBy(_.getName).toSeq
+  }
+
+  /** Driver-side: current high-water mark across the table. */
+  private[sources] def maxTs(path: String): Long = {
+    val mapper = new ObjectMapper()
+    listFiles(path).foldLeft(0L) { (acc, f) =>
+      scala.io.Source.fromFile(f).getLines().foldLeft(acc) { (m, line) =>
+        if (line.trim.isEmpty) m
+        else math.max(m, mapper.readTree(line).get("ts").asLong())
+      }
+    }
+  }
+}
+
+final class IncrementalTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"incremental($path)"
+  override def schema(): StructType = IncrementalSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = IncrementalSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new IncrementalStream(path)
+    }
+}
+
+/** Offset = the greatest event timestamp already delivered (epoch ms). */
+final case class TsOffset(ts: Long) extends Offset {
+  override def json(): String = s"""{"ts":$ts}"""
+}
+
+final class IncrementalStream(path: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = TsOffset(0L)
+  override def latestOffset(): Offset = TsOffset(IncrementalSource.maxTs(path))
+  override def deserializeOffset(json: String): Offset =
+    TsOffset(new ObjectMapper().readTree(json).get("ts").asLong())
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TsOffset].ts
+    val e = end.asInstanceOf[TsOffset].ts
+    if (e <= s) Array.empty
+    else IncrementalSource.listFiles(path)
+      .map(f => JsonlRangePartition(f.getAbsolutePath, s, e): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[JsonlRangePartition]
+      new JsonlRangeReader(p)
+    }
+}
+
+final case class JsonlRangePartition(file: String, startExclusive: Long, endInclusive: Long)
+  extends InputPartition
+
+/** Executor-side reader: stream the file, keep rows in (start, end]. */
+final class JsonlRangeReader(p: JsonlRangePartition) extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val source = scala.io.Source.fromFile(p.file)
+  private val lines = source.getLines()
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val line = lines.next()
+      if (line.trim.nonEmpty) {
+        val node = mapper.readTree(line)
+        val ts = node.get("ts").asLong()
+        if (ts > p.startExclusive && ts <= p.endInclusive) {
+          row = InternalRow(
+            ts * 1000L, // epoch ms -> Catalyst micros
+            UTF8String.fromString(node.get("measurement").asText()),
+            node.get("value").asDouble())
+          return true
+        }
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = source.close()
+}
