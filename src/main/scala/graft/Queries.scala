@@ -826,6 +826,66 @@ object Queries {
       .orderBy("query_id", "rank"),
     q29_ann_cosine.oracle)
 
+  // Full corpus-dedup pipeline: LSH candidates (est_jaccard >= 0.5) →
+  // connected components → survivor per cluster. Oracle replays the exact
+  // minhash math, then closes the pair graph with a recursive CTE.
+  val q44_dedup_clusters = Q("q44_dedup_clusters",
+    (s, dir) => Dedup.dedupByMinhash(documents(s, dir), "doc_id", "text",
+        n = 3, numPerm = 16, bands = 4, threshold = 0.5)
+      .select(col("id").as("doc_id"), col("cluster"),
+        col("is_survivor").cast("int").as("is_survivor"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id AS id,
+          list_transform(
+            list_distinct([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                           FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]),
+            s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM documents),
+      sig AS (
+        SELECT id,
+          [list_min(list_transform(hs, h -> ((2*i+1) * h + (7919*i+1)) % 4294967311))
+           FOR i IN generate_series(0, 15)] AS sig
+        FROM sh),
+      banded AS (
+        SELECT id, sig, b, array_to_string(sig[b*4+1:b*4+4], '-') AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b ON a.b = b.b AND a.band_key = b.band_key AND a.id < b.id),
+      pairs AS (
+        SELECT id_a, id_b FROM cand
+        WHERE CAST(len(list_filter([sa[i] = sb[i] FOR i IN generate_series(1, 16)], x -> x)) AS DOUBLE) / 16 >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+      SELECT a AS doc_id, MIN(b) AS cluster,
+        CAST(a = MIN(b) AS INTEGER) AS is_survivor
+      FROM reach GROUP BY a ORDER BY doc_id"""))
+
+  // Embedding centroid: per-dimension mean in the posexplode + groupBy
+  // shape (map-side combinable — the scalable way to aggregate vectors;
+  // decimal-summed for bit-stable parity).
+  val q45_embedding_centroid = Q("q45_embedding_centroid",
+    (s, dir) => embeddings(s, dir)
+      .select(posexplode(Similarity.asDouble(col("embedding"))).as(Seq("dim", "v")))
+      .select((col("dim") + 1).as("dim"), col("v"))
+      .groupBy("dim")
+      .agg((d(sum(col("v").cast(DecimalType(27, 12)))) / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy("dim"),
+    Some("""
+      SELECT i AS dim,
+        CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS centroid,
+        COUNT(*) AS n
+      FROM embeddings, generate_series(1, 64) AS t(i)
+      GROUP BY i ORDER BY dim"""))
+
   /** Registry: every query, in order. */
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
@@ -839,5 +899,5 @@ object Queries {
     q32_simhash_pairs, q33_minhash_pairs, q34_stats_agg, q35_percentiles,
     q36_time_bucket, q37_conditional_agg, q38_string_ops, q39_array_agg,
     q40_dedup_survivors, q41_multimodal_features, q42_set_ops,
-    q43_ann_topk_agg)
+    q43_ann_topk_agg, q44_dedup_clusters, q45_embedding_centroid)
 }

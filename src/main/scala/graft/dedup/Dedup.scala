@@ -181,6 +181,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-duplicate pair graph → duplicate
+    * clusters, by iterative minimum-label propagation: every node starts
+    * labeled with itself; each round, a node adopts the smallest label in
+    * its neighborhood; converges in O(diameter) rounds (duplicate clusters
+    * are small and dense, so usually 2-3).
+    *
+    * This is the step that turns pairwise candidates (minhash/simhash
+    * output) into survivor sets for a corpus-scale dedup pipeline. Scale
+    * shape: each round is one join + one aggregate on (edge, label)
+    * frames, all shuffles keyed by doc id; frames are persisted per round
+    * and the loop stops when no label changes (a driver-side count — one
+    * long per round).
+    *
+    * @param pairs (id_a, id_b) undirected candidate edges
+    * @param nodes one-column frame of all doc ids (isolated docs keep
+    *              their own label = singleton clusters)
+    * @return (id, cluster) where cluster = min doc id reachable
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+      maxIterations: Int = 20): DataFrame = {
+    val idCol = nodes.columns.head
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster")).persist()
+    labels.count()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIterations) {
+      // neighborhood minimum: own label vs neighbors' labels
+      val neighborMin = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full near-dup dedup pipeline: minhash-LSH candidate pairs →
+    * connected components → per-cluster survivor (min id), returning
+    * (id, cluster, is_survivor). */
+  def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, numPerm, bands, threshold)
+    val comp = connectedComponents(pairs, df.select(col(idCol)))
+    comp.withColumn("is_survivor", col("id") === col("cluster"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs via shingle-inverted-index
     * self-join: explode distinct shingles, join on shingle, count the
     * intersection, then `|A∩B| / (|A| + |B| - |A∩B|)`.

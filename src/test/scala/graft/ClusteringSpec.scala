@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.operators.SaltedJoin
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chains, triangles, singletons") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20} isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val got = Dedup.connectedComponents(pairs, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("dedupByMinhash: survivors = one per cluster, all docs labeled") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "completely unrelated text about spark streaming engines"),
+      (5L, "another standalone document mentioning query optimizers")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupByMinhash(docs, "doc_id", "text",
+      n = 3, numPerm = 16, bands = 8, threshold = 0.3)
+    assert(out.count() == 5)
+    val survivors = out.filter(col("is_survivor")).select("id").as[Long].collect().toSet
+    // 1,2 identical (and 3 near) -> one cluster with survivor 1; 4,5 singletons
+    assert(survivors.contains(1L) && survivors.contains(4L) && survivors.contains(5L))
+    assert(!survivors.contains(2L))
+    val c1 = out.filter(col("id").isin(1L, 2L)).select("cluster").distinct().as[Long].collect()
+    assert(c1.toSeq == Seq(1L))
+  }
+
+  test("saltedJoin matches plain join results") {
+    val large = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (500L, "b")).toDF("k", "label")
+    val plain = large.join(small, Seq("k")).select("k", "v", "label")
+      .collect().map(_.toSeq).toSet
+    val salted = SaltedJoin.join(large, small, "k", salts = 8)
+      .select("k", "v", "label").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+}
