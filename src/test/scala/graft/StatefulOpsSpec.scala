@@ -1,0 +1,39 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{EwmaOut, SeriesPoint}
+
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("ewma carries state across micro-batches and tracks gaps per series") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SeriesPoint]
+    val q = StatefulOps.ewma(in.toDS(), alpha = 0.5)
+      .writeStream.queryName("ewma_mem").format("memory")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        SeriesPoint("temp", ts("2024-01-01 00:00:00"), 10.0),
+        SeriesPoint("temp", ts("2024-01-01 00:00:10"), 20.0),
+        SeriesPoint("pressure", ts("2024-01-01 00:00:00"), 1.0))
+      q.processAllAvailable()
+      // second batch: state must continue from ewma=15.0
+      in.addData(SeriesPoint("temp", ts("2024-01-01 00:01:10"), 30.0))
+      q.processAllAvailable()
+
+      val rows = spark.sql("SELECT * FROM ewma_mem ORDER BY series, ts")
+        .as[EwmaOut].collect()
+      val temp = rows.filter(_.series == "temp")
+      assert(temp.map(_.ewma).toSeq == Seq(10.0, 15.0, 22.5)) // 0.5*30+0.5*15
+      assert(temp.map(_.n).toSeq == Seq(1L, 2L, 3L))
+      assert(temp.map(_.gap_ms).toSeq == Seq(0L, 10000L, 60000L))
+      val pres = rows.filter(_.series == "pressure")
+      assert(pres.map(_.ewma).toSeq == Seq(1.0)) // independent key state
+    } finally q.stop()
+  }
+}
