@@ -886,6 +886,19 @@ object Queries {
       FROM embeddings, generate_series(1, 64) AS t(i)
       GROUP BY i ORDER BY dim"""))
 
+  val q46_text_subwords = Q("q46_text_subwords",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        TextStats.subwordCount(col("text")).as("n_subwords"),
+        round(TextStats.punctRatio(lower(col("text"))), 6).as("punct_ratio"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_subwords,
+        round(CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+          / length(lower(text)), 6) AS punct_ratio
+      FROM documents ORDER BY doc_id"""))
+
   /** Registry: every query, in order. */
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
@@ -899,5 +912,6 @@ object Queries {
     q32_simhash_pairs, q33_minhash_pairs, q34_stats_agg, q35_percentiles,
     q36_time_bucket, q37_conditional_agg, q38_string_ops, q39_array_agg,
     q40_dedup_survivors, q41_multimodal_features, q42_set_ops,
-    q43_ann_topk_agg, q44_dedup_clusters, q45_embedding_centroid)
+    q43_ann_topk_agg, q44_dedup_clusters, q45_embedding_centroid,
+    q46_text_subwords)
 }

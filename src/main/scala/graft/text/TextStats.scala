@@ -16,12 +16,14 @@ object TextStats {
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count estimate: word-piece regex split counting
-    * letter-runs, digit-runs and individual punctuation separately (a
-    * cheap, deterministic proxy for a real tokenizer's token count). */
+  /** BPE-ish subword count estimate: alphanumeric runs count as one piece
+    * each, every other non-space character as its own piece (a cheap,
+    * deterministic proxy for a real tokenizer's token count). RE2-safe
+    * pattern (no lookaround) so external engines can replay it, and
+    * `regexp_extract_all` stays inside codegen. */
+  val SubwordPattern = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit(SubwordPattern), lit(0)))
 
   /** Lexical diversity from a precomputed token array. */
   def lexicalDiversityW(t: Column): Column =
