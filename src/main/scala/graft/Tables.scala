@@ -54,6 +54,8 @@ object GraftSession {
       // tag-merge semantics: later maps win, like dict.update in the
       // reference (cerebro.py:412)
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // codegen'd vector/fingerprint functions (cosine_sim, hamming_dist)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {

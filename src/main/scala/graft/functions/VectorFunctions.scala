@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.graft.{CosineSim, HammingDist}
+
+/** Public facade for the codegen'd vector/fingerprint expressions
+  * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
+  * Sessions built via `graft.GraftSession` load [[GraftExtensions]]
+  * through `spark.sql.extensions`, making `cosine_sim`/`hamming_dist`
+  * available both in SQL text and through these Column helpers. */
+object VectorFunctions {
+  def cosineFast(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def hammingDist(a: Column, b: Column): Column = call_function("hamming_dist", a, b)
+
+  private[functions] def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))),
+    (FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[HammingDist].getName, "hamming_dist"),
+      (children: Seq[Expression]) => HammingDist(children(0), children(1))))
+
+  /** Imperative registration for externally-built sessions. */
+  def register(spark: SparkSession): Unit = registrations.foreach {
+    case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
+
+/** `SparkSessionExtensions` hook:
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorFunctions.registrations.foreach(ext.injectFunction)
+}

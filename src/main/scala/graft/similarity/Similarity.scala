@@ -40,7 +40,7 @@ object Similarity {
     val scored = candidates.crossJoin(broadcast(queries))
       .filter(if (excludeSelf) col("query_id") =!= col("cand_id") else lit(true))
       .select(col("query_id"), col("cand_id"),
-        cosine(col("query_vec"), col("cand_vec")).as("cos"))
+        graft.functions.VectorFunctions.cosineFast(col("query_vec"), col("cand_vec")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -59,7 +59,7 @@ object Similarity {
     val scored = candidates.crossJoin(broadcast(queries))
       .filter(if (excludeSelf) col("query_id") =!= col("cand_id") else lit(true))
       .select(col("query_id"), col("cand_id").cast("long").as("cand_id"),
-        cosine(col("query_vec"), col("cand_vec")).as("cos"))
+        graft.functions.VectorFunctions.cosineFast(col("query_vec"), col("cand_vec")).as("cos"))
     graft.operators.TopKByScore.topKPerGroup(
       scored, Seq("query_id"), "cos", "cand_id", k)
   }
@@ -97,7 +97,7 @@ object Similarity {
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        cosine(col("query_vec"), col("cand_vec")).as("cos"))
+        graft.functions.VectorFunctions.cosineFast(col("query_vec"), col("cand_vec")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -115,7 +115,7 @@ object Similarity {
     val w = Window.partitionBy(col("cand_id"))
       .orderBy(col("cdist").desc, col("centroid_id"))
     val assigned = candidates.crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col("cand_vec"), col("centroid_vec")))
+      .withColumn("cdist", graft.functions.VectorFunctions.cosineFast(col("cand_vec"), col("centroid_vec")))
       .withColumn("r", row_number().over(w)).filter(col("r") === 1)
       .select(col("cand_id"), col("cand_vec"), col("centroid_id").as("centroid"))
     (centroids, assigned)
@@ -130,7 +130,7 @@ object Similarity {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("centroid_id"))
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col("query_vec"), col("centroid_vec")))
+      .withColumn("cdist", graft.functions.VectorFunctions.cosineFast(col("query_vec"), col("centroid_vec")))
       .withColumn("r", row_number().over(wq)).filter(col("r") <= nprobe)
       .select(col("query_id"), col("query_vec"), col("centroid_id").as("centroid"))
     val w = Window.partitionBy(col("query_id"))
@@ -138,7 +138,7 @@ object Similarity {
     assigned.join(broadcast(probes), Seq("centroid"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        cosine(col("query_vec"), col("cand_vec")).as("cos"))
+        graft.functions.VectorFunctions.cosineFast(col("query_vec"), col("cand_vec")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }
