@@ -899,6 +899,63 @@ object Queries {
           / length(lower(text)), 6) AS punct_ratio
       FROM documents ORDER BY doc_id"""))
 
+  // Capstone corpus-cleaning pipeline (the C4-style filter chain): keep
+  // docs that are (a) exact-dedup survivors, (b) confidently English,
+  // (c) above a quality floor, (d) not dominated by one repeated token.
+  // One declarative plan: the dedup aggregate is the only shuffle; all
+  // filters fuse into the scan side.
+  val q47_corpus_filter = Q("q47_corpus_filter",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val survivors = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("survivor_id").as("doc_id"))
+      val toks = docs
+        .select(col("doc_id"), col("text"), TextStats.tokens(col("text")).as("w"))
+      val rep = docs
+        .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as("rep_ratio"))
+      toks
+        .join(survivors, Seq("doc_id"), "left_semi")
+        .join(rep, Seq("doc_id"))
+        .filter(TextStats.languageId(col("text")) === "en")
+        .filter(TextStats.qualityScoreW(col("text"), col("w"), Stopwords) >= 0.5)
+        .filter(col("rep_ratio") <= 0.2)
+        .select(col("doc_id"), size(col("w")).as("n_tokens"),
+          round(col("rep_ratio"), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))),
+      tok AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word),
+      rep AS (
+        SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio
+        FROM wc GROUP BY doc_id),
+      scored AS (
+        SELECT t.doc_id, len(t.w) AS n_tokens, r.rep_ratio,
+          len(list_filter(t.w, x -> x IN ('the','a','of','and','is'))) AS s_en,
+          len(list_filter(t.w, x -> x IN ('el','la','de','que','es'))) AS s_es,
+          len(list_filter(t.w, x -> x IN ('le','la','de','et','est'))) AS s_fr,
+          len(list_filter(t.w, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+          len(list_filter(t.w, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS s_zh,
+          round(least(CAST(length(t.text) AS DOUBLE) / 500.0, 1.0) * 0.3
+            + least(CAST(len(list_filter(t.w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(t.w) * 5.0, 1.0) * 0.3
+            + CAST(len(list_distinct(t.w)) AS DOUBLE) / len(t.w) * 0.4, 6) AS quality
+        FROM tok t
+        JOIN surv USING (doc_id)
+        JOIN rep r USING (doc_id))
+      SELECT doc_id, n_tokens, round(rep_ratio, 6) AS rep_ratio
+      FROM scored
+      WHERE s_en > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de, s_zh)
+        AND quality >= 0.5 AND rep_ratio <= 0.2
+      ORDER BY doc_id"""))
+
   /** Registry: every query, in order. */
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
@@ -913,5 +970,5 @@ object Queries {
     q36_time_bucket, q37_conditional_agg, q38_string_ops, q39_array_agg,
     q40_dedup_survivors, q41_multimodal_features, q42_set_ops,
     q43_ann_topk_agg, q44_dedup_clusters, q45_embedding_centroid,
-    q46_text_subwords)
+    q46_text_subwords, q47_corpus_filter)
 }
