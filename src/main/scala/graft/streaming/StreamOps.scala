@@ -45,4 +45,19 @@ object StreamOps {
     * (the incremental-poll offset of lco.py:116-122, kept queryable). */
   def watermarkByMeasurement(df: DataFrame): DataFrame =
     df.groupBy(col(Point.Measurement)).agg(max(col(Point.Time)).as("watermark"))
+
+  /** Q5 for live streams — `groupBy().pivot()` is batch-only, so the wide
+    * table is built with conditional aggregates over the declared field
+    * list (what `pivot` compiles to anyway when values are fixed; at scale
+    * you always declare the fields — SURVEY.md Q5 note). One row per
+    * (window, measurement, tags); one column per field. */
+  def streamingPivot(df: DataFrame, every: String, fieldNames: Seq[String]): DataFrame = {
+    require(fieldNames.nonEmpty, "declare the pivot fields")
+    val aggs = fieldNames.map(f =>
+      max(when(col("__field") === f, col("__value"))).as(f))
+    df.select(col(Point.Time), col(Point.Measurement), col(Point.Tags),
+        explode(col(Point.Fields)).as(Seq("__field", "__value")))
+      .groupBy(window(col(Point.Time), every), col(Point.Measurement), col(Point.Tags))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.model.TelemetryPoint
+import graft.sinks.TelemetrySink
+import graft.streaming.StreamOps
+
+class SinkLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def pt(m: String, b: String, t: String, f: Map[String, Double]) =
+    TelemetryPoint(m, Map("site" -> "APO"), f, null, ts(t), None, Some(b))
+
+  test("sink layout prunes partitions on measurement/bucket predicates") {
+    val out = Files.createTempDirectory("graft-layout-").toString
+    val batch = Seq(
+      pt("temperature", "sensors", "2024-01-01 00:00:00", Map("value" -> 21.0)),
+      pt("pressure", "sensors", "2024-01-01 00:00:00", Map("value" -> 1e-6)),
+      pt("tron_kw", "actors", "2024-01-01 00:00:00", Map("value" -> 5.0))).toDF()
+    TelemetrySink.writeBatch(batch, out)
+    val q = spark.read.parquet(out).filter(col("measurement") === "temperature")
+    val plan = q.queryExecution.executedPlan.toString
+    // measurement is a partition column -> pruned at planning, not scanned
+    assert(plan.contains("PartitionFilters: [isnotnull(measurement"))
+    assert(q.count() == 1)
+    // reading a single bucket dir touches only that branch
+    val sensors = spark.read.parquet(out)
+      .filter(col("bucket") === "sensors" && col("measurement") === "pressure")
+    assert(sensors.count() == 1)
+  }
+
+  test("streamingPivot widens the field map on a live stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TelemetryPoint]
+    val wide = StreamOps.streamingPivot(in.toDF(), "1 minute", Seq("temp", "rh"))
+    val q = wide.writeStream.queryName("pivot_mem").format("memory")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        pt("weather", "sensors", "2024-01-01 00:00:10", Map("temp" -> 20.0)),
+        pt("weather", "sensors", "2024-01-01 00:00:20", Map("rh" -> 40.0)),
+        pt("weather", "sensors", "2024-01-01 00:01:10", Map("temp" -> 21.0)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window.start AS s, temp, rh FROM pivot_mem ORDER BY s")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Double]("temp") == 20.0 && rows(0).getAs[Double]("rh") == 40.0)
+      assert(rows(1).getAs[Double]("temp") == 21.0 && rows(1).isNullAt(2))
+    } finally q.stop()
+  }
+}
