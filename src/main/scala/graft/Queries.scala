@@ -956,6 +956,33 @@ object Queries {
         AND quality >= 0.5 AND rep_ratio <= 0.2
       ORDER BY doc_id"""))
 
+  // Range (interval containment) join via grid bucketing: events matched
+  // to each customer's 3-day post-order window with an equi-shuffle on
+  // (cell, key) — no nested-loop theta join (see RangeJoin scaladoc).
+  val q48_range_join = Q("q48_range_join",
+    (s, dir) => {
+      val e = events(s, dir)
+      val incidents = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("i_user"), col("ts").as("i_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("i_end"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.RangeJoin.join(
+          purchases, incidents, "ts", "i_start", "i_end",
+          cellWidthSeconds = 3600, equiKeys = Seq("user_id" -> "i_user"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_in_window"), d(sum(dec2(col("value")))).as("total"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT e.user_id, COUNT(*) AS n_in_window,
+        CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events e JOIN events i
+        ON e.user_id = i.user_id
+       AND i.event_type = 'error' AND e.event_type = 'purchase'
+       AND e.ts >= i.ts AND e.ts < i.ts + INTERVAL 1 HOUR
+      GROUP BY e.user_id ORDER BY e.user_id"""))
+
   /** Registry: every query, in order. */
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
@@ -970,5 +997,5 @@ object Queries {
     q36_time_bucket, q37_conditional_agg, q38_string_ops, q39_array_agg,
     q40_dedup_survivors, q41_multimodal_features, q42_set_ops,
     q43_ann_topk_agg, q44_dedup_clusters, q45_embedding_centroid,
-    q46_text_subwords, q47_corpus_filter)
+    q46_text_subwords, q47_corpus_filter, q48_range_join)
 }
