@@ -983,6 +983,78 @@ object Queries {
        AND e.ts >= i.ts AND e.ts < i.ts + INTERVAL 1 HOUR
       GROUP BY e.user_id ORDER BY e.user_id"""))
 
+  // The reference's full wind/gust pipeline shape (SURVEY §7.2 minimum
+  // slice; tools.py:248-272): 3 trailing windows × (mean, max) per user
+  // series + a derived column, all window frames sharing one sort.
+  val q49_wind_pipeline = Q("q49_wind_pipeline",
+    (s, dir) => {
+      val e = events(s, dir)
+      val out = Seq(300L, 600L, 1800L).foldLeft(e) { case (df, secs) =>
+        val w = Rolling.timeWindow(col("ts").cast("timestamp"), secs, col("user_id"))
+        val label = s"${secs / 60}m"
+        df.withColumn(s"avg_$label",
+            d(sum(dec2(col("value"))).over(w)) / count(col("value")).over(w))
+          .withColumn(s"max_$label", max(col("value")).over(w))
+      }
+      // no rounding anywhere: the decimal-sum/count divisions are IEEE-
+      // identical across engines, while round() tie-breaking is NOT
+      // (Spark = decimal HALF_UP, DuckDB = binary) — see q09
+      out
+        .withColumn("derived", col("value") - (lit(100.0) - col("avg_5m")) / 5.0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("avg_5m"), col("max_5m"), col("avg_10m"), col("max_10m"),
+          col("avg_30m"), col("max_30m"), col("derived"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_id, user_id, ts, value,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w5 AS DOUBLE) / COUNT(value) OVER w5 AS avg_5m,
+          MAX(value) OVER w5 AS max_5m,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w10 AS DOUBLE) / COUNT(value) OVER w10 AS avg_10m,
+          MAX(value) OVER w10 AS max_10m,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w30 AS DOUBLE) / COUNT(value) OVER w30 AS avg_30m,
+          MAX(value) OVER w30 AS max_30m
+        FROM events
+        WINDOW
+          w5 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW),
+          w10 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW),
+          w30 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, ts, value,
+        avg_5m, max_5m, avg_10m, max_10m, avg_30m, max_30m,
+        value - (100.0 - avg_5m) / 5.0 AS derived
+      FROM r ORDER BY event_id"""))
+
+  // Batch sessionization: session_window (30 min inactivity gap) per user
+  // — oracle via the classic gaps-and-islands lag + cumulative sum.
+  val q50_sessionize = Q("q50_sessionize",
+    (s, dir) => events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), d(sum(dec2(col("value")))).as("total"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total"))
+      .orderBy("user_id", "session_start"),
+    Some("""
+      WITH marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    > INTERVAL 30 MINUTE OR
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id, ts, value,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM sessions GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
   /** Registry: every query, in order. */
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
@@ -997,5 +1069,6 @@ object Queries {
     q36_time_bucket, q37_conditional_agg, q38_string_ops, q39_array_agg,
     q40_dedup_survivors, q41_multimodal_features, q42_set_ops,
     q43_ann_topk_agg, q44_dedup_clusters, q45_embedding_centroid,
-    q46_text_subwords, q47_corpus_filter, q48_range_join)
+    q46_text_subwords, q47_corpus_filter, q48_range_join,
+    q49_wind_pipeline, q50_sessionize)
 }
