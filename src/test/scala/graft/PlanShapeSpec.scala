@@ -54,6 +54,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "q43 must not fall back to a window")
   }
 
+  test("q48: grid range join plans as a hash equi-join, not a nested loop") {
+    val p = plan("q48_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join must not degrade to a nested-loop theta join")
+    assert(p.contains("Join") || p.contains("HashJoin"))
+  }
+
   test("q27: minhash is scan -> hash-aggregate (no higher-order lambdas in the agg)") {
     val p = plan("q27_minhash_sig")
     assert(p.contains("HashAggregate"))
