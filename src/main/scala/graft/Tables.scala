@@ -15,8 +15,21 @@ import org.apache.spark.sql.functions._
   * timezone-naive so parity with the oracle is bit-exact.
   */
 object Tables {
+  /** Make a session the engine can run on regardless of who built it:
+    * ns-timestamp reads, UTC, deterministic map merge, and the custom
+    * function registry (a driver-owned session won't have loaded
+    * [[graft.functions.GraftExtensions]]). Idempotent and cheap. */
+  def harden(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    if (!spark.catalog.functionExists("cosine_sim"))
+      graft.functions.VectorFunctions.register(spark)
+    spark
+  }
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    harden(spark).read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, dir: String): DataFrame = read(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame = read(s, dir, "nation")
