@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.yaml.snakeyaml.Yaml
 import graft.model.Point
-import graft.sources.{ReplaySource, TelemetrySource}
+import graft.sources.{ReplaySource, SpoolSource, TelemetrySource}
 import graft.sinks.TelemetrySink
 import graft.streaming.StreamOps
 
@@ -104,11 +104,20 @@ final class Engine(spark: SparkSession) {
   import EngineConfig._
 
   /** `type` string → factory, the Spark form of `get_source_subclass`
-    * (source.py:232-244). Extensible: register custom types before start. */
+    * (source.py:232-244). Extensible: register custom types before start.
+    *
+    * Built-ins:
+    *   - `replay`: point-schema parquet replay (`path`)
+    *   - `spool`: raw-reply spool directory + a wire parser
+    *     (`path`, `parser` ∈ govee|sens4|ln2_scale|lvm_thermistors,
+    *     plus per-parser options) — the config-driven form of the full
+    *     poll → parse pipeline (etc/cerebro.yaml source entries)
+    */
   val sourceRegistry: scala.collection.mutable.Map[String, SourceConf => TelemetrySource] =
     scala.collection.mutable.Map(
       "replay" -> (c => ReplaySource(c.name,
-        c.options("path").toString, c.bucket, c.tags)))
+        c.options("path").toString, c.bucket, c.tags)),
+      "spool" -> (c => SpoolSource(c)))
 
   private val queries = scala.collection.mutable.Map[String, StreamingQuery]()
   private var conf: Config = _

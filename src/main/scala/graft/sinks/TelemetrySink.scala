@@ -43,6 +43,30 @@ object TelemetrySink {
       .partitionBy(Point.Bucket, Point.Measurement)
       .parquet(outDir)
 
+  /** SURVEY §7.4 #2 — per-measurement WIDE typed tables (the InfluxDB
+    * analogy): the dynamic field map pivots to real columns, one table
+    * per measurement, so downstream SQL sees `SELECT temp, rh FROM
+    * weather` instead of map lookups. Field set is discovered per batch
+    * (small: one distinct over the exploded keys); readers use
+    * `mergeSchema` so new fields appearing later widen the table. */
+  def writeWideTables(batch: DataFrame, outDir: String): Unit = {
+    val measurements = batch.select(Point.Measurement).distinct()
+      .collect().map(_.getString(0))
+    measurements.foreach { m =>
+      val slice = batch.filter(col(Point.Measurement) === m)
+      val fields = slice.select(explode(map_keys(col(Point.Fields))))
+        .distinct().collect().map(_.getString(0)).sorted
+      if (fields.nonEmpty) {
+        val wide = slice.select(
+          (Seq(col(Point.Time), col(Point.Tags)) ++
+            fields.map(f => element_at(col(Point.Fields), f).as(f))): _*)
+        wide.write.mode(SaveMode.Append)
+          .option("mergeSchema", "true")
+          .parquet(s"$outDir/wide/measurement=${m}")
+      }
+    }
+  }
+
   /** Continuous sink: foreachBatch → [[writeBatch]], checkpointed. The
     * reference's 1000-point write batching (R18, tools.py:354) maps to the
     * micro-batch itself — trigger interval controls batch size. */
