@@ -19,6 +19,36 @@ object StatefulOps {
   final case class EwmaOut(series: String, ts: Timestamp, value: Double,
       ewma: Double, n: Long, gap_ms: Long)
 
+  final case class Chunk(conn: String, seq: Long, data: String)
+  final case class LineOut(conn: String, line: String)
+  final case class LineBuffer(nextSeq: Long, partial: String)
+
+  /** S10 — stateful line reassembly (`ActorClientSource`'s hand-rolled
+    * buffer, cerebro/sources/tron.py:336-380): TCP delivers byte chunks
+    * at arbitrary boundaries; per connection, chunks are applied in
+    * `seq` order, complete `\n`-terminated lines are emitted, and the
+    * trailing partial line carries over in state to the next micro-batch.
+    */
+  def reassembleLines(chunks: Dataset[Chunk]): Dataset[LineOut] = {
+    implicit val outEnc = Encoders.product[LineOut]
+    implicit val stateEnc = Encoders.product[LineBuffer]
+    implicit val keyEnc = Encoders.STRING
+    chunks.groupByKey(_.conn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (conn: String, rows: Iterator[Chunk], state: GroupState[LineBuffer]) =>
+          var st = state.getOption.getOrElse(LineBuffer(0L, ""))
+          val out = scala.collection.mutable.ArrayBuffer[LineOut]()
+          rows.toSeq.sortBy(_.seq).foreach { c =>
+            val buf = st.partial + c.data
+            val parts = buf.split("\n", -1) // keep trailing empty = no partial
+            parts.dropRight(1).foreach(l => out += LineOut(conn, l))
+            st = LineBuffer(c.seq + 1, parts.last)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-series EWMA with carry-over across micro-batches.
     * `alpha` is the smoothing factor; emits one row per input point with
     * the running EWMA, the count, and the gap to the previous point.

@@ -10,6 +10,25 @@ class StatefulOpsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("line reassembly: chunk boundaries and partials survive across batches") {
+    import graft.streaming.StatefulOps.{Chunk, LineOut}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Chunk]
+    val q = StatefulOps.reassembleLines(in.toDS())
+      .writeStream.queryName("lines_mem").format("memory")
+      .outputMode("append").start()
+    try {
+      in.addData(Chunk("c1", 0, "ab"), Chunk("c1", 1, "c\nde"), Chunk("c2", 0, "xx\n"))
+      q.processAllAvailable()
+      // partial "de" carries over; next batch completes it
+      in.addData(Chunk("c1", 2, "f\ntail"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT conn, line FROM lines_mem ORDER BY conn, line")
+        .as[LineOut].collect().toSeq
+      assert(got == Seq(LineOut("c1", "abc"), LineOut("c1", "def"), LineOut("c2", "xx")))
+    } finally q.stop()
+  }
+
   test("ewma carries state across micro-batches and tracks gaps per series") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SeriesPoint]
