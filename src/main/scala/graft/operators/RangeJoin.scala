@@ -39,10 +39,16 @@ object RangeJoin {
     val w = lit(cellWidthSeconds)
     val pCell = points.withColumn("__cell",
       floor(unix_timestamp(col(ptsCol)) / w))
-    val iCells0 = intervals.withColumn("__cell", explode(sequence(
-      floor(unix_timestamp(col(startCol)) / w),
-      // end is exclusive: a cell is touched iff start <= cell_end
-      floor((unix_timestamp(col(endCol)) - 1) / w))))
+    val iCells0 = intervals
+      // Degenerate/inverted intervals ([start,end) with end <= start)
+      // match nothing, and `sequence(hi, lo)` would DESCEND — one badly
+      // inverted row would explode to a huge cell array. Drop them
+      // before the explode; semantics are unchanged.
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__cell", explode(sequence(
+        floor(unix_timestamp(col(startCol)) / w),
+        // end is exclusive: a cell is touched iff start <= cell_end
+        floor((unix_timestamp(col(endCol)) - 1) / w))))
     // extra equi keys (e.g. entity id) ride the same shuffle
     val iCells = equiKeys.foldLeft(iCells0) { case (df, (pk, ik)) =>
       df.withColumnRenamed(ik, pk)

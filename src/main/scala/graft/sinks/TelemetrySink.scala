@@ -9,8 +9,14 @@ import graft.model.Point
   * — the Spark form of the reference's InfluxDB observer (K2,
   * cerebro/observer.py:67-130), with the idempotence contract SURVEY.md §4
   * requires: at-least-once upstream delivery is forgiven by deduping on
-  * (measurement, tags, time) within each batch, exactly-once overall via
-  * Structured Streaming checkpointing + idempotent file commits.
+  * (measurement, tags, time) within each batch; the STREAMING path
+  * ([[start]]) is exactly-once end-to-end because each micro-batch lands
+  * in its own `__batch=<id>` partition via dynamic partition OVERWRITE —
+  * a replayed batch (failure between the append and the checkpoint
+  * commit) rewrites exactly its own partitions instead of appending a
+  * second copy. The plain [[writeBatch]] (batch backfill, K3) is a raw
+  * append: idempotence there comes from the within-batch dedup plus the
+  * overlap-and-dedup read contract (SURVEY §4), i.e. at-least-once.
   *
   * Partitioning rationale at scale: bucket/measurement are the universal
   * query predicates (every Flux read starts `from(bucket) |> range |>
@@ -28,19 +34,38 @@ object TelemetrySink {
       map_entries(coalesce(tags, map())),
       e => concat(e.getField("key"), lit("="), e.getField("value")))))
 
-  /** Write one (micro-)batch: dedup on the idempotence key
-    * (measurement, tags, time), default the bucket, append partitioned
-    * files. Usable directly for batch backfill (K3,
-    * `ingest_dataframe_to_influxdb`, tools.py:345-411). */
+  /** Write one batch: dedup on the idempotence key (measurement, tags,
+    * time), default the bucket, append partitioned files. For batch
+    * backfill (K3, `ingest_dataframe_to_influxdb`, tools.py:345-411);
+    * the streaming sink goes through [[writeBatchIdempotent]] instead. */
   def writeBatch(batch: DataFrame, outDir: String,
       defaultBucket: String = "default"): Unit =
+    dedupOnKey(batch, defaultBucket)
+      .write.mode(SaveMode.Append)
+      .partitionBy(Point.Bucket, Point.Measurement)
+      .parquet(outDir)
+
+  private def dedupOnKey(batch: DataFrame, defaultBucket: String): DataFrame =
     batch
       .withColumn(Point.Bucket, coalesce(col(Point.Bucket), lit(defaultBucket)))
       .withColumn("__tags_key", canonicalTags(col(Point.Tags)))
       .dropDuplicates(Seq(Point.Measurement, "__tags_key", Point.Time))
       .drop("__tags_key")
-      .write.mode(SaveMode.Append)
-      .partitionBy(Point.Bucket, Point.Measurement)
+
+  /** Exactly-once micro-batch commit: the batch id becomes a leaf
+    * partition column and the write is a DYNAMIC partition overwrite, so
+    * only the `(bucket, measurement, __batch=<id>)` leaves carried by
+    * THIS batch are replaced. A micro-batch replayed after a partial or
+    * un-checkpointed append rewrites those same leaves — no duplicate
+    * rows survive a retry. Readers see `__batch` as an extra partition
+    * column; drop it on read. */
+  def writeBatchIdempotent(batch: DataFrame, outDir: String, batchId: Long,
+      defaultBucket: String = "default"): Unit =
+    dedupOnKey(batch, defaultBucket)
+      .withColumn("__batch", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(Point.Bucket, Point.Measurement, "__batch")
       .parquet(outDir)
 
   /** SURVEY §7.4 #2 — per-measurement WIDE typed tables (the InfluxDB
@@ -50,10 +75,13 @@ object TelemetrySink {
     * (small: one distinct over the exploded keys); readers use
     * `mergeSchema` so new fields appearing later widen the table. */
   def writeWideTables(batch: DataFrame, outDir: String): Unit = {
-    val measurements = batch.select(Point.Measurement).distinct()
+    val deduped = batch
+      .withColumn("__tags_key", canonicalTags(col(Point.Tags)))
+      .dropDuplicates(Seq(Point.Measurement, "__tags_key", Point.Time))
+    val measurements = deduped.select(Point.Measurement).distinct()
       .collect().map(_.getString(0))
     measurements.foreach { m =>
-      val slice = batch.filter(col(Point.Measurement) === m)
+      val slice = deduped.filter(col(Point.Measurement) === m)
       val fields = slice.select(explode(map_keys(col(Point.Fields))))
         .distinct().collect().map(_.getString(0)).sorted
       if (fields.nonEmpty) {
@@ -78,8 +106,8 @@ object TelemetrySink {
       .queryName(queryName)
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeBatch(batch, outDir, defaultBucket)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, outDir, batchId, defaultBucket)
       }
       .start()
 }

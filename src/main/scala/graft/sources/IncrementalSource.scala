@@ -28,6 +28,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * micro-batch plans one partition per file, with executors parsing and
   * filtering `start < ts <= end`.
   *
+  * ==Monotonic-append contract==
+  * Because the offset IS an event timestamp, writers MUST append rows
+  * with non-decreasing `ts` per table (the reference makes the same
+  * assumption: its next poll starts at the last row's ts,
+  * lco.py:116-122). A row written with `ts` at or below an
+  * already-committed offset — a late writer, or clock skew between
+  * spool writers — is permanently skipped: it falls outside every
+  * future `(start, end]` window. If writers cannot guarantee this,
+  * spool to per-writer directories (one stream each) or switch to a
+  * file-tracking source.
+  *
   * Usage:
   * {{{
   * spark.readStream.format("graft.sources.IncrementalSource")
@@ -54,13 +65,17 @@ object IncrementalSource {
     else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".jsonl")).sortBy(_.getName).toSeq
   }
 
-  /** Driver-side: current high-water mark across the table. */
+  /** Driver-side: current high-water mark across the table. Runs every
+    * trigger, so each file handle is closed before moving on (a leaked
+    * Source here exhausts driver fds on a long-running stream). */
   private[sources] def maxTs(path: String): Long = {
     val mapper = new ObjectMapper()
-    listFiles(path).foldLeft(0L) { (acc, f) =>
-      scala.io.Source.fromFile(f).getLines().foldLeft(acc) { (m, line) =>
-        if (line.trim.isEmpty) m
-        else math.max(m, mapper.readTree(line).get("ts").asLong())
+    listFiles(path).foldLeft(Long.MinValue) { (acc, f) =>
+      scala.util.Using.resource(scala.io.Source.fromFile(f)) { src =>
+        src.getLines().foldLeft(acc) { (m, line) =>
+          if (line.trim.isEmpty) m
+          else math.max(m, mapper.readTree(line).get("ts").asLong())
+        }
       }
     }
   }
@@ -85,7 +100,8 @@ final case class TsOffset(ts: Long) extends Offset {
 }
 
 final class IncrementalStream(path: String) extends MicroBatchStream {
-  override def initialOffset(): Offset = TsOffset(0L)
+  // MinValue (not 0) so pre-epoch / non-positive event times are delivered.
+  override def initialOffset(): Offset = TsOffset(Long.MinValue)
   override def latestOffset(): Offset = TsOffset(IncrementalSource.maxTs(path))
   override def deserializeOffset(json: String): Offset =
     TsOffset(new ObjectMapper().readTree(json).get("ts").asLong())

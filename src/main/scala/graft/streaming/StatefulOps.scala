@@ -21,14 +21,21 @@ object StatefulOps {
 
   final case class Chunk(conn: String, seq: Long, data: String)
   final case class LineOut(conn: String, line: String)
-  final case class LineBuffer(nextSeq: Long, partial: String)
+  final case class LineBuffer(nextSeq: Long, partial: String,
+      pending: Map[Long, String])
 
   /** S10 — stateful line reassembly (`ActorClientSource`'s hand-rolled
     * buffer, cerebro/sources/tron.py:336-380): TCP delivers byte chunks
     * at arbitrary boundaries; per connection, chunks are applied in
     * `seq` order, complete `\n`-terminated lines are emitted, and the
     * trailing partial line carries over in state to the next micro-batch.
-    */
+    *
+    * Ordering is enforced ACROSS batches, not just within one: a chunk
+    * whose `seq` is ahead of the next expected value waits in state
+    * (`pending`) until the gap fills, and a replayed chunk (`seq` below
+    * the high-water mark) is dropped — so reordering or redelivery at
+    * micro-batch boundaries cannot corrupt reassembled lines. The first
+    * chunk ever seen on a connection anchors the sequence. */
   def reassembleLines(chunks: Dataset[Chunk]): Dataset[LineOut] = {
     implicit val outEnc = Encoders.product[LineOut]
     implicit val stateEnc = Encoders.product[LineBuffer]
@@ -36,15 +43,23 @@ object StatefulOps {
     chunks.groupByKey(_.conn)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (conn: String, rows: Iterator[Chunk], state: GroupState[LineBuffer]) =>
-          var st = state.getOption.getOrElse(LineBuffer(0L, ""))
+          val batch = rows.toSeq
+          var st = state.getOption.getOrElse(
+            LineBuffer(batch.map(_.seq).min, "", Map.empty))
+          var pending = st.pending ++
+            batch.filter(_.seq >= st.nextSeq).map(c => c.seq -> c.data)
+          var nextSeq = st.nextSeq
+          var partial = st.partial
           val out = scala.collection.mutable.ArrayBuffer[LineOut]()
-          rows.toSeq.sortBy(_.seq).foreach { c =>
-            val buf = st.partial + c.data
+          while (pending.contains(nextSeq)) {
+            val buf = partial + pending(nextSeq)
+            pending -= nextSeq
             val parts = buf.split("\n", -1) // keep trailing empty = no partial
             parts.dropRight(1).foreach(l => out += LineOut(conn, l))
-            st = LineBuffer(c.seq + 1, parts.last)
+            partial = parts.last
+            nextSeq += 1
           }
-          state.update(st)
+          state.update(LineBuffer(nextSeq, partial, pending))
           out.iterator
       }
   }

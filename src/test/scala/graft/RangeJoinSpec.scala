@@ -35,6 +35,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(!grid.exists(_._1 == 4L))
   }
 
+  test("degenerate and inverted intervals are dropped before the explode") {
+    val points = Seq((1L, ts("2024-01-01 01:00:00"))).toDF("pid", "pts")
+    val intervals = Seq(
+      (300L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00")), // empty
+      // badly inverted: a descending sequence here would be ~5M cells
+      (301L, ts("2024-01-10 00:00:00"), ts("2014-01-01 00:00:00")),
+      (302L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"))  // sane
+    ).toDF("iid", "istart", "iend")
+    val got = RangeJoin.join(points, intervals, "pts", "istart", "iend",
+        cellWidthSeconds = 3600)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 302L)))
+  }
+
   test("equi keys restrict matches within the same cells") {
     val points = Seq((7L, 1L, ts("2024-01-01 01:00:00"))).toDF("pid", "k", "pts")
     val intervals = Seq(

@@ -33,6 +33,24 @@ class SinkLayoutSpec extends SparkSpec {
     assert(sensors.count() == 1)
   }
 
+  test("writeBatchIdempotent: replaying a micro-batch leaves no duplicates") {
+    val out = Files.createTempDirectory("graft-idem-").toString
+    val b0 = Seq(
+      pt("temperature", "sensors", "2024-01-01 00:00:00", Map("value" -> 21.0)),
+      pt("pressure", "sensors", "2024-01-01 00:00:00", Map("value" -> 1e-6))).toDF()
+    val b1 = Seq(
+      pt("temperature", "sensors", "2024-01-01 00:00:01", Map("value" -> 21.5))).toDF()
+    TelemetrySink.writeBatchIdempotent(b0, out, batchId = 0)
+    TelemetrySink.writeBatchIdempotent(b1, out, batchId = 1)
+    // failure-before-checkpoint: batch 1 is replayed verbatim
+    TelemetrySink.writeBatchIdempotent(b1, out, batchId = 1)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 3, "replayed batch must overwrite, not append")
+    assert(all.select("__batch").distinct().count() == 2)
+    // batch 0's files untouched by the batch-1 replay
+    assert(all.filter(col("__batch") === 0).count() == 2)
+  }
+
   test("streamingPivot widens the field map on a live stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TelemetryPoint]

@@ -29,6 +29,28 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("line reassembly holds out-of-order chunks across batches until the gap fills") {
+    import graft.streaming.StatefulOps.{Chunk, LineOut}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Chunk]
+    val q = StatefulOps.reassembleLines(in.toDS())
+      .writeStream.queryName("lines_gap_mem").format("memory")
+      .outputMode("append").start()
+    try {
+      // seq 1 missing: seq 2 must wait in state, seq 0 emits its full line
+      in.addData(Chunk("c1", 0, "aa\nb"), Chunk("c1", 2, "c\n"))
+      q.processAllAvailable()
+      val early = spark.sql("SELECT line FROM lines_gap_mem").as[String].collect().toSeq
+      assert(early == Seq("aa"), s"gapped chunk must not emit early: $early")
+      // the gap arrives in a LATER batch (plus a replay of seq 0, dropped)
+      in.addData(Chunk("c1", 1, "X"), Chunk("c1", 0, "aa\nb"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT line FROM lines_gap_mem ORDER BY line")
+        .as[String].collect().toSeq
+      assert(got == Seq("aa", "bXc"))
+    } finally q.stop()
+  }
+
   test("ewma carries state across micro-batches and tracks gaps per series") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SeriesPoint]
