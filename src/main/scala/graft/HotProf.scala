@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Scratch profiler for the bench hotspots (not part of the library
+  * surface): times each stage of the slow queries separately. */
+object HotProf {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[prof] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get("local[32]", 32)
+    val docs = Tables.documents(spark, sfDir)
+    time("warmup: docs.count")(docs.count())
+
+    // exact bench shape for the hot queries
+    Seq("q33_minhash_pairs", "q44_dedup_clusters", "q32_simhash_pairs",
+        "q26_jaccard_pairs", "q01_pricing_summary", "q37_conditional_agg",
+        "q49_wind_pipeline", "q42_set_ops").foreach { name =>
+      val q = Queries.all.find(_.name == name).get
+      time(s"bench-shape $name") {
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+    }
+
+    // ---- q33 components
+    val pairs = time("minhashLshPairs (q33 shape, thr=.5)") {
+      val p = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5).persist()
+      println(s"[prof]   pairs=${p.count()}")
+      p
+    }
+    time("connectedComponents (q44 tail)") {
+      val cc = Dedup.connectedComponents(pairs, docs.select(col("doc_id")))
+      println(s"[prof]   labels=${cc.count()}")
+    }
+    spark.catalog.clearCache()
+
+    // ---- q32
+    time("simhashPairs 32 bits maxH=3 (q32)") {
+      val p = Dedup.simhashPairs(docs, "doc_id", "text", 32, 3)
+      println(s"[prof]   pairs=${p.count()}")
+    }
+    spark.catalog.clearCache()
+
+    // ---- q26
+    time("jaccardPairs n=3 freq<=100 (q26)") {
+      val p = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0, 100)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b")).limit(20)
+      println(s"[prof]   rows=${p.count()}")
+    }
+    spark.stop()
+  }
+}

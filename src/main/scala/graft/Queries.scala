@@ -632,11 +632,34 @@ object Queries {
     },
     None)
 
+  // 60-bit simhash (Google's production dedup used 64): a 32-bit
+  // fingerprint over short docs collides so often that ~12% of all pairs
+  // land within hamming 3 — noise, and a flood of candidates through the
+  // blocking join. 60 bits gives 15-bit pigeonhole blocks (32k values),
+  // so candidates ≈ true pairs. Oracle replays the signature math and
+  // brute-forces the pair join (fine at sf0.01; the blocking IS the
+  // Spark-side scale path).
   val q32_simhash_pairs = Q("q32_simhash_pairs",
     (s, dir) => Dedup.simhashPairs(documents(s, dir), "doc_id", "text",
-        bits = 32, maxHamming = 3)
+        bits = 60, maxHamming = 3)
       .orderBy("id_a", "id_b"),
-    None)
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv FROM tok),
+      votes AS (
+        SELECT doc_id, j, SUM(((hv >> j) & 1) * 2 - 1) AS vote
+        FROM h, (SELECT unnest(generate_series(0, 59)) AS j)
+        GROUP BY doc_id, j),
+      sigs AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sh
+        FROM votes GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      ORDER BY id_a, id_b"""))
 
   val q33_minhash_pairs = Q("q33_minhash_pairs",
     (s, dir) => Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text",

@@ -20,6 +20,12 @@ object Dedup {
     * Oracle-replicable: DuckDB `CAST(('0x' || substr(md5(s),1,8)) AS BIGINT)`. */
   def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Deterministic 60-bit hash (first 15 md5 hex digits) — the widest
+    * md5 prefix that stays positive in a signed 64-bit integer in BOTH
+    * engines, so the oracle replays it exactly like [[h32]]. Used for
+    * wide simhash fingerprints where 32 bits collide too much. */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Distinct word n-gram shingles of a text column. */
   def shingles(text: Column, n: Int): Column = {
     val words = split(text, " ")
@@ -114,8 +120,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / numPerm).as("est_jaccard"))
-      .distinct()
+      // threshold BEFORE the dedup shuffle: the per-row filter is free and
+      // shrinks the distinct() input from every banded candidate to just
+      // the passing pairs — the difference between shuffling the candidate
+      // set and shuffling the result set at corpus scale.
       .filter(col("est_jaccard") >= threshold)
+      .distinct()
   }
 
   /** SimHash bit votes from precomputed token hashes (see [[simhash]]). */
@@ -134,12 +144,15 @@ object Dedup {
 
   /** (id, sh) frame in the aggregate shape: explode distinct tokens, hash
     * each once (codegen'd), then per-bit vote sums in one hash aggregate.
-    * Bit-identical to [[simhash]]; scales via map-side partial agg. */
+    * Bit-identical to [[simhash]] for `bits <= 32`; wider fingerprints
+    * (up to 60) draw from [[h60]]. Scales via map-side partial agg. */
   def withSimhash(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    require(bits <= 60, "simhash supports at most 60 bits (md5-prefix hash)")
+    val hash: Column => Column = if (bits <= 32) h32 else h60
     val tok = df
       .select(col(idCol).as("id"),
         explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .select(col("id"), h32(col("w")).as("h"))
+      .select(col("id"), hash(col("w")).as("h"))
     tok.groupBy("id").agg(
       (0 until bits).map { j =>
         when(sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1) > 0, lit(1L << j))
@@ -177,8 +190,12 @@ object Dedup {
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup shuffle (same reasoning as
+      // [[minhashLshPairs]]): candidates that fail the hamming check are
+      // the vast majority; dropping them per-row keeps the distinct()
+      // shuffle proportional to true pairs, not candidates.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Connected components over a near-duplicate pair graph → duplicate
@@ -189,25 +206,48 @@ object Dedup {
     *
     * This is the step that turns pairwise candidates (minhash/simhash
     * output) into survivor sets for a corpus-scale dedup pipeline. Scale
-    * shape: each round is one join + one aggregate on (edge, label)
-    * frames, all shuffles keyed by doc id; frames are persisted per round
-    * and the loop stops when no label changes (a driver-side count — one
-    * long per round).
+    * shape: the iteration runs ONLY over the candidate subgraph — nodes
+    * that touch at least one edge — which is orders of magnitude smaller
+    * than the corpus (most documents are not near-duplicates of
+    * anything). Each round is one join + one aggregate keyed by doc id on
+    * those subgraph frames; the full node set is joined back exactly once
+    * at the end (isolated docs keep their own label = singleton
+    * clusters). The loop stops when no label changes (a driver-side
+    * count — one long per round).
+    *
+    * Fast path: an LSH candidate graph is SPARSE — pairs are a tiny
+    * fraction of the corpus (if they weren't, the dedup threshold is
+    * wrong, not the algorithm). Up to `driverMaxEdges` edges
+    * (default 2M ≈ tens of MB) the component labels are computed with
+    * union-find on the driver in one bounded collect and joined back as
+    * a broadcast — one pass over the corpus, zero iteration. Beyond
+    * that the distributed label-propagation loop takes over. The
+    * collect is bounded by construction (`limit(max+1)`), so a
+    * mis-tuned threshold degrades to the iterative path instead of an
+    * OOM.
     *
     * @param pairs (id_a, id_b) undirected candidate edges
-    * @param nodes one-column frame of all doc ids (isolated docs keep
-    *              their own label = singleton clusters)
+    * @param nodes one-column frame of all doc ids
     * @return (id, cluster) where cluster = min doc id reachable
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 20, driverMaxEdges: Int = 2000000): DataFrame = {
     val idCol = nodes.columns.head
+    val edgeSample =
+      if (driverMaxEdges > 0)
+        pairs.select("id_a", "id_b").limit(driverMaxEdges + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (driverMaxEdges > 0 && edgeSample.length <= driverMaxEdges)
+      return unionFindBroadcast(edgeSample, nodes, idCol)
     // undirected edge list, both directions (duplicates are harmless under
     // min() — no distinct shuffle needed)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("cluster")).persist()
+    // iterate over subgraph nodes only (src side covers every endpoint —
+    // edges carry both directions)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")).persist()
     labels.count()
     var iter = 0
     var changed = 1L
@@ -217,9 +257,11 @@ object Dedup {
       val neighborMin = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+      // inner join: every subgraph node has >= 1 edge, so neighborMin
+      // covers all of them
+      val next = labels.join(neighborMin, Seq("id"))
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          least(col("cluster"), col("nbr_min")).as("cluster"),
           col("cluster").as("old"))
         .persist()
       changed = next.filter(col("cluster") =!= col("old")).count()
@@ -228,7 +270,49 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // widen back to the full corpus: isolated docs are their own cluster
+    nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
+  /** Driver-side union-find over a collected edge list, joined back to
+    * the corpus as a broadcast map. Arbitrary-root union with path
+    * halving, then one grouping pass to assign each component its MIN id
+    * (same label contract as the iterative path). */
+  private def unionFindBroadcast(edges: Array[org.apache.spark.sql.Row],
+      nodes: DataFrame, idCol: String): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    edges.foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) parent(rb) = ra
+    }
+    val members = parent.keySet ++ edges.iterator.flatMap(r => Seq(r.get(0), r.get(1)))
+    implicit val anyOrd: Ordering[Any] =
+      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val labels: Seq[(Any, Any)] = members.toSeq.groupBy(find).iterator
+      .flatMap { case (_, ids) => val m = ids.min; ids.map(_ -> m) }.toSeq
+    val spark = nodes.sparkSession
+    val idType = nodes.schema(idCol).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster", idType)))
+    val labelDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        labels.map { case (i, c) => org.apache.spark.sql.Row(i, c) }, 1),
+      schema)
+    nodes.select(col(idCol).as("id"))
+      .join(broadcast(labelDf), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Full near-dup dedup pipeline: minhash-LSH candidate pairs →

@@ -7,15 +7,21 @@ import graft.operators.SaltedJoin
 class ClusteringSpec extends SparkSpec {
   import spark.implicits._
 
-  test("connectedComponents: chains, triangles, singletons") {
+  test("connectedComponents: chains, triangles, singletons (both paths)") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20} isolated
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
       .toDF("id_a", "id_b")
     val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
-    val got = Dedup.connectedComponents(pairs, nodes)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L)
+    // fast path: driver union-find + broadcast
+    val fast = Dedup.connectedComponents(pairs, nodes)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+    assert(fast == want)
+    // scale path: distributed label propagation (forced)
+    val iterative = Dedup.connectedComponents(pairs, nodes, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iterative == want)
   }
 
   test("dedupByMinhash: survivors = one per cluster, all docs labeled") {
