@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // pin the heap: G1 region sizing and growth stalls otherwise vary
+  // run-to-run and dominate small-query timings
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // whole-stage codegen emits fresh classes per query; the 240m default
+  // code cache fills after a few dozen queries, the JIT shuts off, and
+  // every later query runs interpreted (10-50x slower). Size it so a
+  // full bench never hits the cliff.
+  "-XX:ReservedCodeCacheSize=1g",
 )

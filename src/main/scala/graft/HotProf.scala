@@ -13,11 +13,29 @@ object HotProf {
     r
   }
 
+  def jvmStats(): String = {
+    import scala.jdk.CollectionConverters._
+    val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => s"${b.getName}=${b.getCollectionCount}/${b.getCollectionTime}ms").mkString(" ")
+    val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+    s"gc[$gc] jit=${jit.getTotalCompilationTime}ms"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("local[32]", 32)
     val docs = Tables.documents(spark, sfDir)
     time("warmup: docs.count")(docs.count())
+
+    // repeat ONE heavy query: does the same plan degrade/improve run-over-run?
+    (1 to 5).foreach { i =>
+      val q = Queries.all.find(_.name == "q26_jaccard_pairs").get
+      time(s"q26 rep $i") {
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+      println(s"[prof]   ${jvmStats()}")
+      spark.catalog.clearCache()
+    }
 
     // exact bench shape for the hot queries
     Seq("q33_minhash_pairs", "q44_dedup_clusters", "q32_simhash_pairs",
@@ -27,6 +45,7 @@ object HotProf {
       time(s"bench-shape $name") {
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
+      println(s"[prof]   ${jvmStats()}")
       spark.catalog.clearCache()
     }
 
@@ -43,8 +62,12 @@ object HotProf {
     spark.catalog.clearCache()
 
     // ---- q32
-    time("simhashPairs 32 bits maxH=3 (q32)") {
-      val p = Dedup.simhashPairs(docs, "doc_id", "text", 32, 3)
+    time("withSimhash 60 bits (sig only)") {
+      val s = Dedup.withSimhash(docs, "doc_id", "text", 60)
+      println(s"[prof]   sigs=${s.count()}")
+    }
+    time("simhashPairs 60 bits maxH=3 (q32)") {
+      val p = Dedup.simhashPairs(docs, "doc_id", "text", 60, 3)
       println(s"[prof]   pairs=${p.count()}")
     }
     spark.catalog.clearCache()

@@ -233,16 +233,21 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
       maxIterations: Int = 20, driverMaxEdges: Int = 2000000): DataFrame = {
     val idCol = nodes.columns.head
-    val edgeSample =
-      if (driverMaxEdges > 0)
-        pairs.select("id_a", "id_b").limit(driverMaxEdges + 1).collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    if (driverMaxEdges > 0 && edgeSample.length <= driverMaxEdges)
-      return unionFindBroadcast(edgeSample, nodes, idCol)
+    // Materialize the edge list ONCE before branching: the candidate
+    // pipeline feeding `pairs` (an LSH band join) is expensive, and both
+    // the size probe and either path would re-run it otherwise
+    // (CollectLimit in particular retries with growing partition counts).
+    val edgeList = pairs.select("id_a", "id_b").persist()
+    val edgeCount = edgeList.count()
+    if (driverMaxEdges > 0 && edgeCount <= driverMaxEdges) {
+      val collected = edgeList.collect()
+      edgeList.unpersist()
+      return unionFindBroadcast(collected, nodes, idCol)
+    }
     // undirected edge list, both directions (duplicates are harmless under
     // min() — no distinct shuffle needed)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = edgeList.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edgeList.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     // iterate over subgraph nodes only (src side covers every endpoint —
     // edges carry both directions)
@@ -270,6 +275,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    edgeList.unpersist()
     // widen back to the full corpus: isolated docs are their own cluster
     nodes.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left_outer")
