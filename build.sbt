@@ -23,7 +23,7 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// 64g default: local[32] runs 32 executor threads in ONE JVM — shuffle
+// 32g default: local[32] runs 32 executor threads in ONE JVM — shuffle
 // buffers, sorts and cached frames for the whole 50-query bench live in
 // this heap, and an undersized heap (the old 8g) made late queries run
 // 3-4x slower from GC pressure alone. The box has 128 GiB.

@@ -51,6 +51,31 @@ object Dedup {
   def hashedShingles(text: Column, n: Int): Column =
     transform(shingles(text, n), s => h32(s))
 
+  /** Exploded (id, shingle-string) posting list, built WITHOUT
+    * higher-order lambdas: the word array is materialized once, start
+    * positions explode as a generator, and each shingle is a codegen'd
+    * `concat_ws(slice(words, i, n))` — the whole stage stays inside
+    * whole-stage codegen. The lambda form ([[shingles]] inside a
+    * `transform`) is interpreted expression-by-expression and was 10-50×
+    * slower per row, AND it ran inside the scan stage, which for a small
+    * file count means almost no parallelism.
+    *
+    * The `repartition(id)` both fans the per-row work across the cluster
+    * (shuffle-partition count, AQE-adjustable) and pre-clusters rows for
+    * the per-id aggregates every caller does next — hash partitioning on
+    * `id` satisfies their distribution, so this is the pipeline's ONLY
+    * shuffle, moving raw text (smaller than exploded shingles).
+    *
+    * NOT deduplicated: duplicate shingles are harmless under the min()
+    * aggregates of minhash; set-semantics callers dedup on top (their
+    * per-id grouping rides the same partitioning, still shuffle-free). */
+  def shinglePosting(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("words"))
+      .repartition(col("id"))
+      .select(col("id"), col("words"),
+        explode(sequence(lit(0), greatest(size(col("words")) - n, lit(0)))).as("i"))
+      .select(col("id"), concat_ws(" ", slice(col("words"), col("i") + 1, lit(n))).as("s"))
+
   /** MinHash signature from precomputed shingle hashes: `numPerm`
     * permutations under `(a_i * h + b_i) mod P`, `a_i = 2i+1`,
     * `b_i = 7919i+1`. Pure array math per row — no shuffle, no UDF. */
@@ -75,9 +100,10 @@ object Dedup {
     * [[minhashSignature]]. */
   def withMinhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int, numPerm: Int): DataFrame = {
-    val posting = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    val posting = shinglePosting(df, idCol, textCol, n)
       .select(col("id"), h32(col("s")).as("h"))
+    // groupBy(id) reuses shinglePosting's partitioning — no extra shuffle;
+    // duplicate shingles (posting is not deduped) cannot change a min()
     posting.groupBy("id").agg(
       array((0 until numPerm).map { i =>
         min((lit(2 * i + 1).cast("long") * col("h") + lit(7919L * i + 1)) % Prime)
@@ -149,9 +175,15 @@ object Dedup {
   def withSimhash(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
     require(bits <= 60, "simhash supports at most 60 bits (md5-prefix hash)")
     val hash: Column => Column = if (bits <= 32) h32 else h60
+    // repartition(id) BEFORE the explode: fan the md5 + per-bit partial
+    // sums across the cluster (a small file count otherwise pins the
+    // whole token stage to a few scan tasks) and pre-cluster for the
+    // groupBy(id), which then needs no shuffle of exploded rows.
     val tok = df
-      .select(col(idCol).as("id"),
-        explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
       .select(col("id"), hash(col("w")).as("h"))
     tok.groupBy("id").agg(
       (0 until bits).map { j =>
@@ -222,7 +254,8 @@ object Dedup {
     * union-find on the driver in one bounded collect and joined back as
     * a broadcast — one pass over the corpus, zero iteration. Beyond
     * that the distributed label-propagation loop takes over. The
-    * collect is bounded by construction (`limit(max+1)`), so a
+    * collect is gated by the preceding `count()` — it only runs when
+    * the edge count is already known to be ≤ `driverMaxEdges` — so a
     * mis-tuned threshold degrades to the iterative path instead of an
     * OOM.
     *

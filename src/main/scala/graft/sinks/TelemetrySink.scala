@@ -37,12 +37,21 @@ object TelemetrySink {
   /** Write one batch: dedup on the idempotence key (measurement, tags,
     * time), default the bucket, append partitioned files. For batch
     * backfill (K3, `ingest_dataframe_to_influxdb`, tools.py:345-411);
-    * the streaming sink goes through [[writeBatchIdempotent]] instead. */
+    * the streaming sink goes through [[writeBatchIdempotent]] instead.
+    *
+    * Uses the SAME `(bucket, measurement, __batch)` leaf layout as the
+    * streaming path — backfill and streaming naturally target one store,
+    * and parquet partition discovery breaks the whole directory if two
+    * layouts mix. Each call gets a unique `__batch=backfill-<uuid>` leaf
+    * (append semantics: a re-run backfill is a new leaf; dedup across
+    * overlapping backfills is the reader's overlap-and-dedup contract,
+    * SURVEY §4). */
   def writeBatch(batch: DataFrame, outDir: String,
       defaultBucket: String = "default"): Unit =
     dedupOnKey(batch, defaultBucket)
+      .withColumn("__batch", lit(s"backfill-${java.util.UUID.randomUUID}"))
       .write.mode(SaveMode.Append)
-      .partitionBy(Point.Bucket, Point.Measurement)
+      .partitionBy(Point.Bucket, Point.Measurement, "__batch")
       .parquet(outDir)
 
   private def dedupOnKey(batch: DataFrame, defaultBucket: String): DataFrame =
@@ -62,7 +71,9 @@ object TelemetrySink {
   def writeBatchIdempotent(batch: DataFrame, outDir: String, batchId: Long,
       defaultBucket: String = "default"): Unit =
     dedupOnKey(batch, defaultBucket)
-      .withColumn("__batch", lit(batchId))
+      // string, not long: backfill leaves (`backfill-<uuid>`) share this
+      // column, and partition-type inference must see ONE type either way
+      .withColumn("__batch", lit(batchId.toString))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(Point.Bucket, Point.Measurement, "__batch")

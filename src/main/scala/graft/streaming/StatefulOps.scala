@@ -34,9 +34,25 @@ object StatefulOps {
     * whose `seq` is ahead of the next expected value waits in state
     * (`pending`) until the gap fills, and a replayed chunk (`seq` below
     * the high-water mark) is dropped — so reordering or redelivery at
-    * micro-batch boundaries cannot corrupt reassembled lines. The first
-    * chunk ever seen on a connection anchors the sequence. */
-  def reassembleLines(chunks: Dataset[Chunk]): Dataset[LineOut] = {
+    * micro-batch boundaries cannot corrupt reassembled lines.
+    *
+    * A new connection's state anchors at `firstSeq` (default 0 — the
+    * reference protocol numbers chunks from 0 per connection,
+    * tron.py:336-380), NOT at the min seq of whatever batch happens to
+    * arrive first: if chunk 0 is delayed into a later micro-batch than
+    * chunk 1, it must still be awaited, not dropped as a replay. Streams
+    * that attach mid-connection must pass their attach point as
+    * `firstSeq`.
+    *
+    * `maxPending` bounds per-connection state: if a gap never fills (a
+    * chunk is genuinely lost) and `maxPending` chunks pile up behind it,
+    * reassembly SKIPS to the earliest buffered seq, discarding the
+    * partial line spanning the gap (it is corrupt by construction).
+    * One lost chunk therefore costs at most one line plus `maxPending`
+    * buffered chunks of memory — it cannot wedge the connection or grow
+    * state without bound. */
+  def reassembleLines(chunks: Dataset[Chunk], firstSeq: Long = 0L,
+      maxPending: Int = 1024): Dataset[LineOut] = {
     implicit val outEnc = Encoders.product[LineOut]
     implicit val stateEnc = Encoders.product[LineBuffer]
     implicit val keyEnc = Encoders.STRING
@@ -44,20 +60,28 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (conn: String, rows: Iterator[Chunk], state: GroupState[LineBuffer]) =>
           val batch = rows.toSeq
-          var st = state.getOption.getOrElse(
-            LineBuffer(batch.map(_.seq).min, "", Map.empty))
+          val st = state.getOption.getOrElse(LineBuffer(firstSeq, "", Map.empty))
           var pending = st.pending ++
             batch.filter(_.seq >= st.nextSeq).map(c => c.seq -> c.data)
           var nextSeq = st.nextSeq
           var partial = st.partial
           val out = scala.collection.mutable.ArrayBuffer[LineOut]()
-          while (pending.contains(nextSeq)) {
+          def drain(): Unit = while (pending.contains(nextSeq)) {
             val buf = partial + pending(nextSeq)
             pending -= nextSeq
             val parts = buf.split("\n", -1) // keep trailing empty = no partial
             parts.dropRight(1).foreach(l => out += LineOut(conn, l))
             partial = parts.last
             nextSeq += 1
+          }
+          drain()
+          while (pending.size > maxPending) {
+            // gap escape hatch: the chunk at nextSeq is lost — resume at
+            // the earliest buffered seq; the line spanning the gap is
+            // unrecoverable, so the carried partial is dropped with it.
+            nextSeq = pending.keys.min
+            partial = ""
+            drain()
           }
           state.update(LineBuffer(nextSeq, partial, pending))
           out.iterator

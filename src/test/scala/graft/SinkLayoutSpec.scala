@@ -51,6 +51,20 @@ class SinkLayoutSpec extends SparkSpec {
     assert(all.filter(col("__batch") === 0).count() == 2)
   }
 
+  test("backfill and streaming writes share one layout in one store") {
+    val out = Files.createTempDirectory("graft-mixed-").toString
+    TelemetrySink.writeBatchIdempotent(Seq(
+      pt("temperature", "sensors", "2024-01-01 00:00:00", Map("value" -> 21.0))).toDF(),
+      out, batchId = 0)
+    TelemetrySink.writeBatch(Seq(
+      pt("temperature", "sensors", "2023-12-31 00:00:00", Map("value" -> 19.0))).toDF(), out)
+    // the natural single-store usage: K3 backfill + streaming sink on the
+    // same outDir — partition discovery must see ONE layout and succeed
+    val all = spark.read.parquet(out)
+    assert(all.count() == 2)
+    assert(all.filter(col("__batch").startsWith("backfill-")).count() == 1)
+  }
+
   test("streamingPivot widens the field map on a live stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TelemetryPoint]

@@ -51,6 +51,48 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("line reassembly awaits a delayed FIRST chunk instead of dropping it") {
+    import graft.streaming.StatefulOps.{Chunk, LineOut}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Chunk]
+    val q = StatefulOps.reassembleLines(in.toDS())
+      .writeStream.queryName("lines_first_mem").format("memory")
+      .outputMode("append").start()
+    try {
+      // the connection's true first chunk (seq 0) is delayed into the
+      // SECOND micro-batch — state must anchor at 0 and wait, not anchor
+      // at 1 and later discard seq 0 as a replay
+      in.addData(Chunk("c1", 1, "b\nc"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM lines_first_mem").count() == 0)
+      in.addData(Chunk("c1", 0, "a"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT line FROM lines_first_mem ORDER BY line")
+        .as[String].collect().toSeq
+      assert(got == Seq("ab"))
+    } finally q.stop()
+  }
+
+  test("line reassembly skips past a permanently lost chunk at maxPending") {
+    import graft.streaming.StatefulOps.{Chunk, LineOut}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Chunk]
+    val q = StatefulOps.reassembleLines(in.toDS(), maxPending = 2)
+      .writeStream.queryName("lines_lost_mem").format("memory")
+      .outputMode("append").start()
+    try {
+      // seq 1 never arrives; three chunks pile up behind the gap (> cap 2)
+      // → skip to seq 2, drop the partial "x" that spanned the gap
+      in.addData(Chunk("c1", 0, "aa\nx"), Chunk("c1", 2, "b\ncc"),
+        Chunk("c1", 3, "\ndd"), Chunk("c1", 4, "\n"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT line FROM lines_lost_mem ORDER BY line")
+        .as[String].collect().toSeq
+      // "aa" emitted before the gap; after skipping: "b", "cc", "dd"
+      assert(got == Seq("aa", "b", "cc", "dd"))
+    } finally q.stop()
+  }
+
   test("ewma carries state across micro-batches and tracks gaps per series") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SeriesPoint]
