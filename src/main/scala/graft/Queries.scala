@@ -613,15 +613,51 @@ object Queries {
       SELECT query_id, cand_id, rank, round(cos, 6) AS cos
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  // Oracle-less (driver records rows-only checks): ANN scale paths and
-  // blocked simhash pairs — verified against the exact baselines in
-  // ScalaTest instead.
+  /** The seed-42 hyperplanes are deterministic driver-side values
+    * (scala.util.Random gaussians), so the oracle embeds them as literal
+    * DOUBLE[] arrays — shortest-roundtrip `Double.toString` parses back to
+    * the identical IEEE value in DuckDB. Bucket membership compares only
+    * the SIGN of v·plane (magnitudes are O(1), never within float noise of
+    * zero), so summation-order differences between engines can't flip it. */
+  private lazy val lshPlaneValuesSql: String =
+    Similarity.hyperplanes(numPlanes = 4, dim = 64, seed = 42L).zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}])" }
+      .mkString(",\n          ")
+
+  private val duckCos =
+    "list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))"
+
   val q30_ann_lsh = Q("q30_ann_lsh",
     (s, dir) => Similarity.lshTopK(embQueries(s, dir), embCandidates(s, dir), 5,
         numPlanes = 4, dim = 64)
       .select(col("query_id"), col("cand_id"), col("rank"), round(col("cos"), 6).as("cos"))
       .orderBy("query_id", "rank"),
-    None)
+    Some(s"""
+      WITH planes(i, p) AS (VALUES
+          $lshPlaneValuesSql),
+      q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      qb AS (
+        SELECT query_id,
+          SUM(CASE WHEN list_inner_product(qv, p) > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+        FROM q, planes GROUP BY query_id),
+      cb AS (
+        SELECT cand_id,
+          SUM(CASE WHEN list_inner_product(cv, p) > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+        FROM c, planes GROUP BY cand_id),
+      scored AS (
+        SELECT q.query_id, c.cand_id, $duckCos AS cos
+        FROM q JOIN qb USING (query_id)
+             JOIN cb ON qb.bucket = cb.bucket
+             JOIN c USING (cand_id)
+        WHERE q.query_id <> c.cand_id),
+      ranked AS (
+        SELECT query_id, cand_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, rank, round(cos, 6) AS cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   val q31_ann_ivf = Q("q31_ann_ivf",
     (s, dir) => {
@@ -630,7 +666,43 @@ object Queries {
         .select(col("query_id"), col("cand_id"), col("rank"), round(col("cos"), 6).as("cos"))
         .orderBy("query_id", "rank")
     },
-    None)
+    // Deterministic "training" (centroids = first nlist by cand_id) makes
+    // the whole IVF pipeline SQL-expressible: replay assignment (nearest
+    // centroid by cosine, ties to the lower id), probe selection (top
+    // nprobe centroids per query), and the in-list scoring pass.
+    Some(s"""
+      WITH c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10),
+      cent AS (SELECT cand_id AS centroid_id, cv AS centv FROM c ORDER BY cand_id LIMIT 16),
+      assigned AS (
+        SELECT cand_id, cv, centroid_id AS centroid FROM (
+          SELECT c.cand_id, c.cv, cent.centroid_id,
+            row_number() OVER (PARTITION BY c.cand_id ORDER BY
+              list_inner_product(c.cv, cent.centv) /
+                (sqrt(list_inner_product(c.cv, c.cv)) * sqrt(list_inner_product(cent.centv, cent.centv))) DESC,
+              cent.centroid_id) AS r
+          FROM c, cent) WHERE r = 1),
+      probes AS (
+        SELECT query_id, qv, centroid_id AS centroid FROM (
+          SELECT q.query_id, q.qv, cent.centroid_id,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_inner_product(q.qv, cent.centv) /
+                (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(cent.centv, cent.centv))) DESC,
+              cent.centroid_id) AS r
+          FROM q, cent) WHERE r <= 4),
+      scored AS (
+        SELECT p.query_id, a.cand_id,
+          list_inner_product(p.qv, a.cv) /
+            (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(a.cv, a.cv))) AS cos
+        FROM assigned a JOIN probes p USING (centroid)
+        WHERE p.query_id <> a.cand_id),
+      ranked AS (
+        SELECT query_id, cand_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, rank, round(cos, 6) AS cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   // 60-bit simhash (Google's production dedup used 64): a 32-bit
   // fingerprint over short docs collides so often that ~12% of all pairs
@@ -803,8 +875,10 @@ object Queries {
       ORDER BY doc_id"""))
 
   // Multimodal plumbing over real data: documents text bytes as the opaque
-  // payload; stub features must be deterministic (rows-only driver check,
-  // exactness asserted in MultimodalSpec).
+  // payload. The stub decoder seeds from md5(content) precisely so this
+  // oracle can replay it in DuckDB (md5 over the same UTF-8 bytes); f0 is
+  // a 12-bit hash slice over 4096 — exact in float AND double, so no
+  // rounding is applied on either side.
   val q41_multimodal_features = Q("q41_multimodal_features",
     (s, dir) => {
       val media = documents(s, dir).select(
@@ -813,10 +887,19 @@ object Queries {
         map(lit("src"), lit("documents")).as("meta"))
       graft.multimodal.Multimodal.extractFeatures(media, dim = 4)
         .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+          element_at(col("features"), 1).cast("double").as("f0"))
         .orderBy("media_id")
     },
-    None)
+    Some("""
+      WITH h AS (
+        SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+          CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv
+        FROM documents)
+      SELECT media_id, n_bytes,
+        CAST((hv & 255) + 1 AS INTEGER) AS width,
+        CAST(((hv >> 8) & 255) + 1 AS INTEGER) AS height,
+        CAST((hv & 4095) AS DOUBLE) / 4096.0 AS f0
+      FROM h ORDER BY media_id"""))
 
   val q42_set_ops = Q("q42_set_ops",
     (s, dir) => {

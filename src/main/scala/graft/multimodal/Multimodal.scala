@@ -44,16 +44,23 @@ object Multimodal {
   /** STUB decoder: deterministic pseudo-features from the payload bytes.
     * Stands in for the real image/audio decode (``???`` in production —
     * the container has no media libs). Deterministic by construction so
-    * tests and oracles can replay it. */
+    * tests and oracles can replay it.
+    *
+    * The per-item seed is the first 60 bits of `md5(content)` — chosen
+    * over a bespoke rolling hash precisely so any SQL engine can replay
+    * the stub (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`), giving the
+    * multimodal pipeline a hard cross-engine oracle. Feature j is a
+    * 12-bit slice of the seed over 4096 — a power-of-two denominator, so
+    * the float is exact and float→double widening is lossless (no
+    * rounding hazards in the oracle compare). */
   def decodeStub(kind: String, content: Array[Byte], dim: Int): (Option[Int], Option[Int], Option[Double], Array[Float]) = {
-    val n = if (content == null) 0 else content.length
-    // cheap rolling hash over bytes -> stable per-item seed
-    var h = 1125899906842597L
-    var i = 0
-    while (i < n) { h = 31 * h + content(i); i += 1 }
+    val bytes = if (content == null) Array.empty[Byte] else content
+    val n = bytes.length
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val hex = md5.map(b => f"${b & 0xff}%02x").mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60-bit, >= 0
     val features = Array.tabulate(dim) { j =>
-      val x = h ^ (j.toLong * 0x9E3779B97F4A7C15L)
-      ((x % 1000L).toFloat / 1000.0f)
+      ((h >> ((4 * j) % 60)) & 0xfff).toFloat / 4096.0f
     }
     kind match {
       case "image" => (Some(((h & 0xff) + 1).toInt), Some((((h >> 8) & 0xff) + 1).toInt), None, features)

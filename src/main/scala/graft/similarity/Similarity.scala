@@ -112,12 +112,16 @@ object Similarity {
   def ivfIndex(candidates: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
     val centroids = candidates.orderBy(col("cand_id")).limit(nlist)
       .select(col("cand_id").as("centroid_id"), col("cand_vec").as("centroid_vec"))
-    val w = Window.partitionBy(col("cand_id"))
-      .orderBy(col("cdist").desc, col("centroid_id"))
+    // Nearest-centroid assignment as a partial-aggregatable max_by: the
+    // N×nlist scored rows collapse map-side to one row per cand_id, so the
+    // shuffle carries N rows instead of N×nlist (the window-per-cand_id
+    // form shuffled the whole scored product). Tie-break matches
+    // `ORDER BY cdist DESC, centroid_id`: maximize (cdist, -centroid_id).
     val assigned = candidates.crossJoin(broadcast(centroids))
-      .withColumn("cdist", graft.functions.VectorFunctions.cosineFast(col("cand_vec"), col("centroid_vec")))
-      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col("cand_id"), col("cand_vec"), col("centroid_id").as("centroid"))
+      .select(col("cand_id"), col("cand_vec"), col("centroid_id"),
+        graft.functions.VectorFunctions.cosineFast(col("cand_vec"), col("centroid_vec")).as("cdist"))
+      .groupBy("cand_id", "cand_vec")
+      .agg(max_by(col("centroid_id"), struct(col("cdist"), (-col("centroid_id")).as("nid"))).as("centroid"))
     (centroids, assigned)
   }
 
