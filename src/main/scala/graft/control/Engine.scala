@@ -147,27 +147,49 @@ final class Engine(spark: SparkSession) {
     StreamOps.normalize(config.tags)(unioned)
   }
 
+  private var workDir: String = _
+
   def start(config: Config, workDir: String): Unit = {
     conf = config
-    val stream = unifiedStream(config)
-    config.observers.foreach { o =>
-      val q = o.typ match {
-        case "parquet" => TelemetrySink.start(stream,
-          o.options.getOrElse("path", s"$workDir/data/${o.name}").toString,
-          s"$workDir/checkpoints/${o.name}",
-          o.options.getOrElse("default_bucket", "default").toString,
-          queryName = o.name)
-        case "memory" => stream.writeStream.queryName(o.name)
-          .format("memory").outputMode("append")
-          .option("checkpointLocation", s"$workDir/checkpoints/${o.name}").start()
-        case other => throw new IllegalArgumentException(s"unknown observer type: $other")
-      }
-      queries(o.name) = q
-    }
+    this.workDir = workDir
+    config.observers.foreach(startObserver)
   }
 
-  /** `cerebro status` parity. */
+  private def startObserver(o: ObserverConf): Unit = {
+    val stream = unifiedStream(conf)
+    val q = o.typ match {
+      case "parquet" => TelemetrySink.start(stream,
+        o.options.getOrElse("path", s"$workDir/data/${o.name}").toString,
+        s"$workDir/checkpoints/${o.name}",
+        o.options.getOrElse("default_bucket", "default").toString,
+        queryName = o.name)
+      case "memory" => stream.writeStream.queryName(o.name)
+        .format("memory").outputMode("append")
+        .option("checkpointLocation", s"$workDir/checkpoints/${o.name}").start()
+      case other => throw new IllegalArgumentException(s"unknown observer type: $other")
+    }
+    queries(o.name) = q
+  }
+
+  /** `cerebro status` parity (the status-socket `status` verb,
+    * cerebro.py:443-446). */
   def status: Map[String, Boolean] = queries.view.mapValues(_.isActive).toMap
+
+  /** `restart <source>` parity (cerebro.py:448-456): stop the named
+    * query if running, then start it again against the SAME checkpoint
+    * location — Structured Streaming resumes from the committed offsets,
+    * so no data is re-read or lost. Returns false (like the socket
+    * protocol's `false` reply) for unknown names or start failures. */
+  def restart(name: String): Boolean =
+    Option(conf).flatMap(_.observers.find(_.name == name)) match {
+      case Some(o) =>
+        try {
+          queries.get(name).filter(_.isActive).foreach(_.stop())
+          startObserver(o)
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      case None => false
+    }
 
   def stop(name: String): Unit = queries.get(name).foreach(_.stop())
   def stopAll(): Unit = queries.values.foreach(_.stop())

@@ -4,21 +4,26 @@ import java.nio.file.{Files, Paths}
 import graft.GraftSession
 
 /** CLI — the reference daemon's verbs (`cerebro [--profile P] start`,
-  * `status`, cerebro/__main__.py:30-143) over the config-driven engine.
+  * `status`, `restart <source>`, cerebro/__main__.py:30-143) over the
+  * config-driven engine.
   *
   * {{{
   * sbt "runMain graft.control.Main start --config etc/graft.yaml \
-  *      [--profile P] [--workdir /tmp/graft] [--duration-s 60]"
+  *      [--profile P] [--workdir /tmp/graft] [--duration-s 60] [--socket S]"
+  * sbt "runMain graft.control.Main status [--socket S]"
+  * sbt "runMain graft.control.Main restart <name> [--socket S]"
   * }}}
   *
-  * `status` is printed on a timer while running (stdout replaces the
-  * reference's Unix status socket; the verbs survive, the transport
-  * doesn't — SURVEY.md §7.5).
+  * `start` serves a [[StatusServer]] on a Unix domain socket (default
+  * `/tmp/graft.sock` — the reference's `/tmp/cerebro.sock`,
+  * cerebro.py:372-375), so `status` and `restart` run from a SECOND
+  * process against the live engine, exactly like the reference CLI.
   */
 object Main {
   def main(args: Array[String]): Unit = {
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val socketPath = Paths.get(opt("--socket").getOrElse("/tmp/graft.sock"))
     args.headOption match {
       case Some("start") =>
         val configPath = opt("--config").getOrElse(sys.error("--config required"))
@@ -29,8 +34,10 @@ object Main {
           Files.readString(Paths.get(configPath)), opt("--profile"))
         val engine = new Engine(spark)
         engine.start(cfg, workDir)
+        val statusServer = new StatusServer(engine, socketPath)
+        statusServer.start()
         println(s"[graft] started ${cfg.sources.size} source(s), " +
-          s"${cfg.observers.size} observer(s); workdir=$workDir")
+          s"${cfg.observers.size} observer(s); workdir=$workDir; socket=$socketPath")
         val deadline = duration.map(System.currentTimeMillis() + _ * 1000)
         while (deadline.forall(_ > System.currentTimeMillis()) &&
             engine.status.values.exists(identity)) {
@@ -38,11 +45,31 @@ object Main {
           println(s"[graft] status: " + engine.status.map { case (k, v) =>
             s"$k=${if (v) "RUNNING" else "STOPPED"}" }.mkString(" "))
         }
+        statusServer.stop()
         engine.stopAll()
         spark.stop()
+      case Some("status") =>
+        // second-process status (cerebro/__main__.py:101-120): one line of
+        // JSON from the socket, rendered one source per line
+        val reply = StatusServer.request(socketPath, "status")
+        reply.stripPrefix("{").stripSuffix("}").split(",").filter(_.nonEmpty)
+          .foreach { kv =>
+            val Array(k, v) = kv.split(":", 2)
+            println(s"${k.stripPrefix("\"").stripSuffix("\"")}: " +
+              (if (v == "true") "OK" else "FAILED"))
+          }
+      case Some("restart") =>
+        // second-process restart (cerebro/__main__.py:123-143)
+        val name = args.drop(1).find(a => !a.startsWith("--"))
+          .getOrElse(sys.error("restart requires a source name"))
+        print("Restarting ... ")
+        val reply = StatusServer.request(socketPath, s"restart $name")
+        println(if (reply == "true") "SUCCESS" else "FAILED")
+        if (reply != "true") sys.exit(1)
       case other =>
         System.err.println(s"usage: start --config <yaml> [--profile P] " +
-          s"[--workdir D] [--duration-s N]; got: ${other.getOrElse("")}")
+          s"[--workdir D] [--duration-s N] | status | restart <name> " +
+          s"[--socket S]; got: ${other.getOrElse("")}")
         sys.exit(2)
     }
   }

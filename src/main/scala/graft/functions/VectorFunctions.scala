@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.graft.{CosineSim, HammingDist}
 
@@ -21,7 +21,14 @@ object VectorFunctions {
       (children: Seq[Expression]) => CosineSim(children(0), children(1))),
     (FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[HammingDist].getName, "hamming_dist"),
-      (children: Seq[Expression]) => HammingDist(children(0), children(1))))
+      (children: Seq[Expression]) => HammingDist(children(0), children(1))),
+    // Spark's own codegen'd bloom probe (the expression its runtime
+    // bloom-filter join uses) — not in the public FunctionRegistry, so
+    // expose it for externally-built sketches (Sketches.bloomSemiJoin):
+    // args (serialized filter BINARY, key BIGINT)
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))))
 
   /** Imperative registration for externally-built sessions. */
   def register(spark: SparkSession): Unit = registrations.foreach {

@@ -45,7 +45,14 @@ object TelemetrySink {
     * layouts mix. Each call gets a unique `__batch=backfill-<uuid>` leaf
     * (append semantics: a re-run backfill is a new leaf; dedup across
     * overlapping backfills is the reader's overlap-and-dedup contract,
-    * SURVEY §4). */
+    * SURVEY §4 — implemented by [[readStore]]).
+    *
+    * MIGRATION: stores written before the `__batch` leaf existed (two
+    * partition levels, not three) cannot be mixed with new writes in one
+    * directory — parquet partition discovery rejects mixed depths. Move
+    * legacy data once via
+    * `readStore → writeBatch` into a fresh directory (or read legacy
+    * dirs separately with an explicit `basePath`). */
   def writeBatch(batch: DataFrame, outDir: String,
       defaultBucket: String = "default"): Unit =
     dedupOnKey(batch, defaultBucket)
@@ -79,23 +86,54 @@ object TelemetrySink {
       .partitionBy(Point.Bucket, Point.Measurement, "__batch")
       .parquet(outDir)
 
+  /** Read-side half of the at-least-once contract (SURVEY §4): scan a
+    * store written by [[writeBatch]]/[[writeBatchIdempotent]] and
+    * collapse duplicates ACROSS `__batch` leaves on the idempotence key
+    * (measurement, canonical tags, time) — overlapping backfill re-runs
+    * each land in their own leaf, so only the reader can merge them.
+    * Streaming leaves are exactly-once already; set `dedup = false` for
+    * a pure-streaming store to skip the shuffle. `__batch` is dropped
+    * either way (it is a commit token, not data). */
+  def readStore(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      dedup: Boolean = true): DataFrame = {
+    val raw = spark.read.parquet(outDir)
+    if (!dedup) raw.drop("__batch")
+    else raw
+      .withColumn("__tags_key", canonicalTags(col(Point.Tags)))
+      .dropDuplicates(Seq(Point.Measurement, "__tags_key", Point.Time))
+      .drop("__tags_key", "__batch")
+  }
+
   /** SURVEY §7.4 #2 — per-measurement WIDE typed tables (the InfluxDB
     * analogy): the dynamic field map pivots to real columns, one table
     * per measurement, so downstream SQL sees `SELECT temp, rh FROM
-    * weather` instead of map lookups. Field set is discovered per batch
-    * (small: one distinct over the exploded keys); readers use
-    * `mergeSchema` so new fields appearing later widen the table. */
+    * weather` instead of map lookups. Readers use `mergeSchema` so new
+    * fields appearing later widen the table.
+    *
+    * ==Cardinality contract==
+    * One write job per measurement is inherent to the layout (each
+    * measurement has its OWN column set — a single partitioned write
+    * cannot carry per-partition schemas), so the driver loop is bounded
+    * by the number of DISTINCT MEASUREMENTS in the batch — telemetry
+    * vocabularies are tens to hundreds (the reference's InfluxDB model
+    * is the same shape). Rows per measurement are unbounded and fully
+    * distributed. The field sets for ALL measurements are discovered in
+    * ONE job, and the input is cached across the per-measurement writes
+    * rather than recomputed M times. */
   def writeWideTables(batch: DataFrame, outDir: String): Unit = {
     val deduped = batch
       .withColumn("__tags_key", canonicalTags(col(Point.Tags)))
       .dropDuplicates(Seq(Point.Measurement, "__tags_key", Point.Time))
-    val measurements = deduped.select(Point.Measurement).distinct()
-      .collect().map(_.getString(0))
-    measurements.foreach { m =>
-      val slice = deduped.filter(col(Point.Measurement) === m)
-      val fields = slice.select(explode(map_keys(col(Point.Fields))))
-        .distinct().collect().map(_.getString(0)).sorted
-      if (fields.nonEmpty) {
+    deduped.persist()
+    try {
+      val fieldsByMeasurement = deduped
+        .select(col(Point.Measurement),
+          explode(map_keys(col(Point.Fields))).as("__field"))
+        .distinct().collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getString(1)).sorted.toSeq).toMap
+      fieldsByMeasurement.toSeq.sortBy(_._1).foreach { case (m, fields) =>
+        val slice = deduped.filter(col(Point.Measurement) === m)
         val wide = slice.select(
           (Seq(col(Point.Time), col(Point.Tags)) ++
             fields.map(f => element_at(col(Point.Fields), f).as(f))): _*)
@@ -103,7 +141,7 @@ object TelemetrySink {
           .option("mergeSchema", "true")
           .parquet(s"$outDir/wide/measurement=${m}")
       }
-    }
+    } finally deduped.unpersist()
   }
 
   /** Continuous sink: foreachBatch → [[writeBatch]], checkpointed. The

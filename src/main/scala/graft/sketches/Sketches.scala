@@ -39,14 +39,23 @@ object Sketches {
     * key set, push it as a scan predicate on the big side, then exact
     * semi-join only the survivors — the manual form of Spark's runtime
     * bloom-filter join (InjectRuntimeFilter), usable when the build side
-    * is computed outside the query. */
+    * is computed outside the query. Integral keys only (the filter
+    * stores raw longs).
+    *
+    * Pass `expectedItems` when the build-side cardinality is known (even
+    * roughly): it skips the sizing `count()`, leaving ONE job over the
+    * build side (the filter aggregation itself). The probe is Spark's
+    * own `BloomFilterMightContain` expression — codegen'd, stays inside
+    * the scan's WholeStageCodegen span — not a boxed scalar UDF. */
   def bloomSemiJoin(large: DataFrame, small: DataFrame, key: String,
-      fpp: Double = 0.01): DataFrame = {
-    val n = math.max(small.count(), 1L)
+      expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val n = math.max(if (expectedItems > 0) expectedItems else small.count(), 1L)
     val bf = small.stat.bloomFilter(key, n, fpp)
-    val bfBc = large.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
-    large.filter(mightContain(col(key)))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = call_function("bloom_might_contain",
+      lit(bos.toByteArray), col(key).cast("long"))
+    large.filter(probe)
       .join(small.select(key).distinct(), Seq(key), "left_semi")
   }
 }

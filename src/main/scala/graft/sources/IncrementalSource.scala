@@ -24,9 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the shape an HTTP poller would spool. Unlike Spark's built-in file
   * source (which tracks FILES), offsets here are event-time values, so a
   * file may keep growing and only new rows are consumed: `latestOffset`
-  * scans for the current max ts (driver-side, metadata-light), and each
-  * micro-batch plans one partition per file, with executors parsing and
-  * filtering `start < ts <= end`.
+  * finds the current max ts on the driver via a per-file
+  * `(length -> maxTs)` cache ([[SpoolTracker]]) — only files whose size
+  * changed since the last trigger are re-read, so steady-state driver
+  * work is file-metadata only, O(new bytes), not O(total spool bytes).
+  * Each micro-batch plans one partition per file, with executors parsing
+  * and filtering `start < ts <= end`.
   *
   * ==Monotonic-append contract==
   * Because the offset IS an event timestamp, writers MUST append rows
@@ -64,21 +67,72 @@ object IncrementalSource {
     if (!d.exists()) Nil
     else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".jsonl")).sortBy(_.getName).toSeq
   }
+}
 
-  /** Driver-side: current high-water mark across the table. Runs every
-    * trigger, so each file handle is closed before moving on (a leaked
-    * Source here exhausts driver fds on a long-running stream). */
-  private[sources] def maxTs(path: String): Long = {
-    val mapper = new ObjectMapper()
-    listFiles(path).foldLeft(Long.MinValue) { (acc, f) =>
-      scala.util.Using.resource(scala.io.Source.fromFile(f)) { src =>
-        src.getLines().foldLeft(acc) { (m, line) =>
-          if (line.trim.isEmpty) m
-          else math.max(m, mapper.readTree(line).get("ts").asLong())
-        }
-      }
+/** Driver-side high-water-mark tracker with a per-file `(length -> maxTs)`
+  * cache. `latestOffset` runs every trigger on the driver, so a naive
+  * implementation (re-parse every line of every spool file) is O(total
+  * spool bytes) per trigger — the tracker instead stats each file and
+  * re-reads ONLY files whose length changed. This is exact under the
+  * documented monotonic-append contract: an unchanged byte length means
+  * unchanged content (files are append-only), hence unchanged maxTs.
+  * Entries for deleted files are evicted so the cache is bounded by the
+  * live file count.
+  *
+  * `lineReader` is injectable for tests (a counting reader proves
+  * unchanged files perform zero line reads); the default streams the
+  * file and closes the handle when drained (a leaked handle here would
+  * exhaust driver fds on a long-running stream).
+  */
+private[graft] final class SpoolTracker(
+    path: String,
+    lineReader: File => Iterator[String] = SpoolTracker.closingLines) {
+  private val mapper = new ObjectMapper()
+  private val cache = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+
+  private def scanMax(f: File): Long = {
+    val it = lineReader(f)
+    try it.foldLeft(Long.MinValue) { (m, line) =>
+      if (line.trim.isEmpty) m
+      else math.max(m, mapper.readTree(line).get("ts").asLong())
+    } finally it match {
+      case c: AutoCloseable => c.close()
+      case _ => ()
     }
   }
+
+  /** Current max event ts across the spool; file-metadata-only for files
+    * whose length is unchanged since the previous call. */
+  def maxTs(): Long = {
+    val files = IncrementalSource.listFiles(path)
+    var acc = Long.MinValue
+    files.foreach { f =>
+      val key = f.getAbsolutePath
+      val len = f.length()
+      val ts = cache.get(key) match {
+        case Some((cachedLen, cachedTs)) if cachedLen == len => cachedTs
+        case _ =>
+          val t = scanMax(f)
+          cache.update(key, (len, t))
+          t
+      }
+      acc = math.max(acc, ts)
+    }
+    val live = files.map(_.getAbsolutePath).toSet
+    cache.keys.filterNot(live).toSeq.foreach(cache.remove)
+    acc
+  }
+}
+
+private[graft] object SpoolTracker {
+  private[graft] def closingLines(f: File): Iterator[String] =
+    new Iterator[String] with AutoCloseable {
+      private val src = scala.io.Source.fromFile(f)
+      private val it = src.getLines()
+      override def hasNext: Boolean = it.hasNext
+      override def next(): String = it.next()
+      override def close(): Unit = src.close()
+    }
 }
 
 final class IncrementalTable(path: String) extends Table with SupportsRead {
@@ -100,9 +154,13 @@ final case class TsOffset(ts: Long) extends Offset {
 }
 
 final class IncrementalStream(path: String) extends MicroBatchStream {
+  // One tracker per stream instance: its per-file cache lives as long as
+  // the query does, which is exactly the lifetime over which repeated
+  // latestOffset() calls must stay cheap.
+  private val tracker = new SpoolTracker(path)
   // MinValue (not 0) so pre-epoch / non-positive event times are delivered.
   override def initialOffset(): Offset = TsOffset(Long.MinValue)
-  override def latestOffset(): Offset = TsOffset(IncrementalSource.maxTs(path))
+  override def latestOffset(): Offset = TsOffset(tracker.maxTs())
   override def deserializeOffset(json: String): Offset =
     TsOffset(new ObjectMapper().readTree(json).get("ts").asLong())
   override def commit(end: Offset): Unit = ()

@@ -102,6 +102,46 @@ object Parsers {
         col("recv_time"), lit(bucket)): _*)
   }
 
+  /** S6 — the driver-side poll fn for [[fileExists]]
+    * (`CheckFileExistsSource.check_file`, lvm.py:287-309): each tick
+    * emits one line, `"1"` if the file exists, `"0"` otherwise. Compose
+    * with [[PollingSource]] (`delay` default 60 s, lvm.py:247). */
+  def checkFileExistsPoll(file: String): () => Seq[String] =
+    () => Seq(
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(file))) "1" else "0")
+
+  /** S6 — existence-probe lines → `file_exists` points
+    * (lvm.py:287-307): field key is the file's basename, value 1.0/0.0;
+    * the full path is carried as the `full_path` tag. */
+  def fileExists(raw: DataFrame, file: String,
+      bucket: String = "sensors"): DataFrame = {
+    val basename = new java.io.File(file).getName
+    raw.filter(col("raw").isin("0", "1"))
+      .select(pointCols(lit("file_exists"),
+        map(lit("full_path"), lit(file)),
+        map(lit(basename), col("raw").cast(DoubleType)),
+        col("recv_time"), lit(bucket)): _*)
+  }
+
+  /** S14 — TPM snapshot lines → one `tpm` point per tick
+    * (`TPMSource.read`, tpm.py:75-93): the multicast client keeps a dict
+    * snapshot of the whole PLC state; each poll emits it verbatim as the
+    * point's fields (`{"measurement": "tpm", "fields": data}`,
+    * tpm.py:84-87). The spool line is that dict as one JSON object;
+    * empty snapshots are dropped (tpm.py:82), and non-numeric entries
+    * are filtered out of the MapType fields (the reference ships the
+    * heterogeneous dict to InfluxDB; our typed `fields` map is
+    * DOUBLE-valued — SURVEY §7.4 #2). */
+  def tpmSnapshot(raw: DataFrame, bucket: String = "sensors"): DataFrame = {
+    val parsed = from_json(col("raw"), MapType(StringType, DoubleType))
+    raw.select(parsed.as("snapshot"), col("recv_time"))
+      .filter(col("snapshot").isNotNull && size(map_keys(col("snapshot"))) > 0)
+      .withColumn("snapshot", map_filter(col("snapshot"), (_, v) => v.isNotNull))
+      .filter(size(map_keys(col("snapshot"))) > 0)
+      .select(pointCols(lit("tpm"), map(),
+        col("snapshot"), col("recv_time"), lit(bucket)): _*)
+  }
+
   /** T8/S12 — Modbus device reading (`drift.py:128-162`): one row per
     * `(device, value, units, offset)` read; relays (`units == "relay"`)
     * decode closed→1.0/open→0.0 into the measurement's field, others pass

@@ -38,6 +38,8 @@ final case class SpoolSource(conf: SourceConf) extends TelemetrySource {
         conf.options.get("mapping").map(_.asInstanceOf[Map[String, Any]]
           .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty),
         opt("channels").map(_.toInt).getOrElse(16), b)
+      case "check_file_exists" => Parsers.fileExists(raw, req("file"), b)
+      case "tpm" => Parsers.tpmSnapshot(raw, b)
       case other => throw new IllegalArgumentException(s"$name: unknown parser '$other'")
     }
   }

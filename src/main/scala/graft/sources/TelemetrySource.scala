@@ -92,6 +92,9 @@ final class PollingSource(
   def start(): Unit = {
     Files.createDirectories(Paths.get(spoolDir))
     running.set(true)
+    // NOTE: no `return` inside this lambda — in Scala that compiles to a
+    // NonLocalReturnControl throw, which escapes the thread as an
+    // exception when interrupted. Interrupt just clears `running`.
     thread = new Thread(() => {
       while (running.get()) {
         val sleepMs =
@@ -101,11 +104,13 @@ final class PollingSource(
             backoff.reset()
             delayMs
           } catch {
-            case _: InterruptedException => return
+            case _: InterruptedException => running.set(false); 0L
             case _: Throwable => backoff.nextDelayMs()
           }
-        try Thread.sleep(sleepMs)
-        catch { case _: InterruptedException => return }
+        if (running.get()) {
+          try Thread.sleep(sleepMs)
+          catch { case _: InterruptedException => running.set(false) }
+        }
       }
     }, s"graft-poller-$name")
     thread.setDaemon(true)

@@ -11,6 +11,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * silent is itself a signal — the streaming form of the reference's
   * staleness concern, lvm.py:80-82, done with engine-managed state +
   * timeouts instead of wall-clock checks).
+  *
+  * ==State bounds==
+  * Both ops accept `idleTimeoutMs`: a key (connection / series) that
+  * receives no data for that long is EVICTED via a processing-time
+  * timeout, so dead keys cannot hold state forever and total state is
+  * bounded by the live key cardinality. With the default `0` no timeout
+  * is registered (callers that know their key set is static can skip the
+  * timeout bookkeeping).
+  *
+  * CAVEAT — pair `idleTimeoutMs` with an explicit
+  * `Trigger.ProcessingTime(...)` on the query: `ProcessingTimeTimeout`
+  * makes Spark re-check timeouts on EVERY batch
+  * (`FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is
+  * unconditionally true for it), so the default run-ASAP trigger
+  * busy-loops empty micro-batches between data arrivals. Any interval
+  * works (eviction latency = interval + timeout); a fraction of the
+  * timeout is a sensible default. For the same reason
+  * `processAllAvailable()` never returns on such a query (a next batch
+  * is always due) — poll the sink with a deadline instead.
   */
 object StatefulOps {
 
@@ -22,13 +41,18 @@ object StatefulOps {
   final case class Chunk(conn: String, seq: Long, data: String)
   final case class LineOut(conn: String, line: String)
   final case class LineBuffer(nextSeq: Long, partial: String,
-      pending: Map[Long, String])
+      pending: Map[Long, String], dropHead: Boolean)
 
-  /** S10 — stateful line reassembly (`ActorClientSource`'s hand-rolled
-    * buffer, cerebro/sources/tron.py:336-380): TCP delivers byte chunks
-    * at arbitrary boundaries; per connection, chunks are applied in
-    * `seq` order, complete `\n`-terminated lines are emitted, and the
-    * trailing partial line carries over in state to the next micro-batch.
+  private def timeoutConf(idleTimeoutMs: Long): GroupStateTimeout =
+    if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
+
+  /** S10 — stateful line reassembly (the hand-rolled receive buffer of
+    * the reference's actor client, cerebro/sources/tron.py:336-380): TCP
+    * delivers byte chunks at arbitrary boundaries; per connection, chunks
+    * are applied in `seq` order, complete `\n`-terminated lines are
+    * emitted, and the trailing partial line carries over in state to the
+    * next micro-batch.
     *
     * Ordering is enforced ACROSS batches, not just within one: a chunk
     * whose `seq` is ahead of the next expected value waits in state
@@ -36,78 +60,115 @@ object StatefulOps {
     * the high-water mark) is dropped — so reordering or redelivery at
     * micro-batch boundaries cannot corrupt reassembled lines.
     *
-    * A new connection's state anchors at `firstSeq` (default 0 — the
-    * reference protocol numbers chunks from 0 per connection,
-    * tron.py:336-380), NOT at the min seq of whatever batch happens to
-    * arrive first: if chunk 0 is delayed into a later micro-batch than
-    * chunk 1, it must still be awaited, not dropped as a replay. Streams
-    * that attach mid-connection must pass their attach point as
-    * `firstSeq`.
+    * ==Sequence anchoring==
+    * `seq` is THIS library's framing, not the reference's (the reference
+    * reads a plain TCP stream with no sequence numbers — the chunking
+    * only exists here because micro-batches may reorder rows). A new
+    * connection's state anchors at `firstSeq` (default 0), NOT at the min
+    * seq of whatever batch happens to arrive first: if chunk 0 is delayed
+    * into a later micro-batch than chunk 1, it must still be awaited, not
+    * dropped as a replay. CAVEAT — sources whose sequence numbers do not
+    * start at 0 (byte offsets, mid-stream attach) MUST pass their attach
+    * point as `firstSeq`, otherwise every connection buffers `maxPending`
+    * chunks before the gap-skip engages and one line is lost.
     *
     * `maxPending` bounds per-connection state: if a gap never fills (a
     * chunk is genuinely lost) and `maxPending` chunks pile up behind it,
-    * reassembly SKIPS to the earliest buffered seq, discarding the
-    * partial line spanning the gap (it is corrupt by construction).
-    * One lost chunk therefore costs at most one line plus `maxPending`
-    * buffered chunks of memory — it cannot wedge the connection or grow
-    * state without bound. */
+    * reassembly SKIPS to the earliest buffered seq. The line spanning the
+    * gap is corrupt by construction and is discarded IN FULL: both its
+    * head (the carried partial) and its tail (the resumed data up to and
+    * including its first newline, tracked via `dropHead` so the
+    * suppression survives micro-batch boundaries). One lost chunk
+    * therefore costs at most one line plus `maxPending` buffered chunks
+    * of memory — it cannot wedge the connection or grow state without
+    * bound.
+    *
+    * With `idleTimeoutMs > 0`, a connection idle that long is evicted;
+    * its carried partial line is dropped (the reference equivalent: a
+    * closed connection's receive buffer is abandoned, tron.py:336-380). */
   def reassembleLines(chunks: Dataset[Chunk], firstSeq: Long = 0L,
-      maxPending: Int = 1024): Dataset[LineOut] = {
+      maxPending: Int = 1024, idleTimeoutMs: Long = 0L): Dataset[LineOut] = {
     implicit val outEnc = Encoders.product[LineOut]
     implicit val stateEnc = Encoders.product[LineBuffer]
     implicit val keyEnc = Encoders.STRING
     chunks.groupByKey(_.conn)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTimeoutMs)) {
         (conn: String, rows: Iterator[Chunk], state: GroupState[LineBuffer]) =>
-          val batch = rows.toSeq
-          val st = state.getOption.getOrElse(LineBuffer(firstSeq, "", Map.empty))
-          var pending = st.pending ++
-            batch.filter(_.seq >= st.nextSeq).map(c => c.seq -> c.data)
-          var nextSeq = st.nextSeq
-          var partial = st.partial
-          val out = scala.collection.mutable.ArrayBuffer[LineOut]()
-          def drain(): Unit = while (pending.contains(nextSeq)) {
-            val buf = partial + pending(nextSeq)
-            pending -= nextSeq
-            val parts = buf.split("\n", -1) // keep trailing empty = no partial
-            parts.dropRight(1).foreach(l => out += LineOut(conn, l))
-            partial = parts.last
-            nextSeq += 1
-          }
-          drain()
-          while (pending.size > maxPending) {
-            // gap escape hatch: the chunk at nextSeq is lost — resume at
-            // the earliest buffered seq; the line spanning the gap is
-            // unrecoverable, so the carried partial is dropped with it.
-            nextSeq = pending.keys.min
-            partial = ""
+          if (state.hasTimedOut) {
+            // dead connection: drop the partial, free the state
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val st = state.getOption.getOrElse(LineBuffer(firstSeq, "", Map.empty, dropHead = false))
+            var pending = st.pending ++
+              batch.filter(_.seq >= st.nextSeq).map(c => c.seq -> c.data)
+            var nextSeq = st.nextSeq
+            var partial = st.partial
+            var dropHead = st.dropHead
+            val out = scala.collection.mutable.ArrayBuffer[LineOut]()
+            def drain(): Unit = while (pending.contains(nextSeq)) {
+              val buf = partial + pending(nextSeq)
+              pending -= nextSeq
+              val parts = buf.split("\n", -1) // keep trailing empty = no partial
+              parts.dropRight(1).foreach { l =>
+                if (dropHead) dropHead = false // tail of a gap-corrupt line
+                else out += LineOut(conn, l)
+              }
+              partial = parts.last
+              nextSeq += 1
+            }
             drain()
+            while (pending.size > maxPending) {
+              // gap escape hatch: the chunk at nextSeq is lost — resume at
+              // the earliest buffered seq; the line spanning the gap is
+              // unrecoverable, so the carried partial is dropped and the
+              // resumed data's first completed line (its tail) is
+              // suppressed via dropHead.
+              nextSeq = pending.keys.min
+              partial = ""
+              dropHead = true
+              drain()
+            }
+            state.update(LineBuffer(nextSeq, partial, pending, dropHead))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
           }
-          state.update(LineBuffer(nextSeq, partial, pending))
-          out.iterator
       }
   }
 
   /** Per-series EWMA with carry-over across micro-batches.
     * `alpha` is the smoothing factor; emits one row per input point with
     * the running EWMA, the count, and the gap to the previous point.
-    * Batches are processed in event-time order within each group. */
-  def ewma(points: Dataset[SeriesPoint], alpha: Double): Dataset[EwmaOut] = {
+    * Batches are processed in event-time order within each group.
+    *
+    * With `idleTimeoutMs > 0`, a series idle that long is evicted; if it
+    * later resumes, its EWMA restarts from the first new point (n=1,
+    * gap=0) — the restart is observable, which is the point: a series
+    * silent past the timeout is a NEW series for smoothing purposes. */
+  def ewma(points: Dataset[SeriesPoint], alpha: Double,
+      idleTimeoutMs: Long = 0L): Dataset[EwmaOut] = {
     implicit val outEnc = Encoders.product[EwmaOut]
     implicit val stateEnc = Encoders.product[EwmaState]
     implicit val keyEnc = Encoders.STRING
     points.groupByKey(_.series)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTimeoutMs)) {
         (series: String, rows: Iterator[SeriesPoint], state: GroupState[EwmaState]) =>
-          var st = state.getOption.getOrElse(EwmaState(Double.NaN, 0L, Long.MinValue))
-          val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
-            val gap = if (st.lastTs == Long.MinValue) 0L else p.ts.getTime - st.lastTs
-            val e = if (st.n == 0) p.value else alpha * p.value + (1 - alpha) * st.ewma
-            st = EwmaState(e, st.n + 1, p.ts.getTime)
-            EwmaOut(series, p.ts, p.value, e, st.n, gap)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(EwmaState(Double.NaN, 0L, Long.MinValue))
+            val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
+              val gap = if (st.lastTs == Long.MinValue) 0L else p.ts.getTime - st.lastTs
+              val e = if (st.n == 0) p.value else alpha * p.value + (1 - alpha) * st.ewma
+              st = EwmaState(e, st.n + 1, p.ts.getTime)
+              EwmaOut(series, p.ts, p.value, e, st.n, gap)
+            }
+            state.update(st)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

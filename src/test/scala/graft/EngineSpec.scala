@@ -74,6 +74,85 @@ class EngineSpec extends SparkSpec {
     } finally engine.stopAll()
   }
 
+  test("engine.restart resumes the named query from the SAME checkpoint") {
+    import spark.implicits._
+    import graft.model.TelemetryPoint
+    val dir = Files.createTempDirectory("graft-restart-").toString
+    val work = Files.createTempDirectory("graft-restart-work-").toString
+    val out = s"$work/data/pqr"
+    def point(ts: String, v: Double) = TelemetryPoint("temperature", Map.empty,
+      Map("value" -> v), null, java.sql.Timestamp.valueOf(ts), None, None)
+    Seq(point("2024-01-01 00:00:00", 1.0)).toDF().write.mode("append").parquet(dir)
+    val cfg = EngineConfig.parse(
+      s"""
+         |sources:
+         |  replay1: {type: replay, path: $dir}
+         |observers:
+         |  pqr: {type: parquet, path: $out}
+         |""".stripMargin)
+    val engine = new Engine(spark)
+    engine.start(cfg, work)
+    try {
+      spark.streams.active.filter(_.name == "pqr").foreach(_.processAllAvailable())
+      assert(spark.read.parquet(out).count() == 1)
+
+      engine.stop("pqr")
+      assert(engine.status == Map("pqr" -> false))
+      assert(engine.restart("pqr"), "restart of a known query must succeed")
+      assert(engine.status == Map("pqr" -> true))
+
+      // data written AFTER the restart lands in a NEW micro-batch: batch
+      // ids continue from the committed checkpoint (a from-scratch start
+      // would restart numbering at 0 and re-read the first file into the
+      // same __batch leaf)
+      Seq(point("2024-01-01 00:00:01", 2.0)).toDF().write.mode("append").parquet(dir)
+      spark.streams.active.filter(_.name == "pqr").foreach(_.processAllAvailable())
+      val rows = spark.read.parquet(out)
+        .select(org.apache.spark.sql.functions.expr("fields['value']"),
+          org.apache.spark.sql.functions.col("__batch"))
+        .collect().map(r => (r.getDouble(0), r.get(1).toString)).toSet
+      assert(rows.map(_._1) == Set(1.0, 2.0), s"no data lost or duplicated: $rows")
+      assert(rows.map(_._2).size == 2,
+        s"post-restart batch must continue checkpointed numbering, got $rows")
+
+      assert(!engine.restart("no_such_query"), "unknown name must return false")
+    } finally engine.stopAll()
+  }
+
+  test("status server: second-process status and restart over the unix socket") {
+    import spark.implicits._
+    import graft.model.TelemetryPoint
+    val dir = Files.createTempDirectory("graft-sock-src-").toString
+    val work = Files.createTempDirectory("graft-sock-work-").toString
+    val sock = Files.createTempDirectory("graft-sock-").resolve("graft.sock")
+    Seq(TelemetryPoint("t", Map.empty, Map("value" -> 1.0), null,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), None, None))
+      .toDF().write.mode("append").parquet(dir)
+    val cfg = EngineConfig.parse(
+      s"""
+         |sources:
+         |  replay1: {type: replay, path: $dir}
+         |observers:
+         |  pqs: {type: parquet, path: $work/data/pqs}
+         |""".stripMargin)
+    val engine = new Engine(spark)
+    engine.start(cfg, work)
+    val server = new graft.control.StatusServer(engine, sock)
+    server.start()
+    try {
+      spark.streams.active.filter(_.name == "pqs").foreach(_.processAllAvailable())
+      // the client half IS the second process's path: connect over the
+      // socket, not through the Engine object
+      assert(graft.control.StatusServer.request(sock, "status") == """{"pqs":true}""")
+      assert(graft.control.StatusServer.request(sock, "restart pqs") == "true")
+      assert(graft.control.StatusServer.request(sock, "restart nope") == "false")
+      assert(graft.control.StatusServer.request(sock, "status") == """{"pqs":true}""")
+    } finally {
+      server.stop()
+      engine.stopAll()
+    }
+  }
+
   test("backoff: grows by e, caps, resets") {
     val b = Backoff(initialDelayMs = 1000, jitter = 0.0)
     val d1 = b.nextDelayMs(); val d2 = b.nextDelayMs(); val d3 = b.nextDelayMs()

@@ -44,6 +44,37 @@ class IncrementalSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestOffset caches per-file maxTs: unchanged files perform zero line reads") {
+    val dir = Files.createTempDirectory("graft-inc3-").toString
+    writeJsonl(dir, "a.jsonl", Seq((1000L, "temp", 1.0), (2000L, "temp", 2.0)))
+    writeJsonl(dir, "b.jsonl", Seq((1500L, "hum", 3.0)))
+
+    var linesRead = 0
+    val counting: java.io.File => Iterator[String] = f => {
+      val it = scala.io.Source.fromFile(f).getLines().toIndexedSeq.iterator
+      it.map { l => linesRead += 1; l }
+    }
+    val tracker = new graft.sources.SpoolTracker(dir, counting)
+
+    assert(tracker.maxTs() == 2000L)
+    assert(linesRead == 3) // first trigger reads everything once
+
+    // second trigger, nothing changed -> file-metadata only, ZERO line reads
+    assert(tracker.maxTs() == 2000L)
+    assert(linesRead == 3)
+
+    // b.jsonl grows -> only b is re-read (its 2 lines), a is untouched
+    writeJsonl(dir, "b.jsonl", Seq((1500L, "hum", 3.0), (5000L, "hum", 4.0)))
+    assert(tracker.maxTs() == 5000L)
+    assert(linesRead == 5)
+
+    // deleted file is evicted and a new one is scanned fresh
+    Files.delete(Paths.get(dir, "a.jsonl"))
+    writeJsonl(dir, "c.jsonl", Seq((6000L, "temp", 6.0)))
+    assert(tracker.maxTs() == 6000L)
+    assert(linesRead == 6)
+  }
+
   test("timestamps arrive as proper TimestampType") {
     val dir = Files.createTempDirectory("graft-inc2-").toString
     val ckpt = Files.createTempDirectory("graft-inc2-ckpt-").toString

@@ -70,4 +70,39 @@ class ParsersSpec extends SparkSpec {
     val temp = rows.find(_.getAs[Map[String, Double]]("fields").contains("temp1")).get
     assert(temp.getAs[Map[String, String]]("tags") == Map("units" -> "degC", "offset" -> "40"))
   }
+
+  test("fileExists: poll fn probes the filesystem; parser emits file_exists points") {
+    // S6 (lvm.py:287-309): the poll fn is the driver half...
+    val f = java.nio.file.Files.createTempFile("graft-exists-", ".dat")
+    val poll = Parsers.checkFileExistsPoll(f.toString)
+    assert(poll() == Seq("1"))
+    java.nio.file.Files.delete(f)
+    assert(poll() == Seq("0"))
+    // ...and the parser is the distributed half: basename field, 1/0
+    // value, full_path tag
+    val raw = Seq(("1", t0), ("0", t0), ("garbage", t0)).toDF("raw", "recv_time")
+    val rows = Parsers.fileExists(raw, "/data/agcam/last_image.fits").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getString(0) == "file_exists"))
+    assert(rows.map(_.getAs[Map[String, Double]]("fields")).toSet ==
+      Set(Map("last_image.fits" -> 1.0), Map("last_image.fits" -> 0.0)))
+    assert(rows.forall(_.getAs[Map[String, String]]("tags") ==
+      Map("full_path" -> "/data/agcam/last_image.fits")))
+  }
+
+  test("tpmSnapshot: dict snapshot becomes one tpm point; empty/non-numeric dropped") {
+    // S14 (tpm.py:75-93): the PLC state dict, one JSON line per tick
+    val raw = Seq(
+      ("""{"alt_pos": 45.2, "az_pos": 121.9, "dome_state": 1}""", t0),
+      ("""{}""", t0),                   // empty snapshot -> dropped (tpm.py:82)
+      ("""{"note": "text-only"}""", t0), // all-non-numeric -> dropped
+      ("not json", t0)
+    ).toDF("raw", "recv_time")
+    val rows = Parsers.tpmSnapshot(raw).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "tpm")
+    assert(rows(0).getAs[Map[String, Double]]("fields") ==
+      Map("alt_pos" -> 45.2, "az_pos" -> 121.9, "dome_state" -> 1.0))
+    assert(rows(0).getAs[Timestamp]("time") == t0)
+  }
 }

@@ -65,6 +65,20 @@ class SinkLayoutSpec extends SparkSpec {
     assert(all.filter(col("__batch").startsWith("backfill-")).count() == 1)
   }
 
+  test("readStore merges overlapping backfill re-runs (read-side dedup contract)") {
+    val out = Files.createTempDirectory("graft-overlap-").toString
+    val backfill = Seq(
+      pt("temperature", "sensors", "2024-01-01 00:00:00", Map("value" -> 21.0)),
+      pt("temperature", "sensors", "2024-01-01 00:00:01", Map("value" -> 21.5))).toDF()
+    // the same backfill runs twice (operator retry) -> two __batch leaves
+    TelemetrySink.writeBatch(backfill, out)
+    TelemetrySink.writeBatch(backfill, out)
+    assert(spark.read.parquet(out).count() == 4, "raw store holds both leaves")
+    val merged = TelemetrySink.readStore(spark, out)
+    assert(merged.count() == 2, "readStore collapses duplicates on the idempotence key")
+    assert(!merged.columns.contains("__batch"), "__batch is a commit token, not data")
+  }
+
   test("streamingPivot widens the field map on a live stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TelemetryPoint]

@@ -41,5 +41,12 @@ class SketchesSpec extends SparkSpec {
     val expected = li.join(hot, Seq("l_orderkey"), "left_semi").count()
     val got = Sketches.bloomSemiJoin(li, hot, "l_orderkey").count()
     assert(got == expected)
+    // expectedItems hint path: same result, no sizing count() job
+    val hinted = Sketches.bloomSemiJoin(li, hot, "l_orderkey", expectedItems = 4096)
+    assert(hinted.count() == expected)
+    // the probe must be Spark's codegen'd expression, not a boxed UDF
+    val plan = hinted.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") && !plan.contains("UDF"),
+      s"bloom probe should be the native expression:\n$plan")
   }
 }
