@@ -8,9 +8,14 @@ import org.apache.spark.sql.SparkSession
   *  1. a table-scan warmup (parquet footers + JVM classloading),
   *  2. one UNTIMED full pass over every query — pays codegen, JIT and
   *     broadcast-build costs outside the measurement window,
-  *  3. `SPARK_GRAFT_REPS` (default 3) timed reps per query; the reported
-  *     number is the per-query MEDIAN, so one GC pause or JIT
-  *     recompilation can't swing a round-over-round comparison.
+  *  3. `SPARK_GRAFT_REPS` (default 3) timed FULL PASSES over all
+  *     queries; the reported number is the per-query MEDIAN ACROSS
+  *     PASSES. Passes are interleaved (A,B,...,A,B,... rather than
+  *     A,A,A,B,B,B) deliberately: transient JVM states — a G1
+  *     concurrent-mark phase, a deopt/recompile window — persist for
+  *     seconds, so back-to-back reps of one query all land in the same
+  *     bad window and the median keeps the outlier; interleaving
+  *     decorrelates reps minutes apart and the median sheds it.
   *
   * Each rep executes the FULL physical plan via the noop sink (count()
   * would let the optimizer prune projections/sorts and understate the
@@ -21,7 +26,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val spark = GraftSession.get(s"local[$cpus]", 32)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -37,9 +42,25 @@ object Bench {
     }
     // Untimed full pass: codegen + JIT for every query's plan.
     Queries.all.foreach(runOnce)
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    // NO System.gc() between passes: a full GC unloads JIT'd codegen
+    // classes, so the next pass re-compiles everything and its first
+    // heavy query pays 4-5x (measured: q26 31.9s after a forced GC vs
+    // ~7s steady-state). G1 self-regulates fine with the pinned heap;
+    // the median across interleaved passes sheds any residual outlier.
+    (1 to reps).foreach { _ =>
+      Queries.all.foreach(q => times(q.name) :+= runOnce(q))
+    }
+    // per-pass rep times on stderr for harness diagnosis (not part of
+    // the one-line JSON contract on stdout)
+    Queries.all.foreach { q =>
+      System.err.println(s"[bench-reps] ${q.name}: " +
+        times(q.name).map(t => f"$t%.2f").mkString(" "))
+    }
     val results = Queries.all.map { q =>
-      val times = (1 to reps).map(_ => runOnce(q)).sorted
-      q.name -> times(times.length / 2)
+      val sorted = times(q.name).sorted
+      q.name -> sorted(sorted.length / 2)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
