@@ -367,12 +367,28 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity pairs via shingle-inverted-index
     * self-join: explode distinct shingles, join on shingle, count the
-    * intersection, then `|A∩B| / (|A| + |B| - |A∩B|)`.
+    * intersection, then `|A∩B| / (|A| + |B| - |A∩B|)`. Intersections
+    * count only non-stop shingles; denominators use the FULL distinct
+    * shingle counts.
     *
-    * Scale note: the inverted-index join is quadratic in the posting-list
-    * length of a shingle, so `maxShingleFreq` drops stop-shingles (df >
-    * threshold) first — the standard guard that keeps the join linear-ish
-    * on real corpora. */
+    * Scale notes:
+    *   - the inverted-index join is quadratic in the posting-list length
+    *     of a shingle, so `maxShingleFreq` drops stop-shingles (df >
+    *     threshold) first — the standard guard that keeps the join
+    *     linear-ish on real corpora;
+    *   - with `threshold > 0` the join runs on PREFIX postings only
+    *     (PPJoin-style prefix filtering, Xiao et al.): shingles are
+    *     globally ordered rarest-first, and a doc qualifying at
+    *     threshold `t` must share a shingle within its first
+    *     `k - ceil(t·n) + 1` ordered shingles (any pair with
+    *     `J ≥ t` has intersection `≥ t·n` of EACH side, since
+    *     `I(1+t) ≥ t(na+nb) ≥ t(na+I)`), so candidate generation
+    *     touches a fraction of the postings and exact verification via
+    *     `array_intersect` runs only on surviving candidates. At `t = 0`
+    *     every co-occurring pair qualifies by definition and prefix
+    *     filtering degenerates, so the plain postings join is used.
+    *     Both paths produce IDENTICAL output for the same `threshold`
+    *     (asserted by DedupSpec). */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -386,17 +402,48 @@ object Dedup {
     val posting = sh.select(col("id"), col("n_shingles"),
       explode(col("shingles")).as("shingle")).persist()
     posting.count() // materialize once
-    val freqOk = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq)
-    val filtered = posting.join(freqOk.select("shingle"), Seq("shingle"))
-    val a = filtered.select(col("shingle"), col("id").as("id_a"), col("n_shingles").as("na"))
-    val b = filtered.select(col("shingle"), col("id").as("id_b"), col("n_shingles").as("nb"))
-    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    if (threshold <= 0) {
+      val filtered = posting.join(dfreq.select("shingle"), Seq("shingle"))
+      val a = filtered.select(col("shingle"), col("id").as("id_a"), col("n_shingles").as("na"))
+      val b = filtered.select(col("shingle"), col("id").as("id_b"), col("n_shingles").as("nb"))
+      a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val kept = posting.join(dfreq, Seq("shingle")) // shingle, id, n_shingles, df
+      // global rarest-first order; rank within each doc
+      val byDoc = Window.partitionBy("id")
+      val ranked = kept
+        .withColumn("rank", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
+        .withColumn("ka", count(lit(1)).over(byDoc))
+      // Imin = ceil(t·n_shingles); prefix = first ka - Imin + 1 shingles.
+      // Docs where Imin > ka can never qualify and emit no prefix rows.
+      val prefix = ranked.filter(col("rank") <=
+        col("ka") - ceil(lit(threshold) * col("n_shingles")) + 1)
+      val cand = prefix.select(col("shingle"), col("id").as("id_a"))
+        .join(prefix.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      // exact verification on the kept-shingle sets of candidates only
+      val keptSets = kept.groupBy("id", "n_shingles")
+        .agg(collect_list("shingle").as("kept_set"))
+      cand
+        .join(keptSets.select(col("id").as("id_a"), col("n_shingles").as("na"),
+          col("kept_set").as("sa")), Seq("id_a"))
+        .join(keptSets.select(col("id").as("id_b"), col("n_shingles").as("nb"),
+          col("kept_set").as("sb")), Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 }

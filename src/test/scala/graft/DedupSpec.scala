@@ -36,6 +36,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("jaccardPairs prefix-filtered path (t>0) == postings path, on real documents") {
+    // the t=0 postings path filtered post-hoc is the ground truth; the
+    // prefix-filtered path must produce the IDENTICAL pair set — prefix
+    // filtering is a candidate-pruning step, not an approximation
+    val docs001 = Tables.documents(spark, sf())
+    val t = 0.3
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))
+    val truth = Dedup.jaccardPairs(docs001, "doc_id", "text",
+        n = 3, threshold = 0.0, maxShingleFreq = 100)
+      .filter(col("jaccard") >= t).collect().map(key).toSet
+    val pref = Dedup.jaccardPairs(docs001, "doc_id", "text",
+        n = 3, threshold = t, maxShingleFreq = 100)
+      .collect().map(key).toSet
+    assert(truth.nonEmpty, "fixture should produce at least one qualifying pair")
+    assert(pref == truth,
+      s"prefix path lost ${(truth -- pref).size} / invented ${(pref -- truth).size} pairs")
+  }
+
   test("minhash est_jaccard approximates true jaccard; LSH finds exact dups") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, numPerm = 32, bands = 8, threshold = 0.0)
