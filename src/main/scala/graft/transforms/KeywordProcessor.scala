@@ -24,13 +24,25 @@ import graft.model.Point
   *     "int" truncates, "float" passes through, "bool" maps falsy strings
   *     ("", "0", "false", "f") to 0
   *   - `keyword_tags`: the value at a configured index becomes a tag on
-  *     every sibling point of the same keyword instance (tron.py:86-97) —
-  *     row-scoped here, no shuffle, because one input row carries the
-  *     whole keyword
+  *     every sibling point of the same keyword instance (tron.py:86-97)
   *
   * Numeric results land in `fields`; non-numeric, uncast values land in
   * `fields_str` (the dual-map model of SURVEY.md §7.4 #2 — the reference
   * ships heterogeneous dicts to InfluxDB, we keep both typed views).
+  *
+  * ==Execution shape==
+  * One input row carries the WHOLE keyword, so every derived quantity —
+  * the positional counter over parseable values, the keyword-tag lookup —
+  * is row-scoped. It is therefore computed in the ARRAY domain
+  * (`transform`/`filter` over `values` BEFORE the explode), not with
+  * `Window.partitionBy(actor, keyword, recv_time)` over exploded rows:
+  * the window form forced a shuffle for row-local semantics and made the
+  * transform illegal on streaming DataFrames. This form is shuffle-FREE
+  * and streaming-safe, so the full S10 chain
+  * (`reassembleLines → ActorReplies.parse → process → sink`) runs as one
+  * continuous streaming pipeline (asserted by ActorRepliesSpec). The
+  * interpreted-HOF cost is bounded by values-per-keyword (≤ tens), not
+  * corpus size — this is the ingest path, not the analytics hot path.
   */
 object KeywordProcessor {
 
@@ -50,77 +62,83 @@ object KeywordProcessor {
     val castsCol = litMap(casts)
     val ktIndex = litMap(keywordTags.map { case (k, v) => k -> v.index.toString })
     val ktName = litMap(keywordTags.map { case (k, v) => k -> v.name })
+    val baseTags = litMap(tags)
+
+    val nValues = size(col("values"))
+    def parseableOf(kv: Column): Column =
+      kv.getField("pvt").isNull || size(kv.getField("pvt")) === 3
+
+    // Per-element derivation, entirely in the array domain. `ii` is the
+    // positional counter over PARSEABLE predecessors (tron.py:70-72
+    // increments only for appended points): count of parseable elements
+    // in the prefix values[0..i-1].
+    val derived = transform(col("values"), (kv, i) => {
+      val ii = size(filter(slice(col("values"), lit(1), i), e => parseableOf(e)))
+      val keyName = when(kv.getField("name").isNotNull && kv.getField("name") =!= "",
+          concat(lit("_"), kv.getField("name")))
+        .when(nValues === 1, lit(""))
+        .otherwise(concat(lit("_"), ii))
+      val fieldBase = concat(col("keyword"), keyName)
+      val castKey = concat(col("actor"), lit("."), fieldBase)
+      val cast = element_at(castsCol, castKey)
+      val rawVal = kv.getField("value")
+      // try_cast semantics: malformed numerics become null (routed to
+      // fields_str) instead of failing the job under ANSI mode
+      val numericVal = when(
+        rawVal.rlike("^[+-]?([0-9]*\\.)?[0-9]+([eE][+-]?[0-9]+)?$"),
+        rawVal.cast(DoubleType))
+      val castVal = when(cast === "int", numericVal.cast(IntegerType).cast(DoubleType))
+        .when(cast === "float", numericVal)
+        .when(cast === "bool",
+          when(lower(rawVal).isin("", "0", "false", "f"), 0.0).otherwise(1.0))
+        .otherwise(numericVal)
+      struct(
+        i.as("idx"),
+        parseableOf(kv).as("parseable"),
+        fieldBase.as("field_base"),
+        rawVal.as("raw"),
+        kv.getField("units").as("units"),
+        kv.getField("pvt").as("pvt"),
+        castVal.as("cast_val"),
+        coalesce(castVal.cast(StringType), rawVal).as("ktv"))
+    })
+
+    // keyword_tags: the parseable element at the configured index; `get`
+    // (0-based, null on out-of-bounds) keeps the lookup ANSI-safe when no
+    // element matches.
+    val ktKey = concat(col("actor"), lit("."), col("keyword"))
+    val ktMatch = get(filter(col("derived"), d =>
+      d.getField("parseable") &&
+        d.getField("idx").cast(StringType) === element_at(ktIndex, ktKey)), lit(0))
 
     val exploded = df
-      .withColumn("n_values", size(col("values")))
-      .select(col("actor"), col("keyword"), col("recv_time"), col("n_values"),
-        posexplode(col("values")).as(Seq("idx", "kv")))
-      // positional counter over parseable values: scalars and PVTs emit,
-      // other arrays are skipped BEFORE the counter increments (tron.py:70-72
-      // increments ii only for appended points)
-      .withColumn("parseable", col("kv.pvt").isNull || size(col("kv.pvt")) === 3)
-      .withColumn("ii", sum(when(col("parseable"), 1).otherwise(0))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy("actor", "keyword", "recv_time")
-          .orderBy("idx")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
-      .withColumn("ii", coalesce(col("ii"), lit(0)))
-      .filter(col("parseable"))
+      .withColumn("derived", derived)
+      .withColumn("kt_value", ktMatch.getField("ktv"))
+      .withColumn("kt_name", element_at(ktName, ktKey))
+      .select(col("actor"), col("keyword"), col("recv_time"),
+        col("kt_value"), col("kt_name"),
+        explode(filter(col("derived"), _.getField("parseable"))).as("d"))
 
-    val keyName = when(col("kv.name").isNotNull && col("kv.name") =!= "",
-        concat(lit("_"), col("kv.name")))
-      .when(col("n_values") === 1, lit(""))
-      .otherwise(concat(lit("_"), col("ii")))
-
-    val withKey = exploded
-      .withColumn("key_name", keyName)
-      .withColumn("field_base", concat(col("keyword"), col("key_name")))
-      .withColumn("cast_key", concat(col("actor"), lit("."), col("field_base")))
-      .withColumn("cast", element_at(castsCol, col("cast_key")))
-
-    val rawVal = col("kv.value")
-    // try_cast semantics: malformed numerics become null (routed to
-    // fields_str) instead of failing the job under ANSI mode
-    val numericVal = when(
-      rawVal.rlike("^[+-]?([0-9]*\\.)?[0-9]+([eE][+-]?[0-9]+)?$"),
-      rawVal.cast(DoubleType))
-    val castVal = when(col("cast") === "int", numericVal.cast(IntegerType).cast(DoubleType))
-      .when(col("cast") === "float", numericVal)
-      .when(col("cast") === "bool",
-        when(lower(rawVal).isin("", "0", "false", "f"), 0.0).otherwise(1.0))
-      .otherwise(numericVal)
-
-    val isPvt = col("kv.pvt").isNotNull && size(col("kv.pvt")) === 3
+    val d = col("d")
+    val isPvt = d.getField("pvt").isNotNull && size(d.getField("pvt")) === 3
     val fields = when(isPvt, map(
-        concat(col("field_base"), lit("_P")), col("kv.pvt").getItem(0),
-        concat(col("field_base"), lit("_V")), col("kv.pvt").getItem(1),
-        concat(col("field_base"), lit("_T")), col("kv.pvt").getItem(2)))
-      .when(castVal.isNotNull, map(col("field_base"), castVal))
+        concat(d.getField("field_base"), lit("_P")), d.getField("pvt").getItem(0),
+        concat(d.getField("field_base"), lit("_V")), d.getField("pvt").getItem(1),
+        concat(d.getField("field_base"), lit("_T")), d.getField("pvt").getItem(2)))
+      .when(d.getField("cast_val").isNotNull, map(d.getField("field_base"), d.getField("cast_val")))
       .otherwise(map().cast(MapType(StringType, DoubleType)))
-    val fieldsStr = when(!isPvt && castVal.isNull && rawVal.isNotNull,
-        map(col("field_base"), rawVal))
+    val fieldsStr = when(!isPvt && d.getField("cast_val").isNull && d.getField("raw").isNotNull,
+        map(d.getField("field_base"), d.getField("raw")))
       .otherwise(map().cast(MapType(StringType, StringType)))
 
-    // keyword_tags: value at the configured index, broadcast to all sibling
-    // points of the same (actor, keyword, recv_time) row via a window max
-    // (one row in the frame matches, the rest are null)
-    val ktKey = concat(col("actor"), lit("."), col("keyword"))
-    val tagAtIdx = when(element_at(ktIndex, ktKey) === col("idx").cast(StringType),
-      coalesce(castVal.cast(StringType), rawVal))
-    val withKt = withKey
-      .withColumn("kt_value", max(tagAtIdx).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("actor", "keyword", "recv_time")))
-      .withColumn("kt_name", element_at(ktName, ktKey))
-
-    val baseTags = litMap(tags)
-    val unitTags = when(col("kv.units").isNotNull && col("kv.units") =!= "",
-        map(lit("units"), col("kv.units")))
+    val unitTags = when(d.getField("units").isNotNull && d.getField("units") =!= "",
+        map(lit("units"), d.getField("units")))
       .otherwise(map().cast(MapType(StringType, StringType)))
     val ktTags = when(col("kt_value").isNotNull && col("kt_name").isNotNull,
         map(col("kt_name"), col("kt_value")))
       .otherwise(map().cast(MapType(StringType, StringType)))
 
-    withKt.select(
+    exploded.select(
       col("actor").as(Point.Measurement),
       map_concat(baseTags, unitTags, ktTags).as(Point.Tags),
       fields.as(Point.Fields),

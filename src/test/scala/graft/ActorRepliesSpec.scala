@@ -50,6 +50,34 @@ class ActorRepliesSpec extends SparkSpec {
     assert(dict.get("nope").isEmpty)
   }
 
+  test("S10 chain runs as ONE continuous streaming pipeline") {
+    // possible because KeywordProcessor is window-free (array-domain
+    // derivation): stateful reassembly → parser → keyword processor →
+    // sink, all inside a single streaming query
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Chunk]
+    val lines = StatefulOps.reassembleLines(in.toDS())
+    // local val: closing over the suite field would capture (and fail to
+    // serialize) the whole ScalaTest suite
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val replies = lines.map(l => ReplyLine(l.line, ts))
+    val points = KeywordProcessor.process(ActorReplies.parse(replies, dict).toDF())
+    val q = points.writeStream.queryName("s10_stream").format("memory")
+      .outputMode("append").start()
+    try {
+      in.addData(Chunk("boss", 0, "12 1 i ccdTemp=-103.2\n"))
+      q.processAllAvailable()
+      in.addData(Chunk("boss", 1, "12 1 : exposureState=READING,7.5\n"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM s10_stream").collect()
+      assert(rows.length == 3, s"1 ccdTemp + 2 exposureState values, got ${rows.length}")
+      val fields = rows.flatMap(_.getAs[Map[String, Double]]("fields")).toMap
+      assert(fields == Map("ccdTemp" -> -103.2, "exposureState_remaining" -> 7.5))
+      val strs = rows.flatMap(_.getAs[Map[String, String]]("fields_str")).toMap
+      assert(strs == Map("exposureState_state" -> "READING"))
+    } finally q.stop()
+  }
+
   test("S10 chain: reassembleLines → parse → KeywordProcessor.process") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Chunk]
