@@ -1,9 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.control.EngineConfig.SourceConf
+import graft.transforms.KeywordProcessor
 
 /** Config-driven streaming source: a raw-reply spool directory (what a
   * [[PollingSource]] writes, or any external process appending
@@ -18,6 +19,42 @@ final case class SpoolSource(conf: SourceConf) extends TelemetrySource {
   private def opt(key: String): Option[String] = conf.options.get(key).map(_.toString)
   private def req(key: String): String =
     opt(key).getOrElse(throw new IllegalArgumentException(s"$name: missing option '$key'"))
+
+  /** YAML keys dictionary → [[ActorReplies.KeysDictionary]] key defs:
+    * {{{
+    * dictionary:
+    *   exposureState:
+    *     - {name: state, type: string}
+    *     - {name: remaining, type: float, units: s}
+    *   motion:
+    *     - {name: pos, type: pvt, units: deg}
+    * }}} */
+  private def dictionaryConf: Map[String, ActorReplies.KeyDef] =
+    conf.options.get("dictionary").map(_.asInstanceOf[Map[String, Any]].map {
+      case (kw, slots) => kw -> ActorReplies.KeyDef(
+        slots.asInstanceOf[List[Any]].map { s =>
+          val m = s.asInstanceOf[Map[String, Any]]
+          val nm = m.get("name").map(_.toString).getOrElse("")
+          val un = m.get("units").map(_.toString).getOrElse("")
+          m.get("type").map(_.toString).getOrElse("string") match {
+            case "float" => ActorReplies.FloatType(nm, un)
+            case "int" => ActorReplies.IntType(nm, un)
+            case "bool" => ActorReplies.BoolType(nm, un)
+            case "pvt" => ActorReplies.PvtType(nm, un)
+            case _ => ActorReplies.StringType(nm, un)
+          }
+        })
+    }).getOrElse(Map.empty)
+
+  /** `keyword_tags: {actor.keyword: {index: N, name: tag}}` (reference
+    * kwarg shape, tron.py:274-280). */
+  private def keywordTagsConf: Map[String, KeywordProcessor.KeywordTagConf] =
+    conf.options.get("keyword_tags").map(_.asInstanceOf[Map[String, Any]].map {
+      case (k, v) =>
+        val m = v.asInstanceOf[Map[String, Any]]
+        k -> KeywordProcessor.KeywordTagConf(
+          m("index").toString.toInt, m("name").toString)
+    }).getOrElse(Map.empty)
 
   def stream(spark: SparkSession): DataFrame = {
     val raw = spark.readStream
@@ -40,6 +77,26 @@ final case class SpoolSource(conf: SourceConf) extends TelemetrySource {
         opt("channels").map(_.toInt).getOrElse(16), b)
       case "check_file_exists" => Parsers.fileExists(raw, req("file"), b)
       case "tpm" => Parsers.tpmSnapshot(raw, b)
+      // S10 from YAML: each spool line is one complete actor reply
+      // (PollingSource escapes embedded newlines, so no reassembly step
+      // is needed here); the full reply → typed keywords → points chain
+      // runs inside this one streaming DataFrame (KeywordProcessor is
+      // window-free). Reference shape: ActorClientSource(actor, casts,
+      // keyword_tags, store_broadcasts) + the keys dictionary
+      // (tron.py:289-321).
+      case "actor_replies" =>
+        val dict = ActorReplies.KeysDictionary(req("actor"), dictionaryConf)
+        val replies = raw
+          .select(col("raw").as("line"), col("recv_time"))
+          .as[ActorReplies.ReplyLine](Encoders.product[ActorReplies.ReplyLine])
+        KeywordProcessor.process(
+          ActorReplies.parse(replies, dict,
+            storeBroadcasts = opt("store_broadcasts").exists(_.toBoolean)).toDF(),
+          keywordTags = keywordTagsConf,
+          casts = conf.options.get("casts")
+            .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
+            .getOrElse(Map.empty),
+          bucket = b)
       case other => throw new IllegalArgumentException(s"$name: unknown parser '$other'")
     }
   }

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import graft.control.{Engine, EngineConfig}
 import graft.sources.Backoff
 
@@ -71,6 +71,42 @@ class EngineSpec extends SparkSpec {
       assert(tags == Map("a" -> "1", "src" -> "replay1", "site" -> "APO"))
       assert(row.getAs[String]("bucket") == "b1")
       assert(engine.status == Map("mem1" -> true))
+    } finally engine.stopAll()
+  }
+
+  test("config-driven actor_replies source: YAML dictionary -> typed points") {
+    val dir = Files.createTempDirectory("graft-actor-spool-").toString
+    val work = Files.createTempDirectory("graft-actor-work-").toString
+    // spool lines are raw\tepochMillis (what PollingSource writes); one
+    // good reply + one broadcast (commandId=0, dropped by default)
+    Files.write(Paths.get(dir, "boss-0.txt"), Seq(
+      "12 1 i ccdTemp=-103.2\t1700000000000",
+      "0 1 i ccdTemp=999.9\t1700000000000").mkString("\n").getBytes("UTF-8"))
+    val cfg = EngineConfig.parse(
+      s"""
+         |sources:
+         |  boss_client:
+         |    type: spool
+         |    parser: actor_replies
+         |    actor: boss
+         |    path: $dir
+         |    dictionary:
+         |      ccdTemp:
+         |        - {type: float, units: degC}
+         |observers:
+         |  mema: {type: memory}
+         |""".stripMargin)
+    val engine = new Engine(spark)
+    engine.start(cfg, work)
+    try {
+      spark.streams.active.filter(_.name == "mema").foreach(_.processAllAvailable())
+      val rows = spark.sql("SELECT * FROM mema").collect()
+      assert(rows.length == 1, s"broadcast must be dropped: ${rows.toSeq}")
+      val r = rows(0)
+      assert(r.getAs[String]("measurement") == "boss")
+      assert(r.getAs[Map[String, Double]]("fields") == Map("ccdTemp" -> -103.2))
+      assert(r.getAs[Map[String, String]]("tags") == Map("units" -> "degC"))
+      assert(r.getAs[java.sql.Timestamp]("time").getTime == 1700000000000L)
     } finally engine.stopAll()
   }
 
