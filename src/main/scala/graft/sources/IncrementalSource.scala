@@ -101,6 +101,22 @@ private[graft] final class SpoolTracker(
     }
   }
 
+  /** Spool files that may hold rows with ts > `afterTs`: a file whose
+    * cached maxTs is at or below the threshold cannot contribute (maxTs
+    * bounds every row), so steady-state micro-batches plan partitions
+    * ONLY for files with new data instead of rescanning the whole spool
+    * on the executors. Files not in the cache (fresh stream resume, file
+    * appeared mid-trigger) are included conservatively — the reader
+    * filters by ts anyway, so pruning is an optimization, never a
+    * correctness gate. */
+  def filesNewerThan(afterTs: Long): Seq[File] =
+    IncrementalSource.listFiles(path).filter { f =>
+      cache.get(f.getAbsolutePath) match {
+        case Some((len, ts)) if len == f.length() => ts > afterTs
+        case _ => true
+      }
+    }
+
   /** Current max event ts across the spool; file-metadata-only for files
     * whose length is unchanged since the previous call. */
   def maxTs(): Long = {
@@ -170,7 +186,9 @@ final class IncrementalStream(path: String) extends MicroBatchStream {
     val s = start.asInstanceOf[TsOffset].ts
     val e = end.asInstanceOf[TsOffset].ts
     if (e <= s) Array.empty
-    else IncrementalSource.listFiles(path)
+    // prune files whose known maxTs <= start: they cannot hold rows in
+    // (start, end], so executors scan only files with new data
+    else tracker.filesNewerThan(s)
       .map(f => JsonlRangePartition(f.getAbsolutePath, s, e): InputPartition).toArray
   }
 

@@ -75,6 +75,31 @@ class IncrementalSourceSpec extends SparkSpec {
     assert(linesRead == 6)
   }
 
+  test("filesNewerThan prunes files whose cached maxTs is at or below the offset") {
+    val dir = Files.createTempDirectory("graft-inc4-").toString
+    writeJsonl(dir, "a.jsonl", Seq((1000L, "temp", 1.0), (2000L, "temp", 2.0)))
+    writeJsonl(dir, "b.jsonl", Seq((1500L, "hum", 3.0)))
+    val tracker = new graft.sources.SpoolTracker(dir)
+
+    // cache not yet populated -> conservative: everything included
+    assert(tracker.filesNewerThan(10000L).map(_.getName) == Seq("a.jsonl", "b.jsonl"))
+
+    tracker.maxTs() // populate cache: a -> 2000, b -> 1500
+    // steady state at offset 2000: no file can contribute -> empty plan
+    assert(tracker.filesNewerThan(2000L).isEmpty)
+    // offset 1500: only a has rows beyond it
+    assert(tracker.filesNewerThan(1500L).map(_.getName) == Seq("a.jsonl"))
+
+    // b grows but maxTs() hasn't run yet -> length mismatch, included
+    // conservatively even though its cached ts is stale
+    writeJsonl(dir, "b.jsonl", Seq((1500L, "hum", 3.0), (9000L, "hum", 4.0)))
+    assert(tracker.filesNewerThan(2000L).map(_.getName) == Seq("b.jsonl"))
+
+    // new file never seen -> included
+    writeJsonl(dir, "c.jsonl", Seq((500L, "temp", 0.5)))
+    assert(tracker.filesNewerThan(2000L).map(_.getName).toSet == Set("b.jsonl", "c.jsonl"))
+  }
+
   test("timestamps arrive as proper TimestampType") {
     val dir = Files.createTempDirectory("graft-inc2-").toString
     val ckpt = Files.createTempDirectory("graft-inc2-ckpt-").toString
