@@ -1161,6 +1161,47 @@ object Queries {
       FROM sessions GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
+  /** Banded LSH planes for q51 as literal SQL rows `(band, bit, plane)`:
+    * 32 seed-42 hyperplanes split into 8 bands × 4 bits, replayed in the
+    * oracle via the same literal-array technique as q30 (shortest-roundtrip
+    * doubles; bucket bits compare only the sign of v·plane). */
+  private lazy val nearDupPlaneValuesSql: String =
+    Similarity.hyperplanes(numPlanes = 32, dim = 64, seed = 42L).zipWithIndex
+      .map { case (p, idx) => s"(${idx / 4}, ${idx % 4}, [${p.mkString(", ")}])" }
+      .mkString(",\n          ")
+
+  // threshold 0.4: the synthetic embeddings are near-orthogonal gaussians
+  // (max pairwise cos ~0.6), so "near-dup" here means the top of that
+  // distribution; on a real corpus the same operator runs at 0.9+ where
+  // banded LSH is sharply selective.
+  val q51_embedding_neardup = Q("q51_embedding_neardup",
+    (s, dir) => Similarity.nearDupPairs(
+        embeddings(s, dir).select(col("vec_id").as("id"),
+          Similarity.asDouble(col("embedding")).as("vec")),
+        threshold = 0.4, bandPlanes = 4, numBands = 8, dim = 64)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH planes(band, i, p) AS (VALUES
+          $nearDupPlaneValuesSql),
+      e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bb AS (
+        SELECT id, band,
+          SUM(CASE WHEN list_inner_product(v, p) > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+        FROM e, planes GROUP BY id, band),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+      scored AS (
+        SELECT id_a, id_b,
+          list_inner_product(ea.v, eb.v) /
+            (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) AS cos
+        FROM cand
+        JOIN e ea ON ea.id = cand.id_a
+        JOIN e eb ON eb.id = cand.id_b)
+      SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
+      WHERE cos >= 0.4 ORDER BY id_a, id_b"""))
+
   /** Registry: every query, in order. */
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
@@ -1176,5 +1217,5 @@ object Queries {
     q40_dedup_survivors, q41_multimodal_features, q42_set_ops,
     q43_ann_topk_agg, q44_dedup_clusters, q45_embedding_centroid,
     q46_text_subwords, q47_corpus_filter, q48_range_join,
-    q49_wind_pipeline, q50_sessionize)
+    q49_wind_pipeline, q50_sessionize, q51_embedding_neardup)
 }

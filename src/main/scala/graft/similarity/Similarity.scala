@@ -103,6 +103,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine NEAR-DUPLICATE pairs — the embedding member of the
+    * dedup family (exact / MinHash / SimHash / Jaccard / this): all pairs
+    * with `cosine >= threshold`, found via banded multi-table hyperplane
+    * LSH (OR-amplification). Each of `numBands` bands hashes a vector
+    * with its own `bandPlanes` hyperplanes; a pair is a candidate iff it
+    * shares a bucket in ANY band, so recall is
+    * `1 - (1 - p^bandPlanes)^numBands` with `p = 1 - acos(cos)/π` —
+    * tune bands up for recall, planes up for selectivity. Candidates are
+    * deduped (`distinct` on the id pair) BEFORE the exact cosine
+    * verification, so each surviving pair is scored exactly once.
+    *
+    * Scale shape: one explode (`numBands` rows per vector, ids only — no
+    * vector payload through the band shuffle), an equi-join on
+    * `(band, bucket)`, a distinct over candidate id pairs, then two
+    * broadcast-or-shuffle hash joins to fetch the two vectors for the
+    * codegen'd [[graft.functions.VectorFunctions.cosineFast]] check.
+    * Nothing materializes the all-pairs product; per-bucket join fan-out
+    * is the standard LSH cost, bounded by bucket selectivity
+    * (`2^bandPlanes` buckets per band). */
+  def nearDupPairs(
+      vectors: DataFrame, // (id, vec: array<double>)
+      threshold: Double,
+      bandPlanes: Int = 4,
+      numBands: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bandPlanes * numBands, dim, seed)
+    val bucketCols = (0 until numBands).map { t =>
+      val bandPl = planes.slice(t * bandPlanes, (t + 1) * bandPlanes)
+      struct(lit(t).as("band"), lshBucket(col("vec"), bandPl).as("bucket"))
+    }
+    val banded = vectors
+      .select(col("id"), explode(array(bucketCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(vectors.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(vectors.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosineFast(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** IVF (inverted file) ANN: deterministic "training" picks the first
     * `nlist` candidate vectors (by id) as centroids; every vector is
     * assigned to its nearest centroid (one broadcast pass); a query scores

