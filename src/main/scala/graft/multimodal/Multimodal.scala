@@ -87,6 +87,34 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Resize plumbing for images: per-item transform producing a new
+    * payload + target dimensions, streamed per partition like
+    * [[extractFeatures]]. The pixel math is the STUB (real resize = swap
+    * the body for an image lib call; schema, null handling and batch
+    * shape stay fixed): the stub payload is the first
+    * `min(n, targetW*targetH)` input bytes, deterministic so tests can
+    * assert exact output. Non-image rows pass through untouched with
+    * null target dims — resize composes with mixed-kind media tables. */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "kind", "content").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val kind = r.getString(1)
+        val content = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        if (kind != "image" || content == null) Row(id, kind, content, null, null)
+        else Row(id, kind, content.take(math.min(content.length, targetW * targetH)),
+          targetW, targetH)
+      }
+    }(encoder)
+  }
+
   /** Frame-sampling plumbing for video: emit one row per sampled frame
     * index (the decode itself is the stub). Generator-only — no shuffle. */
   def sampleFrames(media: DataFrame, everyNth: Int, maxFrames: Int): DataFrame =

@@ -35,6 +35,19 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1))
   }
 
+  test("resizeImages: images get payload + target dims, non-images pass through") {
+    val r = Multimodal.resizeImages(media, targetW = 2, targetH = 3)
+      .orderBy("media_id").collect()
+    assert(r.length == 3)
+    assert(r(0).getAs[Array[Byte]]("content").toSeq ==
+      "fakejp".getBytes("UTF-8").toSeq) // min(13, 2*3) stub bytes
+    assert(r(0).getAs[Int]("width") == 2 && r(0).getAs[Int]("height") == 3)
+    assert(r(1).getString(1) == "audio" &&
+      r(1).getAs[Array[Byte]]("content").length == 2500) // untouched
+    assert(r(1).isNullAt(3) && r(1).isNullAt(4))
+    assert(r(2).isNullAt(2)) // null payload survives
+  }
+
   test("repartitionForDecode sizes partitions by payload bytes") {
     val parts = Multimodal.repartitionForDecode(media, totalBytes = 4L << 30,
       targetBytesPerPartition = 1L << 30)
