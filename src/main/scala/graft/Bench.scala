@@ -27,6 +27,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    // comma-separated query-name filter for profiling single queries;
+    // unset = the full suite (the driver's contract)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val suite = only.fold(Queries.all)(names => Queries.all.filter(q => names(q.name)))
     val spark = GraftSession.get(s"local[$cpus]", 32)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -41,7 +45,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // Untimed full pass: codegen + JIT for every query's plan.
-    Queries.all.foreach(runOnce)
+    suite.foreach(runOnce)
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     // NO System.gc() between passes: a full GC unloads JIT'd codegen
@@ -50,15 +54,15 @@ object Bench {
     // ~7s steady-state). G1 self-regulates fine with the pinned heap;
     // the median across interleaved passes sheds any residual outlier.
     (1 to reps).foreach { _ =>
-      Queries.all.foreach(q => times(q.name) :+= runOnce(q))
+      suite.foreach(q => times(q.name) :+= runOnce(q))
     }
     // per-pass rep times on stderr for harness diagnosis (not part of
     // the one-line JSON contract on stdout)
-    Queries.all.foreach { q =>
+    suite.foreach { q =>
       System.err.println(s"[bench-reps] ${q.name}: " +
         times(q.name).map(t => f"$t%.2f").mkString(" "))
     }
-    val results = Queries.all.map { q =>
+    val results = suite.map { q =>
       val sorted = times(q.name).sorted
       q.name -> sorted(sorted.length / 2)
     }.toMap

@@ -396,11 +396,21 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       maxShingleFreq: Long = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shingles"))
-      .withColumn("n_shingles", size(col("shingles")))
-    // persisted: feeds the document-frequency aggregate AND both join sides
-    val posting = sh.select(col("id"), col("n_shingles"),
-      explode(col("shingles")).as("shingle")).persist()
+    // Codegen generator shape via [[shinglePosting]], NOT the interpreted
+    // `shingles()` array HOF: the HOF ran the whole corpus's shingle
+    // derivation as interpreted expressions inside the scan stage (one
+    // task at small file counts — 4 s single-threaded at sf0.1, with
+    // multi-10 s outliers when its allocation storm forced a full GC that
+    // dropped codegen classes). shinglePosting stays inside whole-stage
+    // codegen and fans out across shuffle partitions; its id partitioning
+    // then feeds the distinct and the n_shingles window exchange-free.
+    import org.apache.spark.sql.expressions.Window
+    val posting = shinglePosting(df, idCol, textCol, n)
+      .dropDuplicates("id", "s") // set semantics; no exchange (id subset)
+      .withColumnRenamed("s", "shingle")
+      .withColumn("n_shingles",
+        count(lit(1)).over(Window.partitionBy("id"))) // sort only, no exchange
+      .persist()
     posting.count() // materialize once
     val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq)
