@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.{CosineSim, HammingDist}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist}
 
 /** Public facade for the codegen'd vector/fingerprint expressions
   * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
@@ -13,12 +13,16 @@ import org.apache.spark.sql.graft.{CosineSim, HammingDist}
   * available both in SQL text and through these Column helpers. */
 object VectorFunctions {
   def cosineFast(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def dotFast(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def hammingDist(a: Column, b: Column): Column = call_function("hamming_dist", a, b)
 
   private[functions] def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[HammingDist].getName, "hamming_dist"),
       (children: Seq[Expression]) => HammingDist(children(0), children(1))),

@@ -73,11 +73,16 @@ object Similarity {
 
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id: bit i is the
     * sign of `v · plane_i`. Vectors in the same bucket are likely cosine
-    * neighbors. */
+    * neighbors. Uses the codegen'd `dot_product` expression — the
+    * interpreted `aggregate`/`zip_with` fold ran one boxed lambda per
+    * element, which dominated bucket assignment once plane counts grew
+    * (32 planes × dim 64 per row in [[nearDupPairs]]); both forms are
+    * bit-identical left-to-right sums, so sign decisions are unchanged. */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      when(dot(v, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(graft.functions.VectorFunctions.dotFast(v, planeCol) > 0,
+        lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed ANN: score only candidates sharing the query's bucket.
@@ -134,7 +139,12 @@ object Similarity {
       val bandPl = planes.slice(t * bandPlanes, (t + 1) * bandPlanes)
       struct(lit(t).as("band"), lshBucket(col("vec"), bandPl).as("bucket"))
     }
-    val banded = vectors
+    // repartition(id) so the 32 plane dots per vector run fanned across
+    // shuffle partitions, not inside a near-serial scan stage (small
+    // file counts = few input splits); the verification joins reuse the
+    // same exchange
+    val v = vectors.repartition(col("id"))
+    val banded = v
       .select(col("id"), explode(array(bucketCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -143,8 +153,8 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(vectors.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
-      .join(vectors.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .join(v.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorFunctions.cosineFast(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)

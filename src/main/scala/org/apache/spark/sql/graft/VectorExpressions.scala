@@ -69,6 +69,50 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd dot product over two `ARRAY<DOUBLE>` columns. Same single
+  * left-to-right accumulation as [[CosineSim]]'s dot term — bit-identical
+  * to both the `zip_with`+`aggregate` fold it replaces and the oracle's
+  * `list_inner_product`, so hyperplane sign decisions (LSH buckets) are
+  * engine-independent. Null if either input is null. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    require(ys.numElements() == n, s"dot_product: length mismatch $n vs ${ys.numElements()}")
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += xs.getDouble(i) * ys.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd Hamming distance between two 64-bit fingerprints. */
 case class HammingDist(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

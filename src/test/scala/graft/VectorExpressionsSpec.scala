@@ -22,6 +22,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(withNull(0).isNullAt(0))
   }
 
+  test("dot_product: bit-identical to the HOF fold, null-safe") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.9, 0.3, 0.7), Seq(-0.5, 0.2, 0.8, 0.05))
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dotFast(col("a"), col("b")).as("fast"),
+      Similarity.dot(col("a"), col("b")).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // BIT-identical
+    assert(rows(0).getDouble(0) == 32.0)
+    val withNull = Seq((Seq(1.0), null: Seq[Double])).toDF("a", "b")
+      .select(VectorFunctions.dotFast(col("a"), col("b"))).collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
   test("SQL registration via SparkSessionExtensions: cosine_sim / hamming_dist") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
