@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cast float embedding to double for deterministic IEEE math. */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast float embedding to double for deterministic IEEE math. Native
+    * array cast, not `transform(_.cast)`: Cast is codegen'd while the
+    * HOF lambda evaluates interpreted per element — in the scan stage,
+    * where split counts bound parallelism. Float→double widening is
+    * exact either way. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** Dot product: left-to-right fold of pairwise products. */
   def dot(a: Column, b: Column): Column =
