@@ -70,4 +70,28 @@ class PlanShapeSpec extends SparkSpec {
   test("q36: window(ts) bucketing partial-aggregates map-side") {
     assert(plan("q36_time_bucket").contains("partial_"))
   }
+
+  test("jaccard posting build: one id exchange feeds distinct + count window exchange-free") {
+    // The scaladoc claims the dropDuplicates(id, s) and the n_shingles
+    // window ride shinglePosting's repartition(id) without new shuffles
+    // (ClusteredDistribution subset rule). Count the exchanges BELOW the
+    // persist boundary: exactly one (the repartition itself).
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf())
+    val posting = dedup.Dedup.shinglePosting(docs, "doc_id", "text", 3)
+      .dropDuplicates("id", "s")
+      .withColumn("n_shingles",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
+    val p = posting.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"posting build must shuffle once (the repartition), got:\n$p")
+    assert(p.contains("Window"), "n_shingles window present")
+  }
+
+  test("q51: LSH buckets use the codegen dot_product, no interpreted HOF fold") {
+    val p = plan("q51_embedding_neardup")
+    assert(p.contains("dot_product"), "bucket bits must use the native expression")
+    assert(!p.contains("aggregate(zip_with"), "no interpreted fold in the bucket path")
+    assert(p.contains("cosine_sim"), "verification uses the codegen expression")
+  }
 }
