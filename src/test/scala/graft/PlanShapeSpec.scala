@@ -77,6 +77,10 @@ class PlanShapeSpec extends SparkSpec {
     // (ClusteredDistribution subset rule). Count the exchanges BELOW the
     // persist boundary: exactly one (the repartition itself).
     import org.apache.spark.sql.functions._
+    // earlier suites persist this very plan (jaccardPairs' guard);
+    // a cache hit would swap in InMemoryTableScan and the plan dump
+    // would count the cached relation's exchanges too
+    spark.catalog.clearCache()
     val docs = Tables.documents(spark, sf())
     val posting = dedup.Dedup.shinglePosting(docs, "doc_id", "text", 3)
       .dropDuplicates("id", "s")
