@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   *  1. a table-scan warmup (parquet footers + JVM classloading),
   *  2. one UNTIMED full pass over every query — pays codegen, JIT and
   *     broadcast-build costs outside the measurement window,
-  *  3. `SPARK_GRAFT_REPS` (default 3) timed FULL PASSES over all
+  *  3. `SPARK_GRAFT_REPS` (default 5) timed FULL PASSES over all
   *     queries; the reported number is the per-query MEDIAN ACROSS
   *     PASSES. Passes are interleaved (A,B,...,A,B,... rather than
   *     A,A,A,B,B,B) deliberately: transient JVM states — a G1

@@ -94,6 +94,25 @@ object EngineConfig {
           c - "type")
       })
   }
+
+  /** `--sources a,b` CLI selection (cerebro/__main__.py:34-42,77-88): keep
+    * only the named sources, without requiring a profile. Unknown names are
+    * an error, like the reference's argparse `choices` check. `None` (flag
+    * absent) is the identity. */
+  def selectSources(cfg: Config, sources: Option[String]): Config =
+    sources match {
+      case None => cfg
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty)
+        val known = cfg.sources.map(_.name).toSet
+        val missing = want.filterNot(known)
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(
+            s"unknown source(s): ${missing.mkString(",")} " +
+              s"(known: ${known.toSeq.sorted.mkString(",")})")
+        val wantSet = want.toSet
+        cfg.copy(sources = cfg.sources.filter(s => wantSet.contains(s.name)))
+    }
 }
 
 /** Runtime engine: builds sources from config via a type registry, unions
@@ -120,6 +139,13 @@ final class Engine(spark: SparkSession) {
       "spool" -> (c => SpoolSource(c)))
 
   private val queries = scala.collection.mutable.Map[String, StreamingQuery]()
+  // Restart generation per memory observer: Spark's memory sink cannot
+  // recover a non-empty checkpoint in append mode
+  // (recoverFromCheckpointLocation=false), so each restart gets a FRESH
+  // checkpoint dir and the in-memory table is rebuilt from the source.
+  // Parquet observers keep one checkpoint and resume exactly-once.
+  private val memoryGen =
+    scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
   private var conf: Config = _
 
   def buildSources(config: Config): Seq[TelemetrySource] =
@@ -163,9 +189,13 @@ final class Engine(spark: SparkSession) {
         s"$workDir/checkpoints/${o.name}",
         o.options.getOrElse("default_bucket", "default").toString,
         queryName = o.name)
-      case "memory" => stream.writeStream.queryName(o.name)
-        .format("memory").outputMode("append")
-        .option("checkpointLocation", s"$workDir/checkpoints/${o.name}").start()
+      case "memory" =>
+        val gen = memoryGen(o.name)
+        val suffix = if (gen == 0) "" else s"-g$gen"
+        stream.writeStream.queryName(o.name)
+          .format("memory").outputMode("append")
+          .option("checkpointLocation",
+            s"$workDir/checkpoints/${o.name}$suffix").start()
       case other => throw new IllegalArgumentException(s"unknown observer type: $other")
     }
     queries(o.name) = q
@@ -178,13 +208,17 @@ final class Engine(spark: SparkSession) {
   /** `restart <source>` parity (cerebro.py:448-456): stop the named
     * query if running, then start it again against the SAME checkpoint
     * location — Structured Streaming resumes from the committed offsets,
-    * so no data is re-read or lost. Returns false (like the socket
-    * protocol's `false` reply) for unknown names or start failures. */
+    * so no data is re-read or lost. Exception: `memory` observers get a
+    * fresh checkpoint (the memory sink can't recover one — see
+    * [[memoryGen]]) and rebuild their table from the source. Returns
+    * false (like the socket protocol's `false` reply) for unknown names
+    * or start failures. */
   def restart(name: String): Boolean =
     Option(conf).flatMap(_.observers.find(_.name == name)) match {
       case Some(o) =>
         try {
           queries.get(name).filter(_.isActive).foreach(_.stop())
+          if (o.typ == "memory") memoryGen(o.name) += 1
           startObserver(o)
           true
         } catch { case scala.util.control.NonFatal(_) => false }

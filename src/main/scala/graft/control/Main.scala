@@ -9,7 +9,8 @@ import graft.GraftSession
   *
   * {{{
   * sbt "runMain graft.control.Main start --config etc/graft.yaml \
-  *      [--profile P] [--workdir /tmp/graft] [--duration-s 60] [--socket S]"
+  *      [--profile P] [--sources a,b] [--workdir /tmp/graft] \
+  *      [--duration-s 60] [--socket S]"
   * sbt "runMain graft.control.Main status [--socket S]"
   * sbt "runMain graft.control.Main restart <name> [--socket S]"
   * }}}
@@ -20,6 +21,26 @@ import graft.GraftSession
   * process against the live engine, exactly like the reference CLI.
   */
 object Main {
+
+  /** Flags that consume the following token as their value — the scanner
+    * for positional args must skip both. */
+  private val flagsWithValue = Set("--socket", "--config", "--profile",
+    "--workdir", "--duration-s", "--master", "--sources")
+
+  /** First positional arg after the verb, skipping `--flag value` pairs —
+    * so `restart --socket /tmp/g.sock pqr` resolves `pqr`, not the socket
+    * path. */
+  private[graft] def positional(args: Array[String]): Option[String] = {
+    var i = 1
+    while (i < args.length) {
+      val a = args(i)
+      if (flagsWithValue.contains(a)) i += 2
+      else if (a.startsWith("--")) i += 1
+      else return Some(a)
+    }
+    None
+  }
+
   def main(args: Array[String]): Unit = {
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
@@ -30,8 +51,10 @@ object Main {
         val workDir = opt("--workdir").getOrElse("/tmp/graft-work")
         val duration = opt("--duration-s").map(_.toLong)
         val spark = GraftSession.get(opt("--master").getOrElse("local[*]"))
-        val cfg = EngineConfig.parse(
-          Files.readString(Paths.get(configPath)), opt("--profile"))
+        val cfg = EngineConfig.selectSources(
+          EngineConfig.parse(
+            Files.readString(Paths.get(configPath)), opt("--profile")),
+          opt("--sources"))
         val engine = new Engine(spark)
         engine.start(cfg, workDir)
         val statusServer = new StatusServer(engine, socketPath)
@@ -60,7 +83,7 @@ object Main {
           }
       case Some("restart") =>
         // second-process restart (cerebro/__main__.py:123-143)
-        val name = args.drop(1).find(a => !a.startsWith("--"))
+        val name = positional(args)
           .getOrElse(sys.error("restart requires a source name"))
         print("Restarting ... ")
         val reply = StatusServer.request(socketPath, s"restart $name")
@@ -68,8 +91,8 @@ object Main {
         if (reply != "true") sys.exit(1)
       case other =>
         System.err.println(s"usage: start --config <yaml> [--profile P] " +
-          s"[--workdir D] [--duration-s N] | status | restart <name> " +
-          s"[--socket S]; got: ${other.getOrElse("")}")
+          s"[--sources a,b] [--workdir D] [--duration-s N] | status | " +
+          s"restart <name> [--socket S]; got: ${other.getOrElse("")}")
         sys.exit(2)
     }
   }

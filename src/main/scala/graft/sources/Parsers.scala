@@ -133,10 +133,18 @@ object Parsers {
     * heterogeneous dict to InfluxDB; our typed `fields` map is
     * DOUBLE-valued — SURVEY §7.4 #2). */
   def tpmSnapshot(raw: DataFrame, bucket: String = "sensors"): DataFrame = {
-    val parsed = from_json(col("raw"), MapType(StringType, DoubleType))
+    // Parse to MAP<STRING,STRING> first: from_json straight to a DOUBLE-valued
+    // map nulls the ENTIRE map when any one entry is a string (PERMISSIVE mode
+    // fails the whole conversion), which would drop a heterogeneous PLC tick
+    // like {"temp":1.5,"status":"OK"} including its numeric readings. Per-entry
+    // numeric filtering (same regex as KeywordProcessor's try_cast) keeps them.
+    val numericRe = "^[+-]?([0-9]*\\.)?[0-9]+([eE][+-]?[0-9]+)?$"
+    val parsed = from_json(col("raw"), MapType(StringType, StringType))
     raw.select(parsed.as("snapshot"), col("recv_time"))
       .filter(col("snapshot").isNotNull && size(map_keys(col("snapshot"))) > 0)
-      .withColumn("snapshot", map_filter(col("snapshot"), (_, v) => v.isNotNull))
+      .withColumn("snapshot", transform_values(
+        map_filter(col("snapshot"), (_, v) => v.isNotNull && v.rlike(numericRe)),
+        (_, v) => v.cast(DoubleType)))
       .filter(size(map_keys(col("snapshot"))) > 0)
       .select(pointCols(lit("tpm"), map(),
         col("snapshot"), col("recv_time"), lit(bucket)): _*)

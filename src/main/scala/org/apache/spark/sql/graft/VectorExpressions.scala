@@ -52,8 +52,15 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      // Same length guard as nullSafeEval: without it, codegen would read
+      // past the shorter array and return silent garbage — the two
+      // execution paths must not diverge.
       s"""
          |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "requirement failed: cosine_sim: length mismatch " + $n + " vs " + $b.numElements());
+         |}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $x = $a.getDouble($i);
@@ -98,8 +105,13 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      // Length guard mirrored from nullSafeEval — see CosineSim.doGenCode.
       s"""
          |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "requirement failed: dot_product: length mismatch " + $n + " vs " + $b.numElements());
+         |}
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += $a.getDouble($i) * $b.getDouble($i);

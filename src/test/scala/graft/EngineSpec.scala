@@ -44,6 +44,27 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("--sources selection: named subset without a profile; unknown name errors") {
+    // reference CLI parity (cerebro/__main__.py:34-42,77-88)
+    val cfg = EngineConfig.parse(yaml, env = Map("GRAFT_TEST_OBS" -> "LCO"))
+    assert(EngineConfig.selectSources(cfg, None) eq cfg)
+    val subset = EngineConfig.selectSources(cfg, Some("s_replay"))
+    assert(subset.sources.map(_.name) == Seq("s_replay"))
+    assert(subset.observers == cfg.observers) // observers untouched
+    assert(EngineConfig.selectSources(cfg, Some(" s_replay , s_other "))
+      .sources.map(_.name) == Seq("s_other", "s_replay"))
+    intercept[IllegalArgumentException] {
+      EngineConfig.selectSources(cfg, Some("s_replay,nope"))
+    }
+    // Main arg plumbing: the positional scanner must not mistake a --flag
+    // value for the name (ADVICE r5: `restart --socket /tmp/g.sock pqr`)
+    assert(graft.control.Main.positional(
+      Array("restart", "--socket", "/tmp/g.sock", "pqr")) == Some("pqr"))
+    assert(graft.control.Main.positional(
+      Array("restart", "pqr", "--socket", "/tmp/g.sock")) == Some("pqr"))
+    assert(graft.control.Main.positional(Array("restart")).isEmpty)
+  }
+
   test("engine: config -> replay source -> memory observer, end to end") {
     import spark.implicits._
     import graft.model.TelemetryPoint
@@ -70,6 +91,15 @@ class EngineSpec extends SparkSpec {
       val tags = row.getAs[Map[String, String]]("tags")
       assert(tags == Map("a" -> "1", "src" -> "replay1", "site" -> "APO"))
       assert(row.getAs[String]("bucket") == "b1")
+      assert(engine.status == Map("mem1" -> true))
+
+      // restart of a MEMORY observer: the memory sink can't recover a
+      // non-empty checkpoint (append mode), so restart allocates a fresh
+      // one and rebuilds the table from the source — it must succeed,
+      // not silently return false (ADVICE r5).
+      assert(engine.restart("mem1"), "memory observer restart must succeed")
+      spark.streams.active.foreach(_.processAllAvailable())
+      assert(spark.sql("SELECT * FROM mem1").count() == 1)
       assert(engine.status == Map("mem1" -> true))
     } finally engine.stopAll()
   }

@@ -105,4 +105,17 @@ class ParsersSpec extends SparkSpec {
       Map("alt_pos" -> 45.2, "az_pos" -> 121.9, "dome_state" -> 1.0))
     assert(rows(0).getAs[Timestamp]("time") == t0)
   }
+
+  test("tpmSnapshot: heterogeneous snapshot keeps numeric siblings of string entries") {
+    // A realistic PLC tick mixes numeric readings and status strings
+    // (tpm.py:84-87 ships the whole dict); one string entry must not
+    // discard the tick — only the non-numeric entries are dropped.
+    val raw = Seq(
+      ("""{"temp": 1.5, "status": "OK", "rpm": 7.25e2, "ok": true}""", t0)
+    ).toDF("raw", "recv_time")
+    val rows = Parsers.tpmSnapshot(raw).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Map[String, Double]]("fields") ==
+      Map("temp" -> 1.5, "rpm" -> 725.0))
+  }
 }

@@ -37,6 +37,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(withNull(0).isNullAt(0))
   }
 
+  test("length mismatch throws on BOTH execution paths (codegen and interpreted)") {
+    // The generated code must carry the same guard as nullSafeEval:
+    // without it, codegen reads past the shorter array and returns silent
+    // garbage (wrong LSH bucket bits) where the interpreted path errors.
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    for (expr <- Seq(VectorFunctions.dotFast(col("a"), col("b")),
+                     VectorFunctions.cosineFast(col("a"), col("b")))) {
+      // codegen path (default)
+      val eCg = intercept[Exception] { df.select(expr).collect() }
+      assert(exceptionChain(eCg).exists(_.getMessage.contains("length mismatch")),
+        s"codegen path: ${eCg}")
+      // interpreted path
+      withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+          "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+        val eIn = intercept[Exception] { df.select(expr).collect() }
+        assert(exceptionChain(eIn).exists(_.getMessage.contains("length mismatch")),
+          s"interpreted path: ${eIn}")
+      }
+    }
+  }
+
+  private def exceptionChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("SQL registration via SparkSessionExtensions: cosine_sim / hamming_dist") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
