@@ -39,4 +39,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // every later query runs interpreted (10-50x slower). Size it so a
   // full bench never hits the cliff.
   "-XX:ReservedCodeCacheSize=1g",
+  // Generated-class classloaders are soft-reachable; a full GC with the
+  // default policy (1000 ms/free-MB) can still clear them under an
+  // allocation spike, forcing whole-plan recompiles measured as 10-25x
+  // single-rep outliers (SCALE.md "GC→codegen-recompile cliff"). Make
+  // soft refs effectively pinned short of real memory pressure.
+  "-XX:SoftRefLRUPolicyMSPerMB=50000",
 )

@@ -1202,6 +1202,41 @@ object Queries {
       SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
       WHERE cos >= 0.4 ORDER BY id_a, id_b"""))
 
+  // The S10 streaming chain end-to-end (spool → reassembleLines →
+  // ActorReplies.parse → KeywordProcessor → sink), oracle-replayed from
+  // the chain's SPECIFICATION — see ActorStreamReplay's scaladoc for the
+  // synthesis rules each WHERE clause below mirrors.
+  val q52_actor_stream = Q("q52_actor_stream",
+    (s, dir) => graft.streaming.ActorStreamReplay.run(s, dir),
+    Some("""
+      WITH e AS (
+        SELECT event_id AS id, user_id AS u, event_type AS et, value AS v
+        FROM events),
+      -- parser drops malformed lines; broadcast (commandId=0) replies dropped
+      good AS (SELECT * FROM e WHERE id % 13 != 3 AND id % 10 != 0),
+      -- val consume fails on arity (%19) or non-numeric slot (%17)
+      val_rows AS (SELECT id, v FROM good WHERE id % 19 != 0 AND id % 17 != 0),
+      rows_out AS (
+        SELECT 'val_id' AS field, CAST(id AS DOUBLE) AS value, NULL AS sval,
+          'eid=' || CAST(CAST(id AS DOUBLE) AS VARCHAR) || ',site=lab' AS tags
+        FROM val_rows
+        UNION ALL
+        SELECT 'val_x', v, NULL,
+          'eid=' || CAST(CAST(id AS DOUBLE) AS VARCHAR) || ',site=lab,units=V'
+        FROM val_rows
+        UNION ALL
+        SELECT 'motion_P', v,     NULL, 'site=lab' FROM good WHERE id % 5 = 0
+        UNION ALL
+        SELECT 'motion_V', v + 1, NULL, 'site=lab' FROM good WHERE id % 5 = 0
+        UNION ALL
+        SELECT 'motion_T', v * 2, NULL, 'site=lab' FROM good WHERE id % 5 = 0
+        UNION ALL
+        SELECT 'status', NULL,
+          CASE WHEN id % 9 = 0 THEN et || '; x,y' ELSE et END, 'site=lab'
+        FROM good)
+      SELECT field, value, sval, tags FROM rows_out
+      ORDER BY field, value, sval, tags"""))
+
   /** Registry: every query, in order. */
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
@@ -1217,5 +1252,6 @@ object Queries {
     q40_dedup_survivors, q41_multimodal_features, q42_set_ops,
     q43_ann_topk_agg, q44_dedup_clusters, q45_embedding_centroid,
     q46_text_subwords, q47_corpus_filter, q48_range_join,
-    q49_wind_pipeline, q50_sessionize, q51_embedding_neardup)
+    q49_wind_pipeline, q50_sessionize, q51_embedding_neardup,
+    q52_actor_stream)
 }

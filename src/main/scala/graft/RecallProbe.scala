@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** Retrieval-QUALITY probe for the approximate ANN variants: recall@k
+  * against the exact brute-force baseline, per tuning knob — LSH by
+  * `numPlanes` (single- and multi-probe), IVF by `nprobe`, and
+  * `nearDupPairs` pair-recall by bands×planes vs the exact
+  * `cosine >= threshold` pair set. The oracle queries (q30/q31/q51)
+  * verify the IMPLEMENTATION (DuckDB replays the same algorithm); this
+  * probe measures what that algorithm retrieves. Results are recorded in
+  * SCALE.md; RecallSpec pins floors so a regression fails the build.
+  *
+  * Run: `sbt "runMain graft.RecallProbe [sfDir] [numQueries] [k]"`
+  * (defaults: /root/testdata/sf0.1, 200, 10).
+  */
+object RecallProbe {
+
+  final case class Setting(label: String, df: DataFrame)
+
+  /** Mean per-query recall@k of `approx` vs `truth` (both in the top-k
+    * output shape `query_id, cand_id, rank`). Queries with no approx
+    * rows count as recall 0 (left join from the truth side). */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): Double = {
+    val t = truth.select(col("query_id"), col("cand_id"))
+    val a = approx.select(col("query_id"), col("cand_id"))
+    val hits = t.join(a, Seq("query_id", "cand_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    val perQuery = t.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select((coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+    perQuery.agg(avg("recall")).head().getDouble(0)
+  }
+
+  /** Pair recall: |approx ∩ exact| / |exact| over (id_a, id_b) pairs. */
+  def pairRecall(exact: DataFrame, approx: DataFrame): (Long, Long, Double) = {
+    val e = exact.select("id_a", "id_b")
+    val nExact = e.count()
+    val nHit = e.join(approx.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi").count()
+    (nHit, nExact, if (nExact == 0) 1.0 else nHit.toDouble / nExact)
+  }
+
+  /** Exact all-pairs `cosine >= threshold` ground truth — O(N²) scoring,
+    * probe-only (N ≤ a few thousand here; never a production path). */
+  def exactPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("id").as("id_a"), col("vec").as("va"))
+    val b = vectors.select(col("id").as("id_b"), col("vec").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.cosineFast(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val nQ = args.lift(1).map(_.toInt).getOrElse(200)
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.get("local[32]", 32)
+
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), Similarity.asDouble(col("embedding")).as("query_vec"))
+    val cands = emb
+      .select(col("vec_id").as("cand_id"), Similarity.asDouble(col("embedding")).as("cand_vec"))
+    val nCands = cands.count()
+    println(s"# RecallProbe: dir=$dir queries=$nQ candidates=$nCands k=$k")
+
+    val truth = Similarity.bruteForceTopK(queries, cands, k).persist()
+    truth.count()
+
+    println(s"\n| variant | setting | recall@$k |")
+    println("|---|---|---|")
+    for (p <- Seq(2, 4, 6, 8)) {
+      val r = recallAtK(truth, Similarity.lshTopK(queries, cands, k, numPlanes = p), k)
+      println(f"| LSH single-probe | numPlanes=$p | $r%.3f |")
+    }
+    for (p <- Seq(4, 6, 8)) {
+      val r = recallAtK(truth, Similarity.lshTopKMultiProbe(queries, cands, k, numPlanes = p), k)
+      println(f"| LSH multi-probe (Hamming≤1) | numPlanes=$p | $r%.3f |")
+    }
+    for (np <- Seq(1, 2, 4, 8)) {
+      val (centroids, assigned) = Similarity.ivfIndex(cands, nlist = 16)
+      val r = recallAtK(truth, Similarity.ivfTopK(queries, centroids, assigned, k, nprobe = np), k)
+      println(f"| IVF (nlist=16) | nprobe=$np | $r%.3f |")
+    }
+
+    val vecs = emb.select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val threshold = 0.4
+    val exact = exactPairs(vecs, threshold).persist()
+    println(s"\n| nearDupPairs (threshold=$threshold) | bands×planes | pair recall |")
+    println("|---|---|---|")
+    for ((bands, planes) <- Seq((4, 4), (8, 4), (16, 4), (8, 6))) {
+      val approx = Similarity.nearDupPairs(vecs, threshold, bandPlanes = planes, numBands = bands)
+      val (hit, tot, r) = pairRecall(exact, approx)
+      println(f"| $hit/$tot | $bands×$planes | $r%.3f |")
+    }
+    spark.stop()
+  }
+}

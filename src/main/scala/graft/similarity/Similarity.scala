@@ -10,9 +10,17 @@ import org.apache.spark.sql.functions._
   * only same-bucket candidates are compared, and an IVF (inverted-file)
   * variant with deterministic centroids.
   *
-  * All vector math is `zip_with`/`aggregate` over `array<double>` —
-  * deterministic left-to-right folds, so results are bit-reproducible
-  * (and oracle-checkable) across engines.
+  * All hot-path vector math goes through the codegen'd
+  * `cosine_sim`/`dot_product` expressions
+  * ([[org.apache.spark.sql.graft.VectorExpressions]]) — single
+  * left-to-right primitive loops, bit-identical to the `zip_with`/
+  * `aggregate` folds kept in [[dot]]/[[cosine]] as the reference
+  * formulation (tests assert the bit-identity), so results are
+  * bit-reproducible and oracle-checkable across engines.
+  *
+  * Retrieval quality is MEASURED, not assumed: `graft.RecallProbe`
+  * computes recall@k vs the brute-force baseline for every approximate
+  * variant (table in SCALE.md), and RecallSpec pins floors.
   */
 object Similarity {
 
@@ -102,6 +110,38 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
     val qb = queries.withColumn("bucket", lshBucket(col("query_vec"), planes))
+    val cb = candidates.withColumn("bucket", lshBucket(col("cand_vec"), planes))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.VectorFunctions.cosineFast(col("query_vec"), col("cand_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Multi-probe LSH ANN: each query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 (one flipped hyperplane sign) —
+    * `numPlanes + 1` probes — recovering most of the recall a single
+    * probe loses to near-boundary vectors while still scoring only
+    * `(numPlanes+1)/2^numPlanes` of the corpus. The probe fan-out is an
+    * `explode` on the (small, broadcast) query side; each candidate
+    * still has exactly ONE bucket, so a (query, candidate) pair joins at
+    * most once and no distinct is needed. Raise `numPlanes` for
+    * selectivity without the recall cliff of single-probe. */
+  def lshTopKMultiProbe(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      numPlanes: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val probeBuckets = {
+      val b0 = lshBucket(col("query_vec"), planes)
+      array((b0 +: (0 until numPlanes).map(i => b0.bitwiseXOR(lit(1L << i)))): _*)
+    }
+    val qb = queries.withColumn("bucket", explode(probeBuckets))
     val cb = candidates.withColumn("bucket", lshBucket(col("cand_vec"), planes))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("query_id") =!= col("cand_id"))

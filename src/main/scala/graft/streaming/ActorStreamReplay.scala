@@ -1,0 +1,156 @@
+package graft.streaming
+
+import java.io.File
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType => SqlString, StructField, StructType}
+import graft.Tables
+import graft.sources.ActorReplies
+import graft.sources.ActorReplies.{FloatType, KeyDef, KeysDictionary, PvtType, ReplyLine}
+import graft.transforms.KeywordProcessor
+import graft.transforms.KeywordProcessor.KeywordTagConf
+
+/** q52 — the full S10 streaming chain driven END TO END as an
+  * oracle-checkable query: deterministic reply lines are synthesized from
+  * the `events` table, chunked (the last line of every connection is cut
+  * mid-line so its halves land in DIFFERENT micro-batches), spooled as
+  * parquet, and streamed through
+  * `reassembleLines → ActorReplies.parse → KeywordProcessor.process`
+  * (tron.py:336-454) into a memory sink. The DuckDB oracle replays the
+  * EXPECTED output directly from `events` via the chain's specification —
+  * so a hash match proves the grammar, dictionary typing, broadcast drop,
+  * keyword_tags, PVT explode, and cross-batch reassembly all compose
+  * correctly, not just that each piece passes its spec.
+  *
+  * ==Line synthesis (all arithmetic on `event_id` = `id`)==
+  *  - `id % 13 == 3` → a malformed line (dropped by the parser,
+  *    tron.py:411-413)
+  *  - `id % 10 == 0` → commandId 0, an unsolicited broadcast (dropped,
+  *    tron.py:435-436)
+  *  - `val=<id>,<value>`: two FloatType slots named id/x (units V on x);
+  *    `id % 19 == 0` sends one value (arity failure), `id % 17 == 0`
+  *    sends a non-numeric second value (syntax failure) — either way the
+  *    keyword is dropped whole (tron.py:428-433)
+  *  - `status=<event_type>`, quoted with embedded `;`/`,` when
+  *    `id % 9 == 0` (exercises the quote-aware splitter) — a string
+  *    value, landing in `fields_str`
+  *  - `motion=<v>,<v+1>,<v*2>` when `id % 5 == 0`: one PvtType slot
+  *    consuming three raw values → `motion_P/_V/_T` fields (tron.py:58-64)
+  *  - `mystery=1` when `id % 11 == 0`: not in the dictionary → dropped
+  *  - keyword_tags: `probe.val` index 0 → the id value becomes the `eid`
+  *    tag on both val points (tron.py:86-97)
+  *
+  * All doubles cross the wire as Spark's shortest-repr strings and are
+  * re-parsed — an exact roundtrip — so the oracle can compute from
+  * `value` directly without any string rendering of its own.
+  *
+  * The generator windows/collects nothing on the driver; chunk files are
+  * written by a batch job and the streaming read uses
+  * `maxFilesPerTrigger=1` so the two spool files arrive as two separate
+  * micro-batches (in either order — reassembly state handles both).
+  */
+object ActorStreamReplay {
+
+  private val Dict = KeysDictionary("probe", Map(
+    "val" -> KeyDef(Seq(FloatType("id"), FloatType("x", "V"))),
+    "status" -> KeyDef(Seq(ActorReplies.StringType())),
+    "motion" -> KeyDef(Seq(PvtType()))))
+
+  private def rmTree(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
+
+  /** Synthesize reply lines from `events` and spool them as chunk parquet:
+    * one file per micro-batch; the second file holds the tail half of each
+    * connection's final line. */
+  private def writeSpool(spark: SparkSession, dir: String, spool: File): Unit = {
+    val e = Tables.events(spark, dir).select(
+      col("event_id").as("id"), col("user_id").as("u"),
+      col("event_type").as("et"), col("value").as("v"))
+    val idStr = col("id").cast("double").cast("string")
+    val vStr = col("v").cast("string")
+    val cmd = when(col("id") % 10 === 0, lit(0)).otherwise(lit(1) + col("id") % 7)
+    val kwVal = when(col("id") % 19 === 0, concat(lit("val="), idStr))
+      .when(col("id") % 17 === 0, concat(lit("val="), idStr, lit(",bogus")))
+      .otherwise(concat(lit("val="), idStr, lit(","), vStr))
+    val kwStatus = when(col("id") % 9 === 0,
+        concat(lit("status=\""), col("et"), lit("; x,y\"")))
+      .otherwise(concat(lit("status="), col("et")))
+    val kwMotion = when(col("id") % 5 === 0, concat(lit("motion="),
+      vStr, lit(","), (col("v") + 1).cast("string"), lit(","), (col("v") * 2).cast("string")))
+    val kwMystery = when(col("id") % 11 === 0, lit("mystery=1"))
+    val line = when(col("id") % 13 === 3, lit("!! not a reply"))
+      .otherwise(concat(cmd.cast("string"), lit(" "), (col("u") % 5).cast("string"),
+        lit(" i "), concat_ws("; ", kwVal, kwStatus, kwMotion, kwMystery)))
+
+    val wRank = Window.partitionBy(col("conn")).orderBy(col("id"))
+    val numbered = e
+      .select(concat(lit("c"), (col("u") % 4).cast("string")).as("conn"),
+        col("id"), concat(line, lit("\n")).as("data"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("conn"))))
+    val dataLen = length(col("data"))
+    val half = (dataLen / 2).cast("int")
+    val chunks = numbered.select(col("conn"), explode(
+      when(col("rn") === col("n"), array(
+        struct((col("rn") - 1).cast("long").as("seq"),
+          col("data").substr(lit(1), half).as("data"), lit("b2").as("part")),
+        struct(col("rn").cast("long").as("seq"),
+          col("data").substr(half + 1, dataLen).as("data"), lit("b2").as("part"))))
+      .otherwise(array(
+        struct((col("rn") - 1).cast("long").as("seq"),
+          col("data").as("data"), lit("b1").as("part"))))).as("c"))
+      .select(col("conn"), col("c.seq").as("seq"), col("c.data").as("data"),
+        col("c.part").as("part"))
+    // two sequential single-file writes -> two spool files -> two
+    // micro-batches under maxFilesPerTrigger=1. The final line's OWN two
+    // chunks are both in file b2 (same batch); the cross-batch carry is
+    // the connection STATE (nextSeq high-water + empty partial) plus, when
+    // b2 is listed first, b2's chunks waiting in `pending` for b1's.
+    chunks.filter(col("part") === "b1").select("conn", "seq", "data")
+      .coalesce(1).write.mode("overwrite").parquet(spool.toString)
+    chunks.filter(col("part") === "b2").select("conn", "seq", "data")
+      .coalesce(1).write.mode("append").parquet(spool.toString)
+  }
+
+  private val ChunkSchema = StructType(Seq(
+    StructField("conn", SqlString), StructField("seq", LongType),
+    StructField("data", SqlString)))
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = new File(sys.props("java.io.tmpdir"), "graft-q52")
+    rmTree(base)
+    val spool = new File(base, "spool"); spool.mkdirs()
+    writeSpool(spark, dir, spool)
+
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val chunks = spark.readStream.schema(ChunkSchema)
+      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+      .as[StatefulOps.Chunk]
+    val replies = StatefulOps.reassembleLines(chunks)
+      .map(lo => ReplyLine(lo.line, t0))
+    val points = KeywordProcessor.process(
+      ActorReplies.parse(replies, Dict).toDF(),
+      tags = Map("site" -> "lab"),
+      keywordTags = Map("probe.val" -> KeywordTagConf(0, "eid")))
+    val q = points.writeStream.queryName("q52_actor_sink").format("memory")
+      .outputMode("append")
+      .option("checkpointLocation", new File(base, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val t = spark.table("q52_actor_sink")
+    val tagStr = concat_ws(",", array_sort(transform(map_entries(col("tags")),
+      e => concat(e.getField("key"), lit("="), e.getField("value")))))
+    val num = t.select(tagStr.as("tags"), explode(col("fields")))
+      .select(col("key").as("field"), col("value"), lit(null).cast("string").as("sval"), col("tags"))
+    val str = t.select(tagStr.as("tags"), explode(col("fields_str")))
+      .select(col("key").as("field"), lit(null).cast("double").as("value"),
+        col("value").as("sval"), col("tags"))
+    num.unionByName(str).orderBy("field", "value", "sval", "tags")
+  }
+}
