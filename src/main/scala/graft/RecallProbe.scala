@@ -1,24 +1,31 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.similarity.Similarity
 
 /** Retrieval-QUALITY probe for the approximate ANN variants: recall@k
   * against the exact brute-force baseline, per tuning knob — LSH by
-  * `numPlanes` (single- and multi-probe), IVF by `nprobe`, and
+  * `numPlanes` (single-probe, multi-probe, banded), IVF by `nprobe`, and
   * `nearDupPairs` pair-recall by bands×planes vs the exact
   * `cosine >= threshold` pair set. The oracle queries (q30/q31/q51)
   * verify the IMPLEMENTATION (DuckDB replays the same algorithm); this
-  * probe measures what that algorithm retrieves. Results are recorded in
-  * SCALE.md; RecallSpec pins floors so a regression fails the build.
+  * probe measures what that algorithm retrieves.
+  *
+  * Each LSH row also prints the THEORETICAL recall from the
+  * Goemans–Williamson collision model — `p = 1 − θ/π` per hyperplane,
+  * `p^m` single-probe, `P(≤1 bit differs)` multi-probe,
+  * `1 − (1 − p^bp)^nb` banded — averaged over the actual ground-truth
+  * neighbor angles. Measured ≈ predicted is itself a correctness check:
+  * the synthetic embeddings are weakly clustered, so absolute recall is
+  * bounded by the data's neighbor angles, not by the implementation.
+  * Results are recorded in SCALE.md; RecallSpec pins floors so a
+  * regression fails the build.
   *
   * Run: `sbt "runMain graft.RecallProbe [sfDir] [numQueries] [k]"`
   * (defaults: /root/testdata/sf0.1, 200, 10).
   */
 object RecallProbe {
-
-  final case class Setting(label: String, df: DataFrame)
 
   /** Mean per-query recall@k of `approx` vs `truth` (both in the top-k
     * output shape `query_id, cand_id, rank`). Queries with no approx
@@ -53,6 +60,14 @@ object RecallProbe {
       .filter(col("cos") >= threshold)
   }
 
+  /** Per-plane collision probability of a pair at cosine `c`. */
+  private def pCollide(c: Column): Column =
+    lit(1.0) - acos(greatest(lit(-1.0), least(lit(1.0), c))) / math.Pi
+
+  /** Predicted recall = mean over ground-truth pairs of `model(p)`. */
+  private def predicted(truthWithCos: DataFrame, model: Column => Column): Double =
+    truthWithCos.agg(avg(model(pCollide(col("cos"))))).head().getDouble(0)
+
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val nQ = args.lift(1).map(_.toInt).getOrElse(200)
@@ -70,31 +85,42 @@ object RecallProbe {
     val truth = Similarity.bruteForceTopK(queries, cands, k).persist()
     truth.count()
 
-    println(s"\n| variant | setting | recall@$k |")
-    println("|---|---|---|")
+    println(s"\n| variant | setting | recall@$k | predicted |")
+    println("|---|---|---|---|")
     for (p <- Seq(2, 4, 6, 8)) {
       val r = recallAtK(truth, Similarity.lshTopK(queries, cands, k, numPlanes = p), k)
-      println(f"| LSH single-probe | numPlanes=$p | $r%.3f |")
+      val pr = predicted(truth, pc => pow(pc, p))
+      println(f"| LSH single-probe | numPlanes=$p | $r%.3f | $pr%.3f |")
     }
     for (p <- Seq(4, 6, 8)) {
       val r = recallAtK(truth, Similarity.lshTopKMultiProbe(queries, cands, k, numPlanes = p), k)
-      println(f"| LSH multi-probe (Hamming≤1) | numPlanes=$p | $r%.3f |")
+      val pr = predicted(truth, pc =>
+        pow(pc, p) + lit(p.toDouble) * pow(pc, p - 1) * (lit(1.0) - pc))
+      println(f"| LSH multi-probe (Hamming<=1) | numPlanes=$p | $r%.3f | $pr%.3f |")
+    }
+    for ((bp, nb) <- Seq((4, 8), (4, 16), (4, 32))) {
+      val r = recallAtK(truth,
+        Similarity.lshTopKBanded(queries, cands, k, bandPlanes = bp, numBands = nb), k)
+      val pr = predicted(truth, pc => lit(1.0) - pow(lit(1.0) - pow(pc, bp), nb))
+      println(f"| LSH banded | $nb x $bp planes | $r%.3f | $pr%.3f |")
     }
     for (np <- Seq(1, 2, 4, 8)) {
       val (centroids, assigned) = Similarity.ivfIndex(cands, nlist = 16)
       val r = recallAtK(truth, Similarity.ivfTopK(queries, centroids, assigned, k, nprobe = np), k)
-      println(f"| IVF (nlist=16) | nprobe=$np | $r%.3f |")
+      println(f"| IVF (nlist=16) | nprobe=$np | $r%.3f | — |")
     }
 
     val vecs = emb.select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
     val threshold = 0.4
     val exact = exactPairs(vecs, threshold).persist()
-    println(s"\n| nearDupPairs (threshold=$threshold) | bands×planes | pair recall |")
-    println("|---|---|---|")
-    for ((bands, planes) <- Seq((4, 4), (8, 4), (16, 4), (8, 6))) {
+    println(s"\n| nearDupPairs (threshold=$threshold) | bands×planes | pair recall | predicted |")
+    println("|---|---|---|---|")
+    for ((bands, planes) <- Seq((4, 4), (8, 4), (16, 4), (32, 4))) {
       val approx = Similarity.nearDupPairs(vecs, threshold, bandPlanes = planes, numBands = bands)
       val (hit, tot, r) = pairRecall(exact, approx)
-      println(f"| $hit/$tot | $bands×$planes | $r%.3f |")
+      val pr = exact.agg(avg(lit(1.0) - pow(lit(1.0) - pow(pCollide(col("cos")), planes), bands)))
+        .head().getDouble(0)
+      println(f"| $hit/$tot | $bands x $planes | $r%.3f | $pr%.3f |")
     }
     spark.stop()
   }

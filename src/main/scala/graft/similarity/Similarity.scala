@@ -152,6 +152,49 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Banded (multi-table) LSH ANN — OR-amplification for top-k retrieval,
+    * the same recall mechanism [[nearDupPairs]] uses for pair finding:
+    * `numBands` independent tables of `bandPlanes` hyperplanes each; a
+    * candidate is scored iff it shares a bucket with the query in ANY
+    * band, so recall is `1 − (1 − p^bandPlanes)^numBands` per neighbor
+    * (`p = 1 − θ/π`) — tunable to any floor by adding bands, where
+    * single-table [[lshTopK]] recall `p^numPlanes` decays geometrically.
+    * RecallProbe measures both against this formula.
+    *
+    * Scale shape (mirrors nearDupPairs): ids only through the band
+    * shuffle, `distinct` candidate pairs BEFORE vector fetch + verify,
+    * queries broadcast on both the band join and the scoring join. */
+  def lshTopKBanded(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      bandPlanes: Int = 4,
+      numBands: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bandPlanes * numBands, dim, seed)
+    def bandCols(v: Column): Seq[Column] = (0 until numBands).map { t =>
+      struct(lit(t).as("band"),
+        lshBucket(v, planes.slice(t * bandPlanes, (t + 1) * bandPlanes)).as("bucket"))
+    }
+    val qb = queries.select(col("query_id"), explode(array(bandCols(col("query_vec")): _*)).as("bb"))
+      .select(col("query_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val c = candidates.repartition(col("cand_id"))
+    val cb = c.select(col("cand_id"), explode(array(bandCols(col("cand_vec")): _*)).as("bb"))
+      .select(col("cand_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = cb.join(broadcast(qb), Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val scored = cand
+      .join(broadcast(queries), Seq("query_id"))
+      .join(c, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.VectorFunctions.cosineFast(col("query_vec"), col("cand_vec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine NEAR-DUPLICATE pairs — the embedding member of the
     * dedup family (exact / MinHash / SimHash / Jaccard / this): all pairs
     * with `cosine >= threshold`, found via banded multi-table hyperplane

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** Retrieval-quality floors for the approximate ANN variants (VERDICT r5
+  * #2): recall measured against the exact brute-force baseline on the
+  * sf0.001 embeddings fixture (500 vectors, 64 dims, fixed seed — fully
+  * deterministic, so these are exact values with a small safety margin,
+  * not flaky statistical tests).
+  *
+  * Two kinds of assertion:
+  *  - MODEL MATCH: measured recall within ±0.05 of the Goemans–Williamson
+  *    collision prediction averaged over the true neighbor angles —
+  *    data-independent evidence the hashing is implemented correctly
+  *    (a bucketing bug collapses recall far below the model).
+  *  - ABSOLUTE FLOORS on the production configurations (banded LSH 16×4,
+  *    IVF nprobe=8, nearDupPairs 16×4) — so a tuning regression fails.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val k = 10
+
+  private lazy val emb = Tables.embeddings(spark, sf())
+  private lazy val queries = emb.filter(col("vec_id") < 100)
+    .select(col("vec_id").as("query_id"), Similarity.asDouble(col("embedding")).as("query_vec"))
+  private lazy val cands = emb
+    .select(col("vec_id").as("cand_id"), Similarity.asDouble(col("embedding")).as("cand_vec"))
+  private lazy val truth = {
+    val t = Similarity.bruteForceTopK(queries, cands, k).persist()
+    t.count()
+    t
+  }
+
+  private def pCollide = lit(1.0) -
+    acos(greatest(lit(-1.0), least(lit(1.0), col("cos")))) / math.Pi
+
+  test("banded LSH (16x4): recall@10 >= 0.85 and matches the collision model") {
+    val approx = Similarity.lshTopKBanded(queries, cands, k, bandPlanes = 4, numBands = 16)
+    val measured = RecallProbe.recallAtK(truth, approx, k)
+    val predicted = truth
+      .agg(avg(lit(1.0) - pow(lit(1.0) - pow(pCollide, 4), 16))).head().getDouble(0)
+    assert(measured >= 0.85, f"banded LSH recall@10 $measured%.3f below floor")
+    assert(math.abs(measured - predicted) <= 0.05,
+      f"banded LSH recall $measured%.3f deviates from model $predicted%.3f")
+  }
+
+  test("single-probe and multi-probe LSH match the collision model") {
+    val p = 4
+    val single = RecallProbe.recallAtK(truth,
+      Similarity.lshTopK(queries, cands, k, numPlanes = p), k)
+    val predSingle = truth.agg(avg(pow(pCollide, p))).head().getDouble(0)
+    assert(math.abs(single - predSingle) <= 0.05,
+      f"single-probe recall $single%.3f vs model $predSingle%.3f")
+
+    val multi = RecallProbe.recallAtK(truth,
+      Similarity.lshTopKMultiProbe(queries, cands, k, numPlanes = p), k)
+    val predMulti = truth.agg(avg(
+      pow(pCollide, p) + lit(p.toDouble) * pow(pCollide, p - 1) * (lit(1.0) - pCollide)))
+      .head().getDouble(0)
+    assert(math.abs(multi - predMulti) <= 0.05,
+      f"multi-probe recall $multi%.3f vs model $predMulti%.3f")
+    assert(multi > single, "multi-probe must strictly improve on single-probe")
+  }
+
+  test("IVF nprobe=8: recall@10 >= 0.6 and monotone in nprobe") {
+    val (centroids, assigned) = Similarity.ivfIndex(cands, nlist = 16)
+    val r1 = RecallProbe.recallAtK(truth,
+      Similarity.ivfTopK(queries, centroids, assigned, k, nprobe = 1), k)
+    val r8 = RecallProbe.recallAtK(truth,
+      Similarity.ivfTopK(queries, centroids, assigned, k, nprobe = 8), k)
+    assert(r8 >= 0.6, f"IVF nprobe=8 recall@10 $r8%.3f below floor")
+    assert(r8 > r1, f"IVF recall must grow with nprobe ($r1%.3f -> $r8%.3f)")
+  }
+
+  test("nearDupPairs (16x4): pair recall >= 0.85 and matches the collision model") {
+    val vecs = emb.select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val threshold = 0.4
+    val exact = RecallProbe.exactPairs(vecs, threshold).persist()
+    exact.count()
+    val approx = Similarity.nearDupPairs(vecs, threshold, bandPlanes = 4, numBands = 16)
+    val (_, _, measured) = RecallProbe.pairRecall(exact, approx)
+    val predicted = exact
+      .agg(avg(lit(1.0) - pow(lit(1.0) - pow(pCollide, 4), 16))).head().getDouble(0)
+    assert(measured >= 0.85, f"nearDupPairs recall $measured%.3f below floor")
+    assert(math.abs(measured - predicted) <= 0.05,
+      f"nearDupPairs recall $measured%.3f deviates from model $predicted%.3f")
+    exact.unpersist()
+  }
+}
