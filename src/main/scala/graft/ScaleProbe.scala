@@ -4,7 +4,17 @@ import org.apache.spark.sql.functions._
 
 /** Scaling probe: replicate sf0.1 inputs N× and measure the heavy
   * operator classes, to verify near-linear scaling (the 100-TB argument
-  * made measurable). Run: `sbt "runMain graft.ScaleProbe"`. */
+  * made measurable). Run: `sbt "runMain graft.ScaleProbe"`.
+  *
+  * Pair-GENERATING operators are probed on a MUTATED replication
+  * (`repMutatedDocs`/`repMutatedEmb`): naive N× replication makes every
+  * document an exact duplicate of N−1 copies, so pair output — and thus
+  * measured time — would grow quadratically by construction of the
+  * corpus, not the operator. Instead copy `i` mutates a deterministic
+  * `i/16` fraction of token positions (resp. perturbs the embedding
+  * proportionally to `i`), so a copy family's mutual similarities decay
+  * with copy index and each document keeps a BOUNDED near-dup
+  * neighborhood regardless of N — realistic dedup density. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("local[32]", 32)
@@ -46,6 +56,67 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       println(f"$n,${n * 600000},$aggS%.2f,$rollS%.2f,$mhS%.2f,$topkS%.2f")
+    }
+
+    // ---- pair operators, mutated-copy corpus (bounded near-dup density)
+    def mutateText(c: org.apache.spark.sql.Column, i: Int) =
+      if (i == 0) c
+      else array_join(transform(split(c, " "), (w, p) =>
+        when(pmod(p * 37 + 11, lit(16)) < i, concat(w, lit(s"_m$i"))).otherwise(w)), " ")
+    // perturbation must be pseudo-random per (VECTOR, copy, dim): a
+    // per-copy or per-dim-only offset shifts every vector of a copy by
+    // the SAME delta, collapsing the copy into one cluster whose mutual
+    // cosines approach 1 (measured: 4.3M pairs at 4x) — murmur3 keyed by
+    // vec_id makes offsets independent, so each family's similarity
+    // decays with copy index and neighborhoods stay bounded
+    def mutateVec(c: org.apache.spark.sql.Column, idc: org.apache.spark.sql.Column, i: Int) =
+      if (i == 0) c
+      else transform(c, (x, j) =>
+        x + lit(0.15 * i) * (pmod(hash(idc, lit(i), j), lit(1000)).cast("double") / 500.0 - 1.0))
+    def repMutatedDocs(n: Int): DataFrame =
+      (0 until n).map(i => docs.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        mutateText(col("text"), i).as("text")))
+        .reduce(_ unionByName _)
+    def repMutatedEmb(n: Int): DataFrame =
+      (0 until n).map(i => Tables.embeddings(spark, dir).select(
+        (col("vec_id") + lit(i.toLong * 100000000L)).as("id"),
+        mutateVec(col("embedding").cast("array<double>"), col("vec_id"), i).as("vec")))
+        .reduce(_ unionByName _)
+
+    def jacc(d: DataFrame) = graft.dedup.Dedup
+      .jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5, maxShingleFreq = 100)
+    def simh(d: DataFrame) = graft.dedup.Dedup
+      .simhashPairs(d, "doc_id", "text", bits = 60, maxHamming = 3)
+    // nearDupPairs at a FIXED plane count degrades superlinearly by
+    // construction: candidate volume is ~N²/2^bandPlanes per band, so
+    // 2^bandPlanes (the bucket count) must track N — the knob is
+    // bandPlanes ≈ const + log2(factor), keeping per-bucket occupancy
+    // and therefore join volume per row constant. The probe measures
+    // both the fixed config (shows the cliff) and the log-scaled config
+    // (shows the cure); recall at the scaled setting is tunable back up
+    // via numBands (see SCALE.md "ANN retrieval quality").
+    def ndp(d: DataFrame, bp: Int) = graft.similarity.Similarity
+      .nearDupPairs(d, threshold = 0.4, bandPlanes = bp, numBands = 8)
+    // untimed warmup: codegen + JIT for all three pair plans
+    jacc(repMutatedDocs(1)).count(); simh(repMutatedDocs(1)).count()
+    ndp(repMutatedEmb(1), 4).count()
+    println("factor,docs,jaccard_s,jaccard_pairs,simhash_s,simhash_pairs," +
+      "neardup4_s,neardup4_pairs,neardup_log_planes,neardup_log_s,neardup_log_pairs")
+    for (n <- Seq(1, 4, 16)) {
+      val docsN = repMutatedDocs(n)
+      val embN = repMutatedEmb(n)
+      val bpLog = 4 + (math.log(n) / math.log(2)).round.toInt // 4, 6, 8
+      var jp = 0L; var sp = 0L; var np = 0L; var npl = 0L
+      val jS = time { jp = jacc(docsN).count() }
+      val sS = time { sp = simh(docsN).count() }
+      // fixed-config capped at 4x: at 16x its ~N²/16 candidate set (tens
+      // of billions of band pairs) exhausts local shuffle-spill disk —
+      // the cliff the log-scaled config exists to avoid; the 4x row plus
+      // the candidate-count arithmetic already demonstrates it.
+      val nS = if (n <= 4) time { np = ndp(embN, 4).count() } else Double.NaN
+      val nlS = time { npl = ndp(embN, bpLog).count() }
+      println(f"$n,${n * 5000},$jS%.2f,$jp,$sS%.2f,$sp,$nS%.2f,$np,$bpLog,$nlS%.2f,$npl")
     }
     spark.stop()
   }

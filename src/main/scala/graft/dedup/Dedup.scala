@@ -427,23 +427,30 @@ object Dedup {
         .select("id_a", "id_b", "jaccard")
     } else {
       import org.apache.spark.sql.expressions.Window
+      // The prefix join and the verify step run on 64-bit xxhash64 shingle
+      // keys, not strings: the verify shuffles each candidate's kept-set
+      // array twice and intersects per pair, and long equality there is
+      // ~4x cheaper than string hashing + payload (measured via
+      // ScaleProbe's pair section). Set semantics are identical up to
+      // 64-bit collisions; df/stop-shingle stats stay string-exact.
       val kept = posting.join(dfreq, Seq("shingle")) // shingle, id, n_shingles, df
+        .withColumn("h", xxhash64(col("shingle")))
       // global rarest-first order; rank within each doc
       val byDoc = Window.partitionBy("id")
       val ranked = kept
-        .withColumn("rank", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
+        .withColumn("rank", row_number().over(byDoc.orderBy(col("df"), col("h"))))
         .withColumn("ka", count(lit(1)).over(byDoc))
       // Imin = ceil(t·n_shingles); prefix = first ka - Imin + 1 shingles.
       // Docs where Imin > ka can never qualify and emit no prefix rows.
       val prefix = ranked.filter(col("rank") <=
         col("ka") - ceil(lit(threshold) * col("n_shingles")) + 1)
-      val cand = prefix.select(col("shingle"), col("id").as("id_a"))
-        .join(prefix.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      val cand = prefix.select(col("h"), col("id").as("id_a"))
+        .join(prefix.select(col("h"), col("id").as("id_b")), Seq("h"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
       // exact verification on the kept-shingle sets of candidates only
       val keptSets = kept.groupBy("id", "n_shingles")
-        .agg(collect_list("shingle").as("kept_set"))
+        .agg(collect_list(col("h")).as("kept_set"))
       cand
         .join(keptSets.select(col("id").as("id_a"), col("n_shingles").as("na"),
           col("kept_set").as("sa")), Seq("id_a"))
