@@ -98,4 +98,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("aggregate(zip_with"), "no interpreted fold in the bucket path")
     assert(p.contains("cosine_sim"), "verification uses the codegen expression")
   }
+
+  test("banded LSH top-k: query side broadcast on band join AND scoring join; codegen buckets") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf())
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        similarity.Similarity.asDouble(col("embedding")).as("query_vec"))
+    val cands = emb.select(col("vec_id").as("cand_id"),
+      similarity.Similarity.asDouble(col("embedding")).as("cand_vec"))
+    val p = similarity.Similarity.lshTopKBanded(queries, cands, 10)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"band join and query-side scoring join must both broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge on the candidate path")
+    assert(p.contains("dot_product"), "bucket bits must use the codegen expression")
+    assert(p.contains("cosine_sim"), "verification uses the codegen expression")
+  }
+
+  test("jaccard PPJoin (threshold>0): prefix join and verify run on hashed keys") {
+    val p = dedup.Dedup.jaccardPairs(Tables.documents(spark, sf()),
+        "doc_id", "text", n = 3, threshold = 0.5, maxShingleFreq = 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64"), "prefix/verify keys must be 64-bit hashes, not strings")
+    assert(p.contains("array_intersect"), "exact verify on candidate kept-sets")
+  }
 }
