@@ -63,6 +63,12 @@ object ActorReplies {
   // ---------------------------------------------------------------- parser
 
   private val HeaderRe = """^\s*(\d+)\s+(\d+)\s+([A-Za-z:>!])\s*(.*)$""".r
+  // hot-path patterns precompiled once: String.matches recompiles the
+  // regex on EVERY call, and these run per keyword per line
+  private val NameRe = java.util.regex.Pattern.compile("""[A-Za-z_][A-Za-z0-9_.]*""")
+  private val FloatRe = java.util.regex.Pattern.compile("""[+-]?([0-9]*\.)?[0-9]+([eE][+-]?[0-9]+)?|NaN""")
+  private val PvtFloatRe = java.util.regex.Pattern.compile("""[+-]?([0-9]*\.)?[0-9]+([eE][+-]?[0-9]+)?""")
+  private val IntRe = java.util.regex.Pattern.compile("""[+-]?[0-9]+""")
 
   /** Parse one reply line; `None` on malformed input (warn-and-continue
     * at the call site, tron.py:411-413). */
@@ -82,11 +88,11 @@ object ActorReplies {
       else {
         val eq = indexOfOutsideQuotes(c, '=')
         if (eq < 0) {
-          if (!c.matches("""[A-Za-z_][A-Za-z0-9_.]*""")) throw new IllegalArgumentException(c)
+          if (!NameRe.matcher(c).matches()) throw new IllegalArgumentException(c)
           Some(ParsedKeyword(c, Nil))
         } else {
           val name = c.substring(0, eq).trim
-          if (!name.matches("""[A-Za-z_][A-Za-z0-9_.]*""")) throw new IllegalArgumentException(name)
+          if (!NameRe.matcher(name).matches()) throw new IllegalArgumentException(name)
           val values = splitOutsideQuotes(c.substring(eq + 1), ',').map(v => unquote(v.trim))
           Some(ParsedKeyword(name, values))
         }
@@ -147,22 +153,25 @@ object ActorReplies {
   }
   final case class FloatType(name: String = "", units: String = "") extends KeyType {
     def accepts(raw: Seq[String]): Boolean =
-      raw.head.matches("""[+-]?([0-9]*\.)?[0-9]+([eE][+-]?[0-9]+)?|NaN""")
+      FloatRe.matcher(raw.head).matches()
   }
   final case class IntType(name: String = "", units: String = "") extends KeyType {
-    def accepts(raw: Seq[String]): Boolean = raw.head.matches("""[+-]?[0-9]+""")
+    def accepts(raw: Seq[String]): Boolean = IntRe.matcher(raw.head).matches()
   }
   final case class StringType(name: String = "", units: String = "") extends KeyType {
     def accepts(raw: Seq[String]): Boolean = true
   }
   final case class BoolType(name: String = "", units: String = "") extends KeyType {
     def accepts(raw: Seq[String]): Boolean =
-      Set("t", "f", "true", "false", "0", "1").contains(raw.head.toLowerCase)
+      BoolType.Literals.contains(raw.head.toLowerCase)
+  }
+  object BoolType {
+    private val Literals = Set("t", "f", "true", "false", "0", "1")
   }
   final case class PvtType(name: String = "", units: String = "") extends KeyType {
     override def arity: Int = 3
     def accepts(raw: Seq[String]): Boolean =
-      raw.forall(_.matches("""[+-]?([0-9]*\.)?[0-9]+([eE][+-]?[0-9]+)?"""))
+      raw.forall(v => PvtFloatRe.matcher(v).matches())
   }
 
   /** A dictionary key: ordered typed slots. */

@@ -18,7 +18,7 @@ import graft.transforms.KeywordProcessor.KeywordTagConf
   * mid-line so its halves land in DIFFERENT micro-batches), spooled as
   * parquet, and streamed through
   * `reassembleLines → ActorReplies.parse → KeywordProcessor.process`
-  * (tron.py:336-454) into a memory sink. The DuckDB oracle replays the
+  * (tron.py:336-454) into a parquet sink. The DuckDB oracle replays the
   * EXPECTED output directly from `events` via the chain's specification —
   * so a hash match proves the grammar, dictionary typing, broadcast drop,
   * keyword_tags, PVT explode, and cross-batch reassembly all compose
@@ -86,9 +86,13 @@ object ActorStreamReplay {
       .otherwise(concat(cmd.cast("string"), lit(" "), (col("u") % 5).cast("string"),
         lit(" i "), concat_ws("; ", kwVal, kwStatus, kwMotion, kwMystery)))
 
+    // 32 connections, not a handful: the connection id keys the
+    // reassembly state op, and every stage downstream of it (parse,
+    // KeywordProcessor) inherits its partitioning — with 4 conns the
+    // whole chain ran 4-wide on a 32-core session (measured 6x slower).
     val wRank = Window.partitionBy(col("conn")).orderBy(col("id"))
     val numbered = e
-      .select(concat(lit("c"), (col("u") % 4).cast("string")).as("conn"),
+      .select(concat(lit("c"), (col("u") % 32).cast("string")).as("conn"),
         col("id"), concat(line, lit("\n")).as("data"))
       .withColumn("rn", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("conn"))))
@@ -110,10 +114,16 @@ object ActorStreamReplay {
     // chunks are both in file b2 (same batch); the cross-batch carry is
     // the connection STATE (nextSeq high-water + empty partial) plus, when
     // b2 is listed first, b2's chunks waiting in `pending` for b1's.
-    chunks.filter(col("part") === "b1").select("conn", "seq", "data")
-      .coalesce(1).write.mode("overwrite").parquet(spool.toString)
-    chunks.filter(col("part") === "b2").select("conn", "seq", "data")
-      .coalesce(1).write.mode("append").parquet(spool.toString)
+    // persist BEFORE the two coalesce(1) writes: coalesce collapses its
+    // whole post-shuffle stage to one task, so without the cache each
+    // write would rerun the window+explode pipeline serially.
+    val cached = chunks.persist()
+    try {
+      cached.filter(col("part") === "b1").select("conn", "seq", "data")
+        .coalesce(1).write.mode("overwrite").parquet(spool.toString)
+      cached.filter(col("part") === "b2").select("conn", "seq", "data")
+        .coalesce(1).write.mode("append").parquet(spool.toString)
+    } finally cached.unpersist()
   }
 
   private val ChunkSchema = StructType(Seq(
@@ -137,13 +147,19 @@ object ActorStreamReplay {
       ActorReplies.parse(replies, Dict).toDF(),
       tags = Map("site" -> "lab"),
       keywordTags = Map("probe.val" -> KeywordTagConf(0, "eid")))
-    val q = points.writeStream.queryName("q52_actor_sink").format("memory")
+    // parquet sink, not memory: the memory sink collects every batch to
+    // the driver and its table executes as a SINGLE-partition local scan,
+    // which made the readback+sort ~46 s at sf0.1; the parquet observer is
+    // also the production path (sinks/TelemetrySink).
+    val outDir = new File(base, "out")
+    val q = points.writeStream.format("parquet")
+      .option("path", outDir.toString)
       .outputMode("append")
       .option("checkpointLocation", new File(base, "ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
 
-    val t = spark.table("q52_actor_sink")
+    val t = spark.read.parquet(outDir.toString)
     val tagStr = concat_ws(",", array_sort(transform(map_entries(col("tags")),
       e => concat(e.getField("key"), lit("="), e.getField("value")))))
     val num = t.select(tagStr.as("tags"), explode(col("fields")))
