@@ -1238,6 +1238,245 @@ object Queries {
       ORDER BY field, value, sval, tags"""))
 
   /** Registry: every query, in order. */
+  // ---------------------------------------------------------------------
+  // Corpus-quality pipeline (training-data ops beyond the reference):
+  // normalization, repetition filters, decontamination, PII, sampling,
+  // keywords, quantization — graft.text.Quality / QuantizeMse.
+  // ---------------------------------------------------------------------
+
+  // Unicode NFC normalization (codegen'd NfcNormalize expression) + the
+  // standard fingerprint pipeline on top; DuckDB's nfc_normalize is the
+  // same canonical composition, so fingerprints match bit-for-bit.
+  val q53_normalize_text = Q("q53_normalize_text",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(
+          graft.functions.VectorFunctions.nfcNormalize(col("text"))), " +", " "))
+          .as("norm"))
+      .select(col("doc_id"), length(col("norm")).as("norm_len"),
+        md5(col("norm")).as("norm_fp"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH n AS (
+        SELECT doc_id,
+          trim(regexp_replace(lower(nfc_normalize(text)), ' +', ' ', 'g')) AS norm
+        FROM documents)
+      SELECT doc_id, length(norm) AS norm_len, md5(norm) AS norm_fp
+      FROM n ORDER BY doc_id"""))
+
+  val q54_repetition_filter = Q("q54_repetition_filter",
+    (s, dir) => graft.text.Quality.repetitionStats(documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        round(col("top_2gram_frac"), 6).as("top_2gram_frac"),
+        round(col("dup_3gram_frac"), 6).as("dup_3gram_frac"),
+        col("passes"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+               FOR i IN generate_series(1, greatest(len(w)-1, 1))]) AS s FROM tok),
+      c2 AS (SELECT doc_id, s, COUNT(*) AS c FROM g2 GROUP BY doc_id, s),
+      a2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top2 FROM c2 GROUP BY doc_id),
+      g3 AS (SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+               FOR i IN generate_series(1, greatest(len(w)-2, 1))]) AS s FROM tok),
+      c3 AS (SELECT doc_id, s, COUNT(*) AS c FROM g3 GROUP BY doc_id, s),
+      a3 AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup3
+             FROM c3 GROUP BY doc_id)
+      SELECT doc_id, round(top2, 6) AS top_2gram_frac, round(dup3, 6) AS dup_3gram_frac,
+        top2 <= 0.2 AND dup3 <= 0.6 AS passes
+      FROM a2 JOIN a3 USING (doc_id) ORDER BY doc_id"""))
+
+  // Benchmark decontamination: docs with doc_id % 19 == 0 play the eval
+  // suite; every other doc reports what fraction of its distinct word
+  // 3-grams leak from it. (Real pipelines use 8-13-grams; 3 keeps the
+  // synthetic fixture's hit rate non-degenerate.)
+  val q55_contamination = Q("q55_contamination",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      graft.text.Quality.contaminationStats(
+          docs.filter(col("doc_id") % 19 =!= 0),
+          docs.filter(col("doc_id") % 19 === 0),
+          "doc_id", "text", n = 3, maxFrac = 0.05)
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          round(col("contamination_frac"), 6).as("contamination_frac"),
+          col("flagged"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+               FOR i IN generate_series(1, greatest(len(w)-2, 1))])) AS s FROM tok),
+      bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 19 = 0),
+      corpus AS (SELECT * FROM sh WHERE doc_id % 19 <> 0),
+      m AS (SELECT doc_id, COUNT(*) AS n_contaminated FROM corpus
+            WHERE s IN (SELECT s FROM bench) GROUP BY doc_id),
+      t AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id)
+      SELECT t.doc_id, t.n_shingles, COALESCE(m.n_contaminated, 0) AS n_contaminated,
+        round(CAST(COALESCE(m.n_contaminated, 0) AS DOUBLE) / t.n_shingles, 6)
+          AS contamination_frac,
+        CAST(COALESCE(m.n_contaminated, 0) AS DOUBLE) / t.n_shingles > 0.05 AS flagged
+      FROM t LEFT JOIN m ON t.doc_id = m.doc_id ORDER BY t.doc_id"""))
+
+  // PII scan + redaction rollup. The synthetic corpus is PII-free, so
+  // the per-language counts are honest zeros here — QualitySpec drives
+  // the patterns and the redaction on adversarial synthetic strings.
+  val q56_pii_scan = Q("q56_pii_scan",
+    (s, dir) => graft.text.Quality.piiScan(documents(s, dir), "text")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_ipv4")).as("n_ipv4"),
+        sum(col("n_long_digits")).as("n_long_digits"),
+        sum(length(col("pii_redacted"))).as("redacted_chars"))
+      .orderBy("lang"),
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        CAST(SUM(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) AS BIGINT) AS n_ipv4,
+        CAST(SUM(len(regexp_extract_all(text, '[0-9]{9,}'))) AS BIGINT) AS n_long_digits,
+        CAST(SUM(length(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+          '[0-9]{9,}', '<NUM>', 'g'))) AS BIGINT) AS redacted_chars
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  // Deterministic stratified sampling: the md5-mod-1000 keep rule means
+  // the same rows survive on any engine, any partitioning, any run —
+  // df.sample() guarantees none of those.
+  val q57_stratified_sample = Q("q57_stratified_sample",
+    (s, dir) => graft.text.Quality.stratifiedSample(
+        documents(s, dir), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+        < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 250
+                    WHEN 'es' THEN 250 WHEN 'zh' THEN 250 ELSE 0 END
+      ORDER BY doc_id"""))
+
+  // TF-IDF keywords, top-3 per doc. IDF is the raw ratio N/df — integer
+  // inputs, one IEEE division — so scores are bit-identical across
+  // engines without any epsilon.
+  val q58_tfidf_keywords = Q("q58_tfidf_keywords",
+    (s, dir) => graft.text.Quality.tfidfKeywords(documents(s, dir), "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("rank"), col("token"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank"),
+    Some("""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM words GROUP BY doc_id, token),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, token,
+          CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df) AS score
+        FROM tf JOIN dfreq USING (token), n),
+      r AS (SELECT doc_id, token, score,
+              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+            FROM scored)
+      SELECT doc_id, rank, token, round(score, 6) AS score
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  // Per-vector int8 scalar-quantization reconstruction error via the
+  // codegen'd QuantizeMse expression (one fused pass). The oracle
+  // replays the pinned floor(x+0.5) math; round(…,12) absorbs the
+  // last-ulp summation-order difference between the engines' list sums
+  // (mse is ~1e-5-scale, ulp noise is ~1e-21).
+  val q59_embedding_quantize = Q("q59_embedding_quantize",
+    (s, dir) => embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorFunctions.quantizeMse(
+          Similarity.asDouble(col("embedding")), lit(255)), 12).as("mse"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      s AS (SELECT vec_id, label, x,
+              list_aggregate(x, 'min') AS mn, list_aggregate(x, 'max') AS mx
+            FROM v),
+      e AS (SELECT vec_id, label,
+              CASE WHEN mx = mn THEN 0.0 ELSE
+                list_sum(list_transform(
+                  list_transform(x, xe -> xe - (mn +
+                    least(greatest(floor((xe - mn) / ((mx - mn) / 255) + 0.5), 0), 255)
+                      * ((mx - mn) / 255))),
+                  d -> d * d)) / len(x)
+              END AS mse
+            FROM s)
+      SELECT vec_id, label, round(mse, 12) AS mse FROM e ORDER BY vec_id"""))
+
+  // Capstone training-data pipeline: exact-dedup survivors -> Gopher
+  // repetition filter -> language-ID confidence gate (drop docs the
+  // n-gram classifier can't place at all) -> quality floor ->
+  // deterministic 50% sample, rolled up per tagged language.
+  // Every stage is declarative; the dedup and repetition aggregates are
+  // the only shuffles, and the sample fuses into the scan.
+  val q60_pipeline_sample = Q("q60_pipeline_sample",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val surv = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("survivor_id").as("doc_id"))
+      val repPass = graft.text.Quality.repetitionStats(docs, "doc_id", "text")
+        .filter(col("passes")).select("doc_id")
+      val base = docs
+        .join(surv, Seq("doc_id"), "left_semi")
+        .join(repPass, Seq("doc_id"), "left_semi")
+        .filter(TextStats.languageId(col("text")) =!= "und")
+        .filter(TextStats.qualityScore(col("text"), Stopwords) >= 0.4)
+      graft.text.Quality.stratifiedSample(base, "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextStats.tokens(col("text")))).as("n_tokens"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))),
+      tok AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+      g2 AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+               FOR i IN generate_series(1, greatest(len(w)-1, 1))]) AS s FROM tok),
+      c2 AS (SELECT doc_id, s, COUNT(*) AS c FROM g2 GROUP BY doc_id, s),
+      a2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top2 FROM c2 GROUP BY doc_id),
+      g3 AS (SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+               FOR i IN generate_series(1, greatest(len(w)-2, 1))]) AS s FROM tok),
+      c3 AS (SELECT doc_id, s, COUNT(*) AS c FROM g3 GROUP BY doc_id, s),
+      a3 AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup3
+             FROM c3 GROUP BY doc_id),
+      rep AS (SELECT doc_id FROM a2 JOIN a3 USING (doc_id)
+              WHERE top2 <= 0.2 AND dup3 <= 0.6),
+      scored AS (
+        SELECT t.doc_id, t.lang, len(t.w) AS n_tokens,
+          len(list_filter(t.w, x -> x IN ('the','a','of','and','is'))) AS s_en,
+          len(list_filter(t.w, x -> x IN ('el','la','de','que','es'))) AS s_es,
+          len(list_filter(t.w, x -> x IN ('le','la','de','et','est'))) AS s_fr,
+          len(list_filter(t.w, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+          len(list_filter(t.w, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS s_zh,
+          round(least(CAST(length(t.text) AS DOUBLE) / 500.0, 1.0) * 0.3
+            + least(CAST(len(list_filter(t.w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(t.w) * 5.0, 1.0) * 0.3
+            + CAST(len(list_distinct(t.w)) AS DOUBLE) / len(t.w) * 0.4, 6) AS quality
+        FROM tok t
+        JOIN surv USING (doc_id)
+        JOIN rep USING (doc_id)),
+      pred AS (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS best FROM scored),
+      keep AS (
+        SELECT doc_id, lang, n_tokens FROM pred
+        WHERE quality >= 0.4
+          AND CASE WHEN s_en = best AND best > 0 THEN 'en'
+                   WHEN s_es = best AND best > 0 THEN 'es'
+                   WHEN s_fr = best AND best > 0 THEN 'fr'
+                   WHEN s_de = best AND best > 0 THEN 'de'
+                   WHEN s_zh = best AND best > 0 THEN 'zh'
+                   ELSE 'und' END <> 'und'
+          AND CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 500)
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM keep GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -1253,5 +1492,7 @@ object Queries {
     q43_ann_topk_agg, q44_dedup_clusters, q45_embedding_centroid,
     q46_text_subwords, q47_corpus_filter, q48_range_join,
     q49_wind_pipeline, q50_sessionize, q51_embedding_neardup,
-    q52_actor_stream)
+    q52_actor_stream, q53_normalize_text, q54_repetition_filter,
+    q55_contamination, q56_pii_scan, q57_stratified_sample,
+    q58_tfidf_keywords, q59_embedding_quantize, q60_pipeline_sample)
 }

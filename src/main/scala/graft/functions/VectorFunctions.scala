@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, NfcNormalize, QuantizeMse}
 
 /** Public facade for the codegen'd vector/fingerprint expressions
   * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
@@ -15,6 +15,8 @@ object VectorFunctions {
   def cosineFast(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def dotFast(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def hammingDist(a: Column, b: Column): Column = call_function("hamming_dist", a, b)
+  def quantizeMse(v: Column, levels: Column): Column = call_function("quantize_mse", v, levels)
+  def nfcNormalize(s: Column): Column = call_function("nfc_normalize", s)
 
   private[functions] def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -26,6 +28,12 @@ object VectorFunctions {
     (FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[HammingDist].getName, "hamming_dist"),
       (children: Seq[Expression]) => HammingDist(children(0), children(1))),
+    (FunctionIdentifier("quantize_mse"),
+      new ExpressionInfo(classOf[QuantizeMse].getName, "quantize_mse"),
+      (children: Seq[Expression]) => QuantizeMse(children(0), children(1))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children(0))),
     // Spark's own codegen'd bloom probe (the expression its runtime
     // bloom-filter join uses) — not in the public FunctionRegistry, so
     // expose it for externally-built sketches (Sketches.bloomSemiJoin):

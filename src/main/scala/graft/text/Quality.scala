@@ -1,0 +1,157 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Corpus-quality operators a large-scale training-data pipeline runs
+  * between raw crawl and training shards: repetition filtering
+  * (Gopher-style), benchmark-contamination detection (n-gram overlap),
+  * PII scanning, deterministic stratified sampling, and TF-IDF keyword
+  * extraction. All declarative column algebra — every shuffle is keyed
+  * by `doc_id` (or a token with bounded per-key cardinality), so each
+  * op scales horizontally with the corpus.
+  */
+object Quality {
+
+  /** Gopher-style repetition statistics per document (Rae et al. 2021,
+    * "Scaling Language Models", table A1 repetition filters): the
+    * fraction of word 2-grams occupied by the single most frequent
+    * 2-gram, and the fraction of word 3-grams that occur more than once.
+    * Boilerplate and keyboard-mash score high on both; natural prose
+    * scores low.
+    *
+    * Scale shape: `Dedup.shinglePosting` fans (doc_id, n-gram) rows
+    * across shuffle partitions with ONE id-keyed exchange; both
+    * per-(doc,gram) counts and the per-doc rollup ride that same hash
+    * partitioning (no second exchange per agg — asserted for the same
+    * shape in PlanShapeSpec's minhash test). Nothing is quadratic in
+    * document length and no key exceeds per-doc gram cardinality. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+      maxTop2gramFrac: Double = 0.20, maxDup3gramFrac: Double = 0.60): DataFrame = {
+    def gramFracs(n: Int) =
+      Dedup.shinglePosting(docs, idCol, textCol, n)
+        .groupBy("id", "s").agg(count(lit(1)).as("c"))
+        .groupBy("id").agg(
+          sum(col("c")).as("total"),
+          max(col("c")).as("top"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup"))
+    val g2 = gramFracs(2).select(col("id"),
+      (col("top").cast("double") / col("total")).as("top_2gram_frac"))
+    val g3 = gramFracs(3).select(col("id"),
+      (col("dup").cast("double") / col("total")).as("dup_3gram_frac"))
+    g2.join(g3, Seq("id"))
+      .select(col("id").as(idCol), col("top_2gram_frac"), col("dup_3gram_frac"),
+        (col("top_2gram_frac") <= maxTop2gramFrac &&
+          col("dup_3gram_frac") <= maxDup3gramFrac).as("passes"))
+  }
+
+  /** Benchmark-contamination scan (the decontamination step every
+    * training pipeline runs before shipping shards): for each corpus
+    * document, the fraction of its distinct word `n`-grams that also
+    * appear in `benchmark` (an eval set). Docs above `maxFrac` must be
+    * dropped or the benchmark is leaked into training.
+    *
+    * Scale shape: the benchmark side is an eval suite — thousands of
+    * documents, not billions — so its distinct-shingle set broadcasts
+    * and the corpus side never shuffles for the membership test (a
+    * broadcast left-semi join; swap in `Sketches.bloomSemiJoin` when
+    * the benchmark outgrows the broadcast threshold). The only exchange
+    * is the corpus-side distinct, keyed by (doc_id, gram). */
+  def contaminationStats(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      maxFrac: Double = 0.05): DataFrame = {
+    val corpusShingles = Dedup.shinglePosting(docs, idCol, textCol, n).distinct()
+    val benchShingles = Dedup.shinglePosting(benchmark, idCol, textCol, n)
+      .select("s").distinct()
+    val matched = corpusShingles
+      .join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
+    corpusShingles.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+      .join(matched, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+      .withColumn("flagged", col("contamination_frac") > maxFrac)
+  }
+
+  /** PII detector patterns — RE2-safe (no lookaround/backreferences) so
+    * Java regex and external engines agree. Deliberately high-recall
+    * simple shapes: emails, IPv4 addresses, and 9+-digit runs (SSN /
+    * account / phone-shaped). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val LongDigitPattern = "[0-9]{9,}"
+
+  /** Per-document PII hit counts + the redacted text. Pure regexp
+    * column expressions — runs at scan speed; the redaction masks every
+    * match with a fixed token so downstream fingerprints are stable. */
+  def piiScan(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(EmailPattern)))
+      .withColumn("n_ipv4", regexp_count(t, lit(Ipv4Pattern)))
+      .withColumn("n_long_digits", regexp_count(t, lit(LongDigitPattern)))
+      .withColumn("pii_redacted",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+          LongDigitPattern, "<NUM>"))
+  }
+
+  /** Deterministic hash sample decision: keep a row iff
+    * `md5(salt || key) mod 1000 < rate*1000`. Same row set on every
+    * run, every engine (the md5 trick [[graft.dedup.Dedup.h32]] uses),
+    * and independent of partitioning — unlike `df.sample`, whose output
+    * depends on split boundaries. This is how a 100 TB pipeline carves
+    * train/val splits and per-stratum quotas reproducibly. */
+  def hashKeep(key: Column, rate: Double, salt: String = "graft"): Column =
+    Dedup.h32(concat(lit(salt), lit(":"), key.cast("string"))) % 1000 <
+      math.round(rate * 1000).toInt
+
+  /** Stratified sampling: per-stratum keep-rates applied with the
+    * deterministic hash rule. `rates` is driver-side (strata are a
+    * vocabulary — languages, sources — not data-scale), compiled into a
+    * literal CASE chain so sampling fuses into the scan: zero shuffles,
+    * zero joins, trivially parallel. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    // hashKeep inlined with a per-row rate: threshold = round(rate*1000)
+    df.filter(
+      Dedup.h32(concat(lit(salt), lit(":"), col(keyCol).cast("string"))) % 1000 <
+        round(rate * 1000).cast("int"))
+  }
+
+  /** Top-`k` TF-IDF keywords per document. IDF is the raw ratio
+    * `N / df(token)` (no logarithm: integer-exact inputs and a single
+    * IEEE division keep scores bit-reproducible across engines; log()
+    * last-bit behavior does not). Ties break on the token string.
+    *
+    * Scale shape: term counts shuffle on (doc_id, token); document
+    * frequencies aggregate map-side on token (bounded by vocabulary);
+    * the corpus size N is a 1-row broadcast. The final per-doc top-k
+    * window sorts only each document's own term list — same
+    * partition-by-entity argument as the ranking queries (q11/q49),
+    * never a global sort. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(TextStats.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("id").as(idCol), col("token"),
+        (col("tf").cast("double") * (col("n_docs").cast("double") / col("df")))
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

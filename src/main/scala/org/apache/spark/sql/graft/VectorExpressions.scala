@@ -125,6 +125,95 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd scalar-quantization reconstruction error: quantize an
+  * `ARRAY<DOUBLE>` to `levels` uniform steps between its own min and max
+  * (per-vector affine int8-style quantization — the layout a 100 TB
+  * embedding store actually ships, 4-8× smaller than float32), dequantize,
+  * and return the mean squared reconstruction error in ONE fused pass.
+  *
+  * Math is pinned so an external engine can replay it bit-for-bit:
+  * `scale = (max-min)/levels`; `q_i = floor((x_i-min)/scale + 0.5)`
+  * (explicit half-up — engines disagree on round()'s tie rule, floor+0.5
+  * they don't); error accumulates left-to-right. A constant vector
+  * (scale 0) reconstructs exactly → 0.0. Null if input is null. */
+case class QuantizeMse(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quantize_mse"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val levels = b.asInstanceOf[Int]
+    val n = xs.numElements()
+    if (n == 0) return 0.0
+    var mn = xs.getDouble(0); var mx = mn
+    var i = 1
+    while (i < n) {
+      val x = xs.getDouble(i)
+      if (x < mn) mn = x; if (x > mx) mx = x
+      i += 1
+    }
+    val scale = (mx - mn) / levels
+    if (scale == 0.0) return 0.0
+    var sse = 0.0
+    i = 0
+    while (i < n) {
+      val x = xs.getDouble(i)
+      var q = math.floor((x - mn) / scale + 0.5)
+      if (q < 0) q = 0; if (q > levels) q = levels
+      val e = x - (mn + q * scale)
+      sse += e * e
+      i += 1
+    }
+    sse / n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val mn = ctx.freshName("mn")
+      val mx = ctx.freshName("mx")
+      val scale = ctx.freshName("scale")
+      val sse = ctx.freshName("sse")
+      val x = ctx.freshName("x")
+      val q = ctx.freshName("q")
+      val e = ctx.freshName("e")
+      // Same loop order and rounding as nullSafeEval — the two paths
+      // must produce bit-identical doubles.
+      s"""
+         |final int $n = $a.numElements();
+         |${ev.value} = 0.0;
+         |if ($n > 0) {
+         |  double $mn = $a.getDouble(0); double $mx = $mn;
+         |  for (int $i = 1; $i < $n; $i++) {
+         |    final double $x = $a.getDouble($i);
+         |    if ($x < $mn) $mn = $x; if ($x > $mx) $mx = $x;
+         |  }
+         |  final double $scale = ($mx - $mn) / $b;
+         |  if ($scale != 0.0) {
+         |    double $sse = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      final double $x = $a.getDouble($i);
+         |      double $q = java.lang.Math.floor(($x - $mn) / $scale + 0.5);
+         |      if ($q < 0) $q = 0; if ($q > $b) $q = $b;
+         |      final double $e = $x - ($mn + $q * $scale);
+         |      $sse += $e * $e;
+         |    }
+         |    ${ev.value} = $sse / $n;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizeMse =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd Hamming distance between two 64-bit fingerprints. */
 case class HammingDist(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.text.Quality
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------------------------
+  // Repetition (Gopher-style) filters
+  // -------------------------------------------------------------------
+
+  test("repetitionStats: boilerplate scores high, varied prose scores low") {
+    val docs = Seq(
+      (1L, "a b a b a b a b a b"), // one bigram everywhere
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "x") // single token: one (degenerate) 2-gram and 3-gram
+    ).toDF("doc_id", "text")
+    val m = Quality.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 9 bigrams, "a b" appears 5 times -> top frac 5/9
+    assert(m(1L).getDouble(1) == 5.0 / 9.0)
+    assert(!m(1L).getBoolean(3)) // fails the 0.20 threshold
+    // doc 2: all bigrams distinct -> top frac 1/9, no repeated trigram
+    assert(m(2L).getDouble(1) == 1.0 / 9.0)
+    assert(m(2L).getDouble(2) == 0.0)
+    assert(m(2L).getBoolean(3))
+    // degenerate doc: a single (short) gram, frac 1.0
+    assert(m(3L).getDouble(1) == 1.0)
+  }
+
+  // -------------------------------------------------------------------
+  // Benchmark contamination
+  // -------------------------------------------------------------------
+
+  test("contaminationStats: counts distinct leaked n-grams per doc") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 3-grams with bench
+      (2L, "zeta eta theta iota kappa") // clean
+    ).toDF("doc_id", "text")
+    val m = Quality.contaminationStats(docs, bench, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // doc 1 trigrams: {a b g, b g d, g d e}; bench has {a b g, b g d}
+    assert(m(1L) == ((3L, 2L, true)))
+    assert(m(2L) == ((3L, 0L, false)))
+  }
+
+  test("contaminationStats: flags only above maxFrac") {
+    val bench = Seq((100L, "p q r")).toDF("doc_id", "text")
+    val docs = Seq((1L, "p q r s t u v w x y z a b c d e f g h i j k l m n o")).toDF("doc_id", "text")
+    val r = Quality.contaminationStats(docs, bench, "doc_id", "text", n = 3, maxFrac = 0.10)
+      .collect().head
+    assert(r.getLong(2) == 1L) // one leaked trigram out of 24
+    assert(!r.getBoolean(4))
+  }
+
+  // -------------------------------------------------------------------
+  // PII scan + redaction
+  // -------------------------------------------------------------------
+
+  test("piiScan: detects and redacts emails, IPv4s, long digit runs") {
+    val docs = Seq(
+      (1L, "contact bob.smith+spam@example.co.uk or 10.0.0.1 ref 123456789"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val m = Quality.piiScan(docs, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getInt(2) == 1) // n_emails
+    assert(m(1L).getInt(3) == 1) // n_ipv4
+    assert(m(1L).getInt(4) == 1) // n_long_digits
+    assert(m(1L).getString(5) == "contact <EMAIL> or <IP> ref <NUM>")
+    assert(m(2L).getInt(2) == 0 && m(2L).getInt(3) == 0 && m(2L).getInt(4) == 0)
+    assert(m(2L).getString(5) == "no pii here at all")
+  }
+
+  // -------------------------------------------------------------------
+  // Deterministic stratified sampling
+  // -------------------------------------------------------------------
+
+  test("stratifiedSample: deterministic, partitioning-independent, rate-accurate") {
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    val once = Quality.stratifiedSample(docs, "lang", "doc_id", rates)
+      .select("doc_id").as[Long].collect().sorted
+    val again = Quality.stratifiedSample(docs.repartition(13), "lang", "doc_id", rates)
+      .select("doc_id").as[Long].collect().sorted
+    assert(once.sameElements(again)) // same rows on any partitioning
+    val byLang = Quality.stratifiedSample(docs, "lang", "doc_id", rates)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 is uniform: expect ~500 en (p=.5 of 1000), ~100 de (p=.1 of 1000)
+    assert(byLang("en") > 400 && byLang("en") < 600)
+    assert(byLang("de") > 60 && byLang("de") < 140)
+    // stratum not in the rate map -> dropped entirely (defaultRate 0)
+    val other = Seq((1L, "fr")).toDF("doc_id", "lang")
+    assert(Quality.stratifiedSample(other, "lang", "doc_id", rates).count() == 0)
+  }
+
+  test("hashKeep: same decision as stratifiedSample's inline rule") {
+    val df = (0L until 500L).toDF("id")
+    val viaHelper = df.filter(Quality.hashKeep(col("id"), 0.3)).as[Long].collect().sorted
+    val viaSample = Quality.stratifiedSample(
+        df.withColumn("s", lit("x")), "s", "id", Map("x" -> 0.3))
+      .select("id").as[Long].collect().sorted
+    assert(viaHelper.sameElements(viaSample))
+  }
+
+  // -------------------------------------------------------------------
+  // TF-IDF keywords
+  // -------------------------------------------------------------------
+
+  test("tfidfKeywords: rare tokens outscore common ones; ties break on token") {
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common other"),
+      (3L, "common other")
+    ).toDF("doc_id", "text")
+    val top = Quality.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .select("token", "score").collect()
+    // rare1: tf=1, df=1 -> 1*(3/1)=3.0 ; common: tf=2, df=3 -> 2*(3/3)=2.0
+    assert(top(0).getString(0) == "rare1" && top(0).getDouble(1) == 3.0)
+    assert(top(1).getString(0) == "common" && top(1).getDouble(1) == 2.0)
+  }
+
+  // -------------------------------------------------------------------
+  // NFC normalization expression
+  // -------------------------------------------------------------------
+
+  test("nfc_normalize: composes decomposed sequences; identity on ASCII; null-safe") {
+    val decomposed = "Cafe\u0301" // e + U+0301 combining acute
+    val composed = "Caf\u00e9" // precomposed e-acute
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"))
+      .toDF("id", "t")
+      .select(col("id"), VectorFunctions.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == composed) // NFC composes
+    assert(rows(2L) == composed) // already-NFC unchanged
+    assert(rows(3L) == "plain ascii")
+    val n = Seq((1L, null: String)).toDF("id", "t")
+      .select(VectorFunctions.nfcNormalize(col("t"))).collect()
+    assert(n(0).isNullAt(0))
+    // dedup consequence: both spellings fingerprint identically after NFC
+    val fps = Seq((1L, decomposed), (2L, composed)).toDF("id", "t")
+      .select(md5(VectorFunctions.nfcNormalize(col("t")))).distinct().count()
+    assert(fps == 1L)
+  }
+
+  // -------------------------------------------------------------------
+  // Scalar quantization expression
+  // -------------------------------------------------------------------
+
+  test("quantize_mse: codegen and interpreted paths bit-identical; bounds sane") {
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.5, 1.0)), // grid-aligned-ish
+      (2L, Seq(-1.0, -0.33, 0.17, 0.99)),
+      (3L, Seq(2.5, 2.5, 2.5)), // constant vector -> exact, mse 0
+      (4L, Seq.empty[Double])
+    ).toDF("id", "v")
+    val cg = vecs.select(col("id"),
+      VectorFunctions.quantizeMse(col("v"), lit(255)).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+        "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = vecs.select(col("id"),
+        VectorFunctions.quantizeMse(col("v"), lit(255)).as("m")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      cg.foreach { case (k, v) => assert(interp(k) == v) } // BIT-identical
+    }
+    assert(cg(3L) == 0.0 && cg(4L) == 0.0)
+    // 255-level quantization over range r: per-dim error <= (r/255/2)^2
+    assert(cg(1L) > 0.0 && cg(1L) <= math.pow(1.0 / 255 / 2, 2))
+    assert(cg(2L) > 0.0 && cg(2L) <= math.pow(1.99 / 255 / 2, 2))
+    // more levels -> monotonically no-worse reconstruction
+    val coarse = vecs.filter(col("id") === 2L)
+      .select(VectorFunctions.quantizeMse(col("v"), lit(15))).head().getDouble(0)
+    assert(coarse >= cg(2L))
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
