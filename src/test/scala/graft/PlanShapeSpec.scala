@@ -123,4 +123,61 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("xxhash64"), "prefix/verify keys must be 64-bit hashes, not strings")
     assert(p.contains("array_intersect"), "exact verify on candidate kept-sets")
   }
+
+  test("stratified sample fuses into the scan: zero exchanges, codegen filter") {
+    val p = text.Quality.stratifiedSample(
+        Tables.documents(spark, sf()), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"sampling is a pure row filter — any shuffle is a regression:\n$p")
+    // "*(1)" is the WholeStageCodegen stage marker in the plan string
+    assert(p.contains("*(1) Filter"), s"md5-mod filter must stay in codegen:\n$p")
+  }
+
+  test("contamination: benchmark shingle set broadcasts; corpus side never re-shuffles for the probe") {
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf())
+    import org.apache.spark.sql.functions._
+    val p = text.Quality.contaminationStats(
+        docs.filter(col("doc_id") % 19 =!= 0), docs.filter(col("doc_id") % 19 === 0),
+        "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"membership probe must be a broadcast semi join:\n$p")
+    assert(!p.contains("SortMergeJoin") || !p.contains("LeftSemi SortMerge"),
+      "the probe must not shuffle the corpus on the shingle")
+  }
+
+  test("repetition stats: per-gram and per-doc aggs ride the posting's id partitioning") {
+    spark.catalog.clearCache()
+    val df = text.Quality.repetitionStats(Tables.documents(spark, sf()), "doc_id", "text")
+    val p = df.queryExecution.executedPlan.toString
+    // two shinglePosting repartition(id) SHUFFLE exchanges (2-grams +
+    // 3-grams); groupBy(id, gram) -> groupBy(id) -> join(id) all satisfy
+    // their distributions from hash(id), so no further shuffles appear.
+    // (The tiny-fixture g2-g3 join may add a BroadcastExchange — that's
+    // stats-driven and harmless; only shuffles are the scale contract.)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"expected exactly the two posting repartitions, got:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "gram counts must partial-aggregate map-side")
+  }
+
+  test("tfidf: corpus size N broadcasts as a 1-row frame; term counts partial-aggregate") {
+    val p = text.Quality.tfidfKeywords(Tables.documents(spark, sf()), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "N joins in as a broadcast single row, never a shuffle")
+    assert(p.contains("partial_count"), "tf/df counts must partial-aggregate")
+  }
+
+  test("q53/q59: normalization and quantization run as codegen expressions in the scan stage") {
+    val p53 = plan("q53_normalize_text")
+    assert(p53.contains("nfc_normalize"), "NFC must be the native expression")
+    val p59 = plan("q59_embedding_quantize")
+    assert(p59.contains("quantize_mse"), "quantization must be the native expression")
+    assert(!p59.contains("aggregate(transform"),
+      "no interpreted HOF fold in the quantization path")
+  }
 }
