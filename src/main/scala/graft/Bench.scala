@@ -6,8 +6,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology (stability > speed of the harness itself):
   *  1. a table-scan warmup (parquet footers + JVM classloading),
-  *  2. one UNTIMED full pass over every query — pays codegen, JIT and
-  *     broadcast-build costs outside the measurement window,
+  *  2. `SPARK_GRAFT_WARMUP` (default 2) UNTIMED full passes over every
+  *     query — pays codegen, JIT and broadcast-build costs outside the
+  *     measurement window. TWO passes, not one: the first leaves a C2
+  *     compile BACKLOG (60 queries × several generated classes queue
+  *     faster than the compiler threads drain), and with one warmup the
+  *     first ~25 s of timed reps ran interpreted/stealing cores —
+  *     measured as a contiguous band of 2-15x rep-1 outliers across
+  *     whichever queries fell in that window. The second untimed pass
+  *     absorbs the drain,
   *  3. `SPARK_GRAFT_REPS` (default 5) timed FULL PASSES over all
   *     queries; the reported number is the per-query MEDIAN ACROSS
   *     PASSES. Passes are interleaved (A,B,...,A,B,... rather than
@@ -49,8 +56,10 @@ object Bench {
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
-    // Untimed full pass: codegen + JIT for every query's plan.
-    suite.foreach(runOnce)
+    // Untimed full passes: codegen + JIT for every query's plan, plus
+    // one more pass so the C2 compile backlog drains before timing.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
+    (1 to warmup).foreach(_ => suite.foreach(runOnce))
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     // NO System.gc() between passes: a full GC unloads JIT'd codegen

@@ -69,6 +69,13 @@ object GraftSession {
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       // codegen'd vector/fingerprint functions (cosine_sim, hamming_dist)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // The generated-class cache defaults to 100 entries — a session
+      // running this engine's full query surface (60+ plans, several
+      // generated classes each) evicts constantly, and every re-run of
+      // an evicted plan recompiles from source (measured as 2-10x
+      // single-run latency cliffs, SCALE.md "GC→codegen-recompile").
+      // Static conf, so it must be set here at session build.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
