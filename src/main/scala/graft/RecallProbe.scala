@@ -60,6 +60,22 @@ object RecallProbe {
       .filter(col("cos") >= threshold)
   }
 
+  /** Dequantized copy of a vector under the SAME per-vector affine
+    * int8-style scheme as [[org.apache.spark.sql.graft.QuantizeMse]]
+    * (min/max range, `levels` uniform steps, floor(x+0.5) rounding) —
+    * what a store serving quantized embeddings would hand back. Probe-only
+    * (interpreted HOF transform is fine off the hot path); production
+    * stores the quantized bytes and this probe answers whether retrieval
+    * survives that. */
+  def dequantized(vec: Column, levels: Int): Column = {
+    val mn = array_min(vec)
+    val scale = (array_max(vec) - mn) / lit(levels.toDouble)
+    when(scale === 0.0, vec).otherwise(
+      transform(vec, x => mn +
+        least(greatest(floor((x - mn) / scale + lit(0.5)), lit(0.0)),
+          lit(levels.toDouble)) * scale))
+  }
+
   /** Per-plane collision probability of a pair at cosine `c`. */
   private def pCollide(c: Column): Column =
     lit(1.0) - acos(greatest(lit(-1.0), least(lit(1.0), c))) / math.Pi
@@ -108,6 +124,20 @@ object RecallProbe {
       val (centroids, assigned) = Similarity.ivfIndex(cands, nlist = 16)
       val r = recallAtK(truth, Similarity.ivfTopK(queries, centroids, assigned, k, nprobe = np), k)
       println(f"| IVF (nlist=16) | nprobe=$np | $r%.3f | — |")
+    }
+
+    // Quantized-corpus retrieval: full-precision queries scored against
+    // an int8-dequantized candidate set (asymmetric distance — the
+    // standard serving layout for a quantized 100 TB embedding store).
+    println(s"\n| quantized corpus | levels | recall@$k | mean MSE |")
+    println("|---|---|---|---|")
+    for (levels <- Seq(255, 15, 3)) {
+      val candsQ = cands.select(col("cand_id"),
+        dequantized(col("cand_vec"), levels).as("cand_vec"))
+      val r = recallAtK(truth, Similarity.bruteForceTopK(queries, candsQ, k), k)
+      val mse = cands.agg(avg(graft.functions.VectorFunctions.quantizeMse(
+        col("cand_vec"), lit(levels)))).head().getDouble(0)
+      println(f"| int8-style affine | $levels | $r%.3f | $mse%.2e |")
     }
 
     val vecs = emb.select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))

@@ -87,4 +87,20 @@ class RecallSpec extends SparkSpec {
       f"nearDupPairs recall $measured%.3f deviates from model $predicted%.3f")
     exact.unpersist()
   }
+
+  test("int8-quantized corpus: recall@10 >= 0.9; recall monotone in levels") {
+    // Asymmetric retrieval: full-precision queries against a corpus
+    // round-tripped through the QuantizeMse affine scheme — the serving
+    // layout of a quantized embedding store. 255 levels must be
+    // retrieval-safe; 3 levels (2 bits) is the sanity lower bound.
+    def recallAt(levels: Int): Double = {
+      val candsQ = cands.select(col("cand_id"),
+        RecallProbe.dequantized(col("cand_vec"), levels).as("cand_vec"))
+      RecallProbe.recallAtK(truth, Similarity.bruteForceTopK(queries, candsQ, k), k)
+    }
+    val r255 = recallAt(255)
+    val r3 = recallAt(3)
+    assert(r255 >= 0.9, f"int8 (255-level) recall $r255%.3f below floor")
+    assert(r255 >= r3, f"recall must not improve as levels drop: 255->$r255%.3f 3->$r3%.3f")
+  }
 }
