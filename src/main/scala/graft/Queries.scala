@@ -1477,6 +1477,36 @@ object Queries {
       SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
       FROM keep GROUP BY lang ORDER BY lang"""))
 
+  // Training-shard packing: per-(lang, source) stratum, documents pack
+  // sequentially into ~2000-token shards; output is the shard manifest
+  // (one row per shard with its doc span and token total) — the thing a
+  // training job's data loader enumerates.
+  val q61_shard_packing = Q("q61_shard_packing",
+    (s, dir) => graft.text.Quality.packShards(
+        documents(s, dir), Seq("lang", "source"), "doc_id",
+        size(TextStats.tokens(col("text"))).cast("long"), budgetTokens = 2000L)
+      .groupBy("lang", "source", "shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "source", "shard_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      p AS (
+        SELECT *, COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY lang, source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        FROM t)
+      SELECT lang, source, CAST(floor(before / 2000) AS BIGINT) AS shard_id,
+        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM p GROUP BY lang, source, CAST(floor(before / 2000) AS BIGINT)
+      ORDER BY lang, source, shard_id"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -1494,5 +1524,6 @@ object Queries {
     q49_wind_pipeline, q50_sessionize, q51_embedding_neardup,
     q52_actor_stream, q53_normalize_text, q54_repetition_filter,
     q55_contamination, q56_pii_scan, q57_stratified_sample,
-    q58_tfidf_keywords, q59_embedding_quantize, q60_pipeline_sample)
+    q58_tfidf_keywords, q59_embedding_quantize, q60_pipeline_sample,
+    q61_shard_packing)
 }

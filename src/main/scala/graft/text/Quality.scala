@@ -127,6 +127,39 @@ object Quality {
         round(rate * 1000).cast("int"))
   }
 
+  /** Pack documents into training shards of ~`budgetTokens` tokens
+    * each (documents never split). This is the step that turns a
+    * filtered corpus into the fixed-size shard files a training job
+    * actually reads. Shard id is `floor(exclusive-prefix-sum /
+    * budget)` — one window pass, no iteration. A document straddling a
+    * budget boundary stays in the shard where its prefix began, so a
+    * shard may overshoot the budget by less than one document
+    * (budget-ALIGNED packing; strict never-exceed packing is a
+    * non-associative sequential recurrence — deliberately avoided, the
+    * overshoot is bounded and training shards tolerate it).
+    *
+    * Determinism and scale: packing is inherently order-dependent, so
+    * the order is pinned (`idCol` ascending) and packing runs
+    * independently WITHIN each `groupCols` stratum — the window sorts
+    * one stratum per task, never globally. Strata must therefore be
+    * chosen finer than executor memory at real scale (lang × source ×
+    * a hash prefix of the id, say); each stratum emits its own shard
+    * sequence, which is exactly how shard directories are laid out
+    * anyway. */
+  def packShards(docs: DataFrame, groupCols: Seq[String], idCol: String,
+      nTokensCol: Column, budgetTokens: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("__n_tokens", nTokensCol)
+      .withColumn("__before", coalesce(sum(col("__n_tokens")).over(w), lit(0L)))
+      .withColumn("shard_id", floor(col("__before") / budgetTokens).cast("long"))
+      .drop("__before")
+      .withColumnRenamed("__n_tokens", "n_tokens")
+  }
+
   /** Top-`k` TF-IDF keywords per document. IDF is the raw ratio
     * `N / df(token)` (no logarithm: integer-exact inputs and a single
     * IEEE division keep scores bit-reproducible across engines; log()

@@ -108,6 +108,34 @@ class QualitySpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // Shard packing
+  // -------------------------------------------------------------------
+
+  test("packShards: budget-aligned, order-pinned, bounded overshoot") {
+    def pack(sizes: Seq[Long], budget: Long): Seq[(Long, Long)] = {
+      val docs = sizes.zipWithIndex.map { case (n, i) => (i.toLong, "g", n) }
+        .toDF("doc_id", "grp", "n")
+      Quality.packShards(docs.repartition(7), Seq("grp"), "doc_id", col("n"), budget)
+        .select("doc_id", "shard_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    // exact fit: 5+5 fill shard 0, next starts shard 1
+    assert(pack(Seq(5L, 5L, 5L), 10L).map(_._2) == Seq(0L, 0L, 1L))
+    // straddling doc stays in the shard where its prefix began
+    // (shard 0 holds 12 tokens — overshoot bounded by one document)
+    assert(pack(Seq(6L, 6L, 6L), 10L).map(_._2) == Seq(0L, 0L, 1L))
+    // an oversized doc consumes several budgets; later docs skip ahead
+    assert(pack(Seq(25L, 3L), 10L).map(_._2) == Seq(0L, 2L))
+    // strata pack independently
+    val two = Seq((1L, "a", 8L), (2L, "a", 8L), (3L, "b", 8L))
+      .toDF("doc_id", "grp", "n")
+    val m = Quality.packShards(two, Seq("grp"), "doc_id", col("n"), 10L)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 0L && m(2L) == 0L && m(3L) == 0L)
+  }
+
+  // -------------------------------------------------------------------
   // TF-IDF keywords
   // -------------------------------------------------------------------
 
