@@ -1507,6 +1507,75 @@ object Queries {
       FROM p GROUP BY lang, source, CAST(floor(before / 2000) AS BIGINT)
       ORDER BY lang, source, shard_id"""))
 
+  // Survivorship policy: within each minhash duplicate cluster keep the
+  // BEST-QUALITY member (ties broken to the lowest id), not the lowest
+  // id — what a real pipeline ships. The per-cluster argmax runs as a
+  // partial-aggregable max_by (k=1 bounded heap), never a window sort
+  // over the corpus.
+  val q62_dedup_keep_best = Q("q62_dedup_keep_best",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val clustered = Dedup.dedupByMinhash(docs, "doc_id", "text",
+          n = 3, numPerm = 16, bands = 4, threshold = 0.5)
+        .select(col("id").as("doc_id"), col("cluster"))
+      val scored = docs.select(col("doc_id"),
+        TextStats.qualityScore(col("text"), Stopwords).as("quality"))
+      clustered.join(scored, Seq("doc_id"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"),
+            struct(col("quality"), (-col("doc_id")).as("nid"))).as("survivor_id"),
+          max(col("quality")).as("best_quality"))
+        .orderBy("cluster")
+    },
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id AS id,
+          list_transform(
+            list_distinct([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                           FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]),
+            s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM documents),
+      sig AS (
+        SELECT id,
+          [list_min(list_transform(hs, h -> ((2*i+1) * h + (7919*i+1)) % 4294967311))
+           FOR i IN generate_series(0, 15)] AS sig
+        FROM sh),
+      banded AS (
+        SELECT id, sig, b, array_to_string(sig[b*4+1:b*4+4], '-') AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b ON a.b = b.b AND a.band_key = b.band_key AND a.id < b.id),
+      pairs AS (
+        SELECT id_a, id_b FROM cand
+        WHERE CAST(len(list_filter([sa[i] = sb[i] FOR i IN generate_series(1, 16)], x -> x)) AS DOUBLE) / 16 >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      member AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+      q AS (
+        SELECT doc_id,
+          round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+            + least(CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+              / len(string_split(text, ' ')) * 5.0, 1.0) * 0.3
+            + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) * 0.4, 6) AS quality
+        FROM documents),
+      ranked AS (
+        SELECT m.cluster, m.doc_id, q.quality,
+          COUNT(*) OVER (PARTITION BY m.cluster) AS n_members,
+          row_number() OVER (PARTITION BY m.cluster
+            ORDER BY q.quality DESC, m.doc_id) AS rn
+        FROM member m JOIN q USING (doc_id))
+      SELECT cluster, n_members, doc_id AS survivor_id, quality AS best_quality
+      FROM ranked WHERE rn = 1 ORDER BY cluster"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -1525,5 +1594,5 @@ object Queries {
     q52_actor_stream, q53_normalize_text, q54_repetition_filter,
     q55_contamination, q56_pii_scan, q57_stratified_sample,
     q58_tfidf_keywords, q59_embedding_quantize, q60_pipeline_sample,
-    q61_shard_packing)
+    q61_shard_packing, q62_dedup_keep_best)
 }
