@@ -1576,6 +1576,30 @@ object Queries {
       SELECT cluster, n_members, doc_id AS survivor_id, quality AS best_quality
       FROM ranked WHERE rn = 1 ORDER BY cluster"""))
 
+  // Unigram LM quality score: mean -ln p(token) per doc under the
+  // corpus's own unigram distribution. ln() may differ by one ulp
+  // between engines; each per-token value is cast to DECIMAL(27,12)
+  // before the (exact) sum and the mean is rounded to 6 — a 1e-12
+  // input wobble cannot flip a 6-decimal rounding.
+  val q63_unigram_entropy = Q("q63_unigram_entropy",
+    (s, dir) => graft.text.Quality.unigramCrossEntropy(documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), round(col("nats_per_token"), 6).as("nats_per_token"),
+        col("n_tokens"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT token, COUNT(*) AS ctf FROM toks GROUP BY token),
+      tot AS (SELECT COUNT(*) AS n_total FROM toks),
+      nll AS (
+        SELECT doc_id,
+          CAST(-ln(CAST(ctf AS DOUBLE) / n_total) AS DECIMAL(27,12)) AS nll
+        FROM toks JOIN tf USING (token), tot)
+      SELECT doc_id,
+        round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS nats_per_token,
+        COUNT(*) AS n_tokens
+      FROM nll GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -1594,5 +1618,5 @@ object Queries {
     q52_actor_stream, q53_normalize_text, q54_repetition_filter,
     q55_contamination, q56_pii_scan, q57_stratified_sample,
     q58_tfidf_keywords, q59_embedding_quantize, q60_pipeline_sample,
-    q61_shard_packing, q62_dedup_keep_best)
+    q61_shard_packing, q62_dedup_keep_best, q63_unigram_entropy)
 }

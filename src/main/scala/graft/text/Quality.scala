@@ -160,6 +160,36 @@ object Quality {
       .withColumnRenamed("__n_tokens", "n_tokens")
   }
 
+  /** Unigram cross-entropy per document (nats/token) — the CCNet-style
+    * language-model quality signal: score each token by its corpus-wide
+    * unigram probability and average `-ln p(token)` over the document.
+    * Prose built from common words scores low (predictable); keyboard
+    * mash, boilerplate codes and wrong-language text score high. With
+    * the LM estimated on the corpus itself every token has nonzero
+    * probability, so no smoothing term is needed.
+    *
+    * Scale shape: token counts partial-aggregate on the token
+    * (vocabulary-bounded); the corpus token total is a 1-row broadcast;
+    * the per-doc mean shuffles on doc_id. Per-token `-ln p` values are
+    * summed as DECIMAL(27,12) (exact, associative) so the mean is
+    * bit-stable under any partial-aggregation order — the same
+    * float-parity discipline as the money aggregates. */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextStats.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy("token").agg(count(lit(1)).as("ctf"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(tf, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .select(col("id"),
+        (-log(col("ctf").cast("double") / col("n_total")))
+          .cast(org.apache.spark.sql.types.DecimalType(27, 12)).as("nll"))
+      .groupBy("id")
+      .agg((sum(col("nll")).cast("double") / count(lit(1))).as("nats_per_token"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("id").as(idCol), col("nats_per_token"), col("n_tokens"))
+  }
+
   /** Top-`k` TF-IDF keywords per document. IDF is the raw ratio
     * `N / df(token)` (no logarithm: integer-exact inputs and a single
     * IEEE division keep scores bit-reproducible across engines; log()

@@ -154,6 +154,24 @@ class QualitySpec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // Unigram LM scoring
+  // -------------------------------------------------------------------
+
+  test("unigramCrossEntropy: common-token prose scores lower than rare-token text") {
+    val docs = Seq(
+      (1L, "a a a a"), // all tokens are the corpus's most common word
+      (2L, "b c d e") // every token unique in the corpus
+    ).toDF("doc_id", "text")
+    val m = Quality.unigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // corpus: 8 tokens; p(a)=4/8, p(b..e)=1/8
+    assert(math.abs(m(1L)._1 - (-math.log(0.5))) < 1e-9)
+    assert(math.abs(m(2L)._1 - (-math.log(0.125))) < 1e-9)
+    assert(m(1L)._1 < m(2L)._1)
+    assert(m(1L)._2 == 4L && m(2L)._2 == 4L)
+  }
+
+  // -------------------------------------------------------------------
   // NFC normalization expression
   // -------------------------------------------------------------------
 
