@@ -1578,9 +1578,12 @@ object Queries {
 
   // Unigram LM quality score: mean -ln p(token) per doc under the
   // corpus's own unigram distribution. ln() may differ by one ulp
-  // between engines; each per-token value is cast to DECIMAL(27,12)
-  // before the (exact) sum and the mean is rounded to 6 — a 1e-12
-  // input wobble cannot flip a 6-decimal rounding.
+  // between engines; each per-token value is cast to DECIMAL(27,12),
+  // scaled by the EXACT decimal term count and (exactly) summed; the
+  // mean is rounded to 6 — a 1e-12 input wobble cannot flip a
+  // 6-decimal rounding. The oracle mirrors the engine's pre-aggregated
+  // shape ((doc, token, c) joined on token — never occurrence rows on
+  // the Zipf-skewed bare token key; see Quality.unigramCrossEntropy).
   val q63_unigram_entropy = Q("q63_unigram_entropy",
     (s, dir) => graft.text.Quality.unigramCrossEntropy(documents(s, dir), "doc_id", "text")
       .select(col("doc_id"), round(col("nats_per_token"), 6).as("nats_per_token"),
@@ -1589,15 +1592,18 @@ object Queries {
     Some("""
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-      tf AS (SELECT token, COUNT(*) AS ctf FROM toks GROUP BY token),
-      tot AS (SELECT COUNT(*) AS n_total FROM toks),
+      perdoc AS (
+        SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token),
+      tf AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ctf FROM perdoc GROUP BY token),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM perdoc),
       nll AS (
-        SELECT doc_id,
-          CAST(-ln(CAST(ctf AS DOUBLE) / n_total) AS DECIMAL(27,12)) AS nll
-        FROM toks JOIN tf USING (token), tot)
+        SELECT doc_id, c,
+          CAST(-ln(CAST(ctf AS DOUBLE) / n_total) AS DECIMAL(27,12))
+            * CAST(c AS DECIMAL(6,0)) AS nllc
+        FROM perdoc JOIN tf USING (token), tot)
       SELECT doc_id,
-        round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS nats_per_token,
-        COUNT(*) AS n_tokens
+        round(CAST(SUM(nllc) AS DOUBLE) / SUM(c), 6) AS nats_per_token,
+        CAST(SUM(c) AS BIGINT) AS n_tokens
       FROM nll GROUP BY doc_id ORDER BY doc_id"""))
 
   val all: Seq[Q] = Seq(

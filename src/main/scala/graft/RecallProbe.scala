@@ -68,6 +68,7 @@ object RecallProbe {
     * stores the quantized bytes and this probe answers whether retrieval
     * survives that. */
   def dequantized(vec: Column, levels: Int): Column = {
+    require(levels >= 1, s"dequantized: levels must be >= 1, got $levels")
     val mn = array_min(vec)
     val scale = (array_max(vec) - mn) / lit(levels.toDouble)
     when(scale === 0.0, vec).otherwise(

@@ -168,25 +168,42 @@ object Quality {
     * the LM estimated on the corpus itself every token has nonzero
     * probability, so no smoothing term is needed.
     *
-    * Scale shape: token counts partial-aggregate on the token
-    * (vocabulary-bounded); the corpus token total is a 1-row broadcast;
-    * the per-doc mean shuffles on doc_id. Per-token `-ln p` values are
-    * summed as DECIMAL(27,12) (exact, associative) so the mean is
-    * bit-stable under any partial-aggregation order — the same
-    * float-parity discipline as the money aggregates. */
+    * Scale shape — the critical rule here is that token OCCURRENCES
+    * never shuffle on the bare token key. Token frequency is Zipfian:
+    * at 100 TB "the" alone is several percent of all occurrence rows,
+    * and an occurrence-level `join(tf, "token")` lands them all on ONE
+    * shuffle key — the classic skewed-key scale-killer, invisible at
+    * small sf. So occurrences are first pre-aggregated to
+    * `(id, token, c)` — keyed by (id, token), well-distributed — and
+    * only THAT frame joins on token, with per-key row count bounded by
+    * document frequency (docs containing the token), not total
+    * occurrences; the weighted mean `sum(c·(−ln p))/sum(c)` recovers
+    * the exact per-occurrence average. Token counts partial-aggregate
+    * on the token (vocabulary-bounded); the corpus token total is a
+    * 1-row broadcast; the per-doc mean shuffles on doc_id. Per-token
+    * `-ln p` values scale by exact DECIMAL multiplication and sum as
+    * DECIMAL (exact, associative) so the mean is bit-stable under any
+    * partial-aggregation order — the same float-parity discipline as
+    * the money aggregates. PlanShapeSpec asserts every bare-token
+    * exchange carries aggregated rows only. */
   def unigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(TextStats.tokens(col(textCol))).as("token"))
-    val tf = toks.groupBy("token").agg(count(lit(1)).as("ctf"))
-    val tot = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(tf, Seq("token"))
+    val perDoc = toks.groupBy("id", "token").agg(count(lit(1)).as("c"))
+    val tf = perDoc.groupBy("token").agg(sum(col("c")).as("ctf"))
+    val tot = perDoc.agg(sum(col("c")).as("n_total"))
+    // c is bounded far below 10^6 per (doc, token); DECIMAL(6,0) keeps
+    // the product width 27+6=33 <= 38 in BOTH engines (a bare BIGINT
+    // multiplicand would overflow DuckDB's 38-digit decimal width).
+    perDoc.join(tf, Seq("token"))
       .crossJoin(broadcast(tot))
-      .select(col("id"),
-        (-log(col("ctf").cast("double") / col("n_total")))
-          .cast(org.apache.spark.sql.types.DecimalType(27, 12)).as("nll"))
+      .select(col("id"), col("c"),
+        ((-log(col("ctf").cast("double") / col("n_total")))
+          .cast(org.apache.spark.sql.types.DecimalType(27, 12)) *
+          col("c").cast(org.apache.spark.sql.types.DecimalType(6, 0))).as("nllc"))
       .groupBy("id")
-      .agg((sum(col("nll")).cast("double") / count(lit(1))).as("nats_per_token"),
-        count(lit(1)).as("n_tokens"))
+      .agg((sum(col("nllc")).cast("double") / sum(col("c"))).as("nats_per_token"),
+        sum(col("c")).as("n_tokens"))
       .select(col("id").as(idCol), col("nats_per_token"), col("n_tokens"))
   }
 
@@ -200,7 +217,16 @@ object Quality {
     * the corpus size N is a 1-row broadcast. The final per-doc top-k
     * window sorts only each document's own term list — same
     * partition-by-entity argument as the ranking queries (q11/q49),
-    * never a global sort. */
+    * never a global sort.
+    *
+    * Skew note: the `tf ⋈ dfreq` join keys TERM rows (one per distinct
+    * (doc, token) — already pre-aggregated, never occurrences) on the
+    * token; per-key fan-in is bounded by document frequency. Stopwords
+    * still dominate that bound at extreme scale ("the" appears in most
+    * documents); if the head of the vocabulary ever skews a stage,
+    * salt the join via [[graft.operators.SaltedJoin]] or broadcast the
+    * top-k df entries and join only the tail — the same cure
+    * [[unigramCrossEntropy]]'s scaladoc pins. */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     val tf = docs

@@ -135,7 +135,13 @@ case class DotProduct(left: Expression, right: Expression)
   * `scale = (max-min)/levels`; `q_i = floor((x_i-min)/scale + 0.5)`
   * (explicit half-up — engines disagree on round()'s tie rule, floor+0.5
   * they don't); error accumulates left-to-right. A constant vector
-  * (scale 0) reconstructs exactly → 0.0. Null if input is null. */
+  * (scale 0) reconstructs exactly → 0.0. Null if input is null.
+  *
+  * `levels >= 1` is enforced: levels=0 would give scale=Infinity and
+  * then `0*Infinity = NaN` (silent garbage), negative levels
+  * contradictory clamps. A foldable bad literal fails at ANALYSIS time
+  * (checkInputDataTypes); a non-foldable bad value throws at runtime in
+  * both the interpreted and codegen paths. */
 case class QuantizeMse(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -144,9 +150,22 @@ case class QuantizeMse(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "quantize_mse"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (right.foldable) {
+      val v = right.eval()
+      if (v != null && v.asInstanceOf[Int] < 1)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_mse: levels must be >= 1, got $v")
+      else base
+    } else base
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val levels = b.asInstanceOf[Int]
+    require(levels >= 1, s"quantize_mse: levels must be >= 1, got $levels")
     val n = xs.numElements()
     if (n == 0) return 0.0
     var mn = xs.getDouble(0); var mx = mn
@@ -185,6 +204,10 @@ case class QuantizeMse(left: Expression, right: Expression)
       // Same loop order and rounding as nullSafeEval — the two paths
       // must produce bit-identical doubles.
       s"""
+         |if ($b < 1) {
+         |  throw new IllegalArgumentException(
+         |    "requirement failed: quantize_mse: levels must be >= 1, got " + $b);
+         |}
          |final int $n = $a.numElements();
          |${ev.value} = 0.0;
          |if ($n > 0) {

@@ -145,7 +145,7 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"membership probe must be a broadcast semi join:\n$p")
-    assert(!p.contains("SortMergeJoin") || !p.contains("LeftSemi SortMerge"),
+    assert(!p.contains("SortMergeJoin LeftSemi"),
       "the probe must not shuffle the corpus on the shingle")
   }
 
@@ -170,6 +170,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       "N joins in as a broadcast single row, never a shuffle")
     assert(p.contains("partial_count"), "tf/df counts must partial-aggregate")
+  }
+
+  test("q63: token occurrences never shuffle on the bare token key") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = text.Quality.unigramCrossEntropy(
+        Tables.documents(spark, sf()), "doc_id", "text")
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    // Token frequency is Zipfian: an exchange keyed on the bare token
+    // must carry (id, token, c) aggregates (fan-in bounded by document
+    // frequency), never raw explode output (fan-in = total occurrences
+    // of "the"). Walking down from such an exchange must reach an
+    // aggregate before the explode that creates occurrence rows.
+    def aggregatedBelow(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: GenerateExec => false
+      case other => other.children.forall(aggregatedBelow)
+    }
+    val tokenKeyed = root.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning match {
+        case h: HashPartitioning if h.expressions.length == 1 &&
+            h.expressions.head.references.map(_.name).toSeq == Seq("token") => Some(e)
+        case _ => None
+      }
+    }.flatten
+    assert(tokenKeyed.nonEmpty, "expected the tf-join exchange keyed on token")
+    tokenKeyed.foreach { e =>
+      assert(aggregatedBelow(e.child),
+        s"token-keyed exchange carries occurrence rows (Zipf-skew scale killer):\n$e")
+    }
   }
 
   test("q53/q59: normalization and quantization run as codegen expressions in the scan stage") {
