@@ -1174,11 +1174,21 @@ object Queries {
   // (max pairwise cos ~0.6), so "near-dup" here means the top of that
   // distribution; on a real corpus the same operator runs at 0.9+ where
   // banded LSH is sharply selective.
+  //
+  // Banding is the ADAPTIVE library default (no explicit planes/bands):
+  // at every oracle-checked corpus (500–2000 vectors, all <= the
+  // 2000-vector base point) it derives exactly the 8-band × 4-plane
+  // base config the plane literals below replay — SimilaritySpec pins
+  // that equality, so a derivation change breaks a test rather than
+  // silently desyncing the oracle. At bench scale (16×: 32 k vectors,
+  // no oracle) the same call derives 8 planes × 55 bands engine-side —
+  // the scale-safe config, vs. the fixed 8×4 that disk-exhausted the
+  // 16× probe (SCALE.md "pair-operator scaling").
   val q51_embedding_neardup = Q("q51_embedding_neardup",
     (s, dir) => Similarity.nearDupPairs(
         embeddings(s, dir).select(col("vec_id").as("id"),
           Similarity.asDouble(col("embedding")).as("vec")),
-        threshold = 0.4, bandPlanes = 4, numBands = 8, dim = 64)
+        threshold = 0.4, dim = 64)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b"),
     Some(s"""

@@ -147,7 +147,7 @@ object RecallProbe {
     println(s"\n| nearDupPairs (threshold=$threshold) | bands×planes | pair recall | predicted |")
     println("|---|---|---|---|")
     for ((bands, planes) <- Seq((4, 4), (8, 4), (16, 4), (32, 4))) {
-      val approx = Similarity.nearDupPairs(vecs, threshold, bandPlanes = planes, numBands = bands)
+      val approx = Similarity.nearDupPairs(vecs, threshold, bandPlanes = Some(planes), numBands = Some(bands))
       val (hit, tot, r) = pairRecall(exact, approx)
       val pr = exact.agg(avg(lit(1.0) - pow(lit(1.0) - pow(pCollide(col("cos")), planes), bands)))
         .head().getDouble(0)

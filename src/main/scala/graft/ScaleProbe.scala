@@ -90,33 +90,37 @@ object ScaleProbe {
       .simhashPairs(d, "doc_id", "text", bits = 60, maxHamming = 3)
     // nearDupPairs at a FIXED plane count degrades superlinearly by
     // construction: candidate volume is ~N²/2^bandPlanes per band, so
-    // 2^bandPlanes (the bucket count) must track N — the knob is
-    // bandPlanes ≈ const + log2(factor), keeping per-bucket occupancy
-    // and therefore join volume per row constant. The probe measures
-    // both the fixed config (shows the cliff) and the log-scaled config
-    // (shows the cure); recall at the scaled setting is tunable back up
-    // via numBands (see SCALE.md "ANN retrieval quality").
-    def ndp(d: DataFrame, bp: Int) = graft.similarity.Similarity
-      .nearDupPairs(d, threshold = 0.4, bandPlanes = bp, numBands = 8)
+    // 2^bandPlanes (the bucket count) must track N. Since round 7 the
+    // LIBRARY DEFAULT is the cure: adaptiveBandPlanes (one plane per
+    // corpus doubling, constant per-bucket occupancy) + adaptiveNumBands
+    // (bands restoring the base config's recall at the threshold). The
+    // probe measures the fixed legacy config (shows the cliff) and the
+    // adaptive default as q51 actually runs it (shows the cure).
+    def ndpFixed(d: DataFrame, bp: Int) = graft.similarity.Similarity
+      .nearDupPairsFixed(d, threshold = 0.4, bandPlanes = bp, numBands = 8)
+    def ndpAdaptive(d: DataFrame, n: Long) = graft.similarity.Similarity
+      .nearDupPairs(d, threshold = 0.4, corpusCount = Some(n))
     // untimed warmup: codegen + JIT for all three pair plans
     jacc(repMutatedDocs(1)).count(); simh(repMutatedDocs(1)).count()
-    ndp(repMutatedEmb(1), 4).count()
+    ndpAdaptive(repMutatedEmb(1), 2000).count()
     println("factor,docs,jaccard_s,jaccard_pairs,simhash_s,simhash_pairs," +
-      "neardup4_s,neardup4_pairs,neardup_log_planes,neardup_log_s,neardup_log_pairs")
+      "neardup4_s,neardup4_pairs,adapt_planes,adapt_bands,adapt_s,adapt_pairs")
     for (n <- Seq(1, 4, 16)) {
       val docsN = repMutatedDocs(n)
       val embN = repMutatedEmb(n)
-      val bpLog = 4 + (math.log(n) / math.log(2)).round.toInt // 4, 6, 8
+      val nVec = n * 2000L
+      val bpA = graft.similarity.Similarity.adaptiveBandPlanes(nVec)
+      val nbA = graft.similarity.Similarity.adaptiveNumBands(bpA, 0.4)
       var jp = 0L; var sp = 0L; var np = 0L; var npl = 0L
       val jS = time { jp = jacc(docsN).count() }
       val sS = time { sp = simh(docsN).count() }
       // fixed-config capped at 4x: at 16x its ~N²/16 candidate set (tens
       // of billions of band pairs) exhausts local shuffle-spill disk —
-      // the cliff the log-scaled config exists to avoid; the 4x row plus
+      // the cliff the adaptive default exists to avoid; the 4x row plus
       // the candidate-count arithmetic already demonstrates it.
-      val nS = if (n <= 4) time { np = ndp(embN, 4).count() } else Double.NaN
-      val nlS = time { npl = ndp(embN, bpLog).count() }
-      println(f"$n,${n * 5000},$jS%.2f,$jp,$sS%.2f,$sp,$nS%.2f,$np,$bpLog,$nlS%.2f,$npl")
+      val nS = if (n <= 4) time { np = ndpFixed(embN, 4).count() } else Double.NaN
+      val nlS = time { npl = ndpAdaptive(embN, nVec).count() }
+      println(f"$n,${n * 5000},$jS%.2f,$jp,$sS%.2f,$sp,$nS%.2f,$np,$bpA,$nbA,$nlS%.2f,$npl")
     }
     spark.stop()
   }

@@ -195,6 +195,62 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Default banding reference point: 4 planes × 8 bands, validated at a
+    * 2000-vector corpus (SCALE.md "ANN retrieval quality": pair recall
+    * 0.770, matching the collision model to ±0.007). The adaptive rules
+    * below extrapolate from exactly this point. */
+  val DefaultBasePlanes = 4
+  val DefaultBaseBands = 8
+  val DefaultBaseCorpus = 2000L
+
+  /** Goemans–Williamson hyperplane collision probability for a pair at
+    * the given cosine: `p = 1 − acos(cos)/π`. */
+  def collisionProb(cosine: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
+
+  /** Corpus-size-adaptive plane count — the ScaleProbe finding
+    * productized (SCALE.md "pair-operator scaling"): at FIXED bandPlanes
+    * the per-band candidate volume is ~N²/2^planes, which disk-exhausted
+    * the probe at 16× (tens of billions of band pairs through one
+    * shuffle). Adding one plane per corpus doubling
+    * (`planes = base + log₂(n/n₀)`, clamped below at the base) holds
+    * per-bucket occupancy `n/2^planes` — and thus candidate join volume
+    * PER ROW — constant at any corpus size. */
+  def adaptiveBandPlanes(
+      corpusCount: Long,
+      basePlanes: Int = DefaultBasePlanes,
+      baseCorpus: Long = DefaultBaseCorpus): Int = {
+    require(corpusCount >= 0, s"corpusCount must be >= 0, got $corpusCount")
+    val doublings =
+      if (corpusCount <= baseCorpus) 0
+      else (math.log(corpusCount.toDouble / baseCorpus) / math.log(2.0)).round.toInt
+    basePlanes + doublings
+  }
+
+  /** Bands to restore the base configuration's recall at a higher plane
+    * count: matching `1−(1−p^b)^L` across `(b₀,L₀) → (b,L)` for a pair
+    * at the operator's own threshold gives
+    * `L = L₀ · ln(1−p^b₀) / ln(1−p^b)` (≈ `L₀/p^Δ`). Each added plane
+    * costs ~`1/p` more bands, so total candidate volume grows as
+    * `n·(n/n₀)^log₂(1/p)` — sub-quadratic for any p > 0.5 (thresholds
+    * above cos ≈ 0; at production near-dup thresholds ~0.9, p ≈ 0.86
+    * and four extra planes cost only ~2.3× bands). Recall for pairs
+    * ABOVE the threshold is strictly better than at the base config
+    * (their p is higher, so the band count over-provisions them). */
+  def adaptiveNumBands(
+      bandPlanes: Int,
+      threshold: Double,
+      basePlanes: Int = DefaultBasePlanes,
+      baseBands: Int = DefaultBaseBands): Int = {
+    if (bandPlanes <= basePlanes) baseBands
+    else {
+      val p = collisionProb(threshold)
+      val base = math.log1p(-math.pow(p, basePlanes))
+      val per = math.log1p(-math.pow(p, bandPlanes))
+      math.ceil(baseBands * base / per).toInt
+    }
+  }
+
   /** Embedding-cosine NEAR-DUPLICATE pairs — the embedding member of the
     * dedup family (exact / MinHash / SimHash / Jaccard / this): all pairs
     * with `cosine >= threshold`, found via banded multi-table hyperplane
@@ -205,6 +261,17 @@ object Similarity {
     * tune bands up for recall, planes up for selectivity. Candidates are
     * deduped (`distinct` on the id pair) BEFORE the exact cosine
     * verification, so each surviving pair is scored exactly once.
+    *
+    * **Banding defaults are corpus-size-adaptive**: with no explicit
+    * `bandPlanes`/`numBands` the plane count follows
+    * [[adaptiveBandPlanes]] (one extra plane per corpus doubling past
+    * 2000 vectors — constant per-bucket occupancy; the fixed-plane
+    * default this replaces was measured disk-exhausting at 16×,
+    * SCALE.md "pair-operator scaling") and the band count follows
+    * [[adaptiveNumBands]] (restores the base config's recall at the
+    * operator's threshold). Deriving needs the corpus size — pass
+    * `corpusCount` when known to skip the counting job (at warehouse
+    * scale a count over the id column is metadata-cheap anyway).
     *
     * Scale shape: one explode (`numBands` rows per vector, ids only — no
     * vector payload through the band shuffle), an equi-join on
@@ -217,8 +284,27 @@ object Similarity {
   def nearDupPairs(
       vectors: DataFrame, // (id, vec: array<double>)
       threshold: Double,
-      bandPlanes: Int = 4,
-      numBands: Int = 8,
+      bandPlanes: Option[Int] = None,
+      numBands: Option[Int] = None,
+      dim: Int = 64,
+      seed: Long = 42L,
+      corpusCount: Option[Long] = None): DataFrame = {
+    val bp = bandPlanes.getOrElse(
+      adaptiveBandPlanes(corpusCount.getOrElse(vectors.count())))
+    val nb = numBands.getOrElse(adaptiveNumBands(bp, threshold))
+    nearDupPairsFixed(vectors, threshold, bp, nb, dim, seed)
+  }
+
+  /** [[nearDupPairs]] at an EXPLICIT banding configuration — the
+    * adaptive entry point delegates here after deriving `(planes,
+    * bands)`. Calling this directly with a fixed plane count at growing
+    * corpus sizes reproduces the measured 16× disk-exhaustion; prefer
+    * the adaptive wrapper. */
+  def nearDupPairsFixed(
+      vectors: DataFrame,
+      threshold: Double,
+      bandPlanes: Int,
+      numBands: Int,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(bandPlanes * numBands, dim, seed)

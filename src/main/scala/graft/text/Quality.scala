@@ -55,17 +55,38 @@ object Quality {
     * Scale shape: the benchmark side is an eval suite — thousands of
     * documents, not billions — so its distinct-shingle set broadcasts
     * and the corpus side never shuffles for the membership test (a
-    * broadcast left-semi join; swap in `Sketches.bloomSemiJoin` when
-    * the benchmark outgrows the broadcast threshold). The only exchange
-    * is the corpus-side distinct, keyed by (doc_id, gram). */
+    * broadcast left-semi join). When the benchmark OUTGROWS the
+    * broadcast budget (`broadcastLimit` distinct shingles — a union of
+    * many eval suites, or decontaminating against another corpus), the
+    * probe switches to [[graft.sketches.Sketches.bloomSemiJoin]] on the
+    * 64-bit shingle hash: the bloom probe is a codegen'd filter fused
+    * into the corpus scan (fpp of the corpus survives it), and only
+    * those survivors — never the corpus — shuffle for the exact semi
+    * join. Membership equality in that branch is on `xxhash64(s)`, the
+    * same hashed-key discipline as the PPJoin verify (Dedup.scala).
+    * Both branches are spec-asserted equivalent (QualitySpec). Pass
+    * `benchmarkCount` (distinct benchmark shingles, even roughly) when
+    * known to skip the gate's sizing count. The only corpus-side
+    * exchange in either branch is the distinct, keyed by (doc_id,
+    * gram). */
   def contaminationStats(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5,
-      maxFrac: Double = 0.05): DataFrame = {
+      maxFrac: Double = 0.05,
+      benchmarkCount: Option[Long] = None,
+      broadcastLimit: Long = 4000000L): DataFrame = {
     val corpusShingles = Dedup.shinglePosting(docs, idCol, textCol, n).distinct()
     val benchShingles = Dedup.shinglePosting(benchmark, idCol, textCol, n)
       .select("s").distinct()
-    val matched = corpusShingles
-      .join(broadcast(benchShingles), Seq("s"), "left_semi")
+    val nBench = benchmarkCount.getOrElse(benchShingles.count())
+    val hits =
+      if (nBench <= broadcastLimit)
+        corpusShingles.join(broadcast(benchShingles), Seq("s"), "left_semi")
+      else
+        graft.sketches.Sketches.bloomSemiJoin(
+          corpusShingles.withColumn("s64", xxhash64(col("s"))),
+          benchShingles.select(xxhash64(col("s")).as("s64")),
+          "s64", expectedItems = nBench)
+    val matched = hits
       .groupBy("id").agg(count(lit(1)).as("n_contaminated"))
     corpusShingles.groupBy("id").agg(count(lit(1)).as("n_shingles"))
       .join(matched, Seq("id"), "left")

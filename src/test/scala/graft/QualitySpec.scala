@@ -47,6 +47,26 @@ class QualitySpec extends SparkSpec {
     assert(m(2L) == ((3L, 0L, false)))
   }
 
+  test("contaminationStats: bloom fallback matches the broadcast branch, probes in-scan") {
+    val docs = Tables.documents(spark, sf())
+    val corpus = docs.filter(col("doc_id") % 19 =!= 0)
+    val bench = docs.filter(col("doc_id") % 19 === 0)
+    def run(limit: Long) =
+      Quality.contaminationStats(corpus, bench, "doc_id", "text", n = 3,
+        broadcastLimit = limit)
+    // broadcastLimit = 0 forces every benchmark past the gate
+    val bloom = run(0L)
+    // identical output on both branches (both computations are
+    // deterministic, so exact Row equality is the right comparison)
+    assert(bloom.orderBy("doc_id").collect().toSeq ==
+      run(Long.MaxValue).orderBy("doc_id").collect().toSeq)
+    // fallback shape: the bloom probe is a codegen filter in the corpus
+    // scan stage; only its survivors reach the exact semi join
+    val p = bloom.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"fallback must prune with the codegen bloom probe:\n$p")
+  }
+
   test("contaminationStats: flags only above maxFrac") {
     val bench = Seq((100L, "p q r")).toDF("doc_id", "text")
     val docs = Seq((1L, "p q r s t u v w x y z a b c d e f g h i j k l m n o")).toDF("doc_id", "text")

@@ -78,7 +78,7 @@ class RecallSpec extends SparkSpec {
     val threshold = 0.4
     val exact = RecallProbe.exactPairs(vecs, threshold).persist()
     exact.count()
-    val approx = Similarity.nearDupPairs(vecs, threshold, bandPlanes = 4, numBands = 16)
+    val approx = Similarity.nearDupPairs(vecs, threshold, bandPlanes = Some(4), numBands = Some(16))
     val (_, _, measured) = RecallProbe.pairRecall(exact, approx)
     val predicted = exact
       .agg(avg(lit(1.0) - pow(lit(1.0) - pow(pCollide, 4), 16))).head().getDouble(0)

@@ -46,8 +46,8 @@ class SimilaritySpec extends SparkSpec {
   test("nearDupPairs: finds planted near-dups, only pairs >= threshold, subset of exact") {
     // 0/1 are planted near-dups (cos ~0.994); 2/3/4 are orthogonal/opposite
     val v = vecs.toDF("id", "vec")
-    val got = Similarity.nearDupPairs(v, threshold = 0.9, bandPlanes = 2,
-        numBands = 8, dim = 4)
+    val got = Similarity.nearDupPairs(v, threshold = 0.9, bandPlanes = Some(2),
+        numBands = Some(8), dim = 4)
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSeq
     // the planted pair agrees on every plane sign (both mostly +x), so with
     // 8 bands it is found with near-certainty under the fixed seed
@@ -56,11 +56,39 @@ class SimilaritySpec extends SparkSpec {
 
     // exact reference: every emitted pair must be in the brute-force set
     // and no candidate below threshold survives
-    val lower = Similarity.nearDupPairs(v, threshold = 0.0, bandPlanes = 2,
-        numBands = 8, dim = 4)
+    val lower = Similarity.nearDupPairs(v, threshold = 0.0, bandPlanes = Some(2),
+        numBands = Some(8), dim = 4)
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
     assert(lower.forall(p => p._3 >= 0.0 && p._1 < p._2))
     assert(lower.map(p => (p._1, p._2)).distinct.length == lower.length) // deduped
+  }
+
+  test("adaptive banding: planes track corpus doublings, bands restore base recall") {
+    import Similarity.{adaptiveBandPlanes, adaptiveNumBands, collisionProb}
+    // every oracle-checked corpus (500-2000 vectors) must derive EXACTLY
+    // the base 4-plane/8-band config that q51's literal oracle replays —
+    // this equality is what keeps the adaptive default and the static
+    // oracle in sync (Queries.q51 scaladoc)
+    assert(adaptiveBandPlanes(500) == 4 && adaptiveBandPlanes(2000) == 4)
+    assert(adaptiveNumBands(adaptiveBandPlanes(2000), 0.4) == 8)
+    // one plane per doubling past the base corpus, round-to-nearest
+    assert(adaptiveBandPlanes(4000) == 5)
+    assert(adaptiveBandPlanes(8000) == 6)
+    assert(adaptiveBandPlanes(32000) == 8)  // the 16x bench corpus
+    assert(adaptiveBandPlanes(2000L << 20) == 24)
+    // bands from the collision model at the operator's threshold:
+    // L = ceil(L0 * ln(1-p^b0)/ln(1-p^b)); at the fixture threshold 0.4
+    // (p ~ 0.631) four extra planes cost ~6.8x bands...
+    assert(adaptiveNumBands(8, 0.4) == 55)
+    // ...while at a production near-dup threshold 0.9 (p ~ 0.856) the
+    // same four planes cost only ~2.3x bands
+    assert(adaptiveNumBands(8, 0.9) == 19)
+    assert(collisionProb(1.0) == 1.0 && math.abs(collisionProb(0.0) - 0.5) < 1e-12)
+    // restored recall at the threshold matches the base config's to <1e-9
+    // (the derivation inverts the model exactly, up to the bands ceil)
+    def recall(p: Double, b: Int, l: Int) = 1.0 - math.pow(1.0 - math.pow(p, b), l)
+    val p = collisionProb(0.4)
+    assert(recall(p, 8, adaptiveNumBands(8, 0.4)) >= recall(p, 4, 8))
   }
 
   test("ivf assigns every candidate and probes return k results") {
