@@ -1517,6 +1517,42 @@ object Queries {
       FROM p GROUP BY lang, source, CAST(floor(before / 2000) AS BIGINT)
       ORDER BY lang, source, shard_id"""))
 
+  // Strict never-exceed variant of q61 (packShardsStrict): greedy
+  // sequential fill, oracle-replayed as a DuckDB recursive CTE walking
+  // each (lang, source) stratum in doc_id order — the exact recurrence
+  // the mapPartitions pass runs.
+  val q61b_shard_packing_strict = Q("q61b_shard_packing_strict",
+    (s, dir) => graft.text.Quality.packShardsStrict(
+        documents(s, dir), Seq("lang", "source"), "doc_id",
+        size(TextStats.tokens(col("text"))).cast("long"), budgetTokens = 2000L)
+      .groupBy("lang", "source", "shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "source", "shard_id"),
+    Some("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, lang, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        FROM documents),
+      walk AS (
+        SELECT lang, source, doc_id, n_tokens, rn,
+          CAST(0 AS BIGINT) AS shard_id, n_tokens AS used
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT b.lang, b.source, b.doc_id, b.n_tokens, b.rn,
+          CASE WHEN w.used + b.n_tokens > 2000 THEN w.shard_id + 1 ELSE w.shard_id END,
+          CASE WHEN w.used + b.n_tokens > 2000 THEN b.n_tokens ELSE w.used + b.n_tokens END
+        FROM walk w JOIN t b
+          ON b.lang = w.lang AND b.source = w.source AND b.rn = w.rn + 1)
+      SELECT lang, source, shard_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM walk GROUP BY lang, source, shard_id
+      ORDER BY lang, source, shard_id"""))
+
   // Survivorship policy: within each minhash duplicate cluster keep the
   // BEST-QUALITY member (ties broken to the lowest id), not the lowest
   // id — what a real pipeline ships. The per-cluster argmax runs as a
@@ -1634,5 +1670,6 @@ object Queries {
     q52_actor_stream, q53_normalize_text, q54_repetition_filter,
     q55_contamination, q56_pii_scan, q57_stratified_sample,
     q58_tfidf_keywords, q59_embedding_quantize, q60_pipeline_sample,
-    q61_shard_packing, q62_dedup_keep_best, q63_unigram_entropy)
+    q61_shard_packing, q61b_shard_packing_strict, q62_dedup_keep_best,
+    q63_unigram_entropy)
 }

@@ -153,6 +153,104 @@ object RecallProbe {
         .head().getDouble(0)
       println(f"| $hit/$tot | $bands x $planes | $r%.3f | $pr%.3f |")
     }
+
+    val docsDf = Tables.documents(spark, dir)
+    val truthPairs = exactTextPairs(docsDf, "doc_id", "text", 3).persist()
+    truthPairs.count()
+    println(s"\n| minhash banding S-curve (numPerm=32) | bands×rows | jaccard bin | pairs | measured | predicted |")
+    println("|---|---|---|---|---|---|")
+    for ((bands, rows) <- Seq((4, 8), (8, 4), (16, 2))) {
+      minhashCaptureByBin(docsDf, truthPairs, bands, rows).foreach {
+        case (bin, n, meas, pred) =>
+          println(f"| capture | $bands x $rows | [${bin / 10.0}%.1f,${(bin + 1) / 10.0}%.1f) | $n | $meas%.3f | $pred%.3f |")
+      }
+    }
+    println(s"\n| simhash capture (60 bits) | maxHamming | cosine bin | pairs | measured | predicted |")
+    println("|---|---|---|---|---|---|")
+    for (h <- Seq(1, 3, 6)) {
+      simhashCaptureByBin(docsDf, truthPairs, 60, h).foreach {
+        case (bin, n, meas, pred) =>
+          println(f"| capture | h<=$h | [${bin / 10.0}%.1f,${(bin + 1) / 10.0}%.1f) | $n | $meas%.3f | $pred%.3f |")
+      }
+    }
     spark.stop()
+  }
+
+  /** Exact pairwise shingle overlap ground truth for the TEXT dedup
+    * family: true n-gram Jaccard and set-cosine (`|A∩B|/√(|A||B|)` —
+    * the similarity simhash's hyperplane model sees) for every pair
+    * sharing at least one shingle. Inverted-index join, probe-only at
+    * probe corpus sizes; shingles with document frequency > `maxDf`
+    * are dropped from the ground truth exactly like jaccardPairs'
+    * stop-shingle guard (affects only near-zero-similarity pairs). */
+  def exactTextPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Int = 200): DataFrame = {
+    val posting = graft.dedup.Dedup.shinglePosting(docs, idCol, textCol, n)
+      .dropDuplicates("id", "s")
+    val guarded = posting.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("df") <= maxDf).drop("df")
+    val sizes = guarded.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val common = guarded.select(col("s"), col("id").as("id_a"))
+      .join(guarded.select(col("s"), col("id").as("id_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common"))).as("jac"),
+        (col("common").cast("double") / sqrt(col("na") * col("nb"))).as("cos"))
+  }
+
+  /** Measured vs predicted minhash-banding capture per true-Jaccard
+    * bin — the LSH S-curve `P(candidate) = 1−(1−s^rows)^bands`,
+    * measured through `minhashLshPairs` with the estimate filter OFF
+    * (threshold 0) so pure banding capture is what's observed.
+    * Returns (bin, nPairs, measured, predicted) for bins with pairs. */
+  def minhashCaptureByBin(docs: DataFrame, truthPairs: DataFrame,
+      bands: Int, rows: Int): Seq[(Int, Long, Double, Double)] = {
+    val cand = graft.dedup.Dedup.minhashLshPairs(
+      docs, "doc_id", "text", n = 3, numPerm = bands * rows,
+      bands = bands, threshold = 0.0)
+    truthPairs
+      .join(cand.select(col("id_a"), col("id_b"), lit(1.0).as("hit")),
+        Seq("id_a", "id_b"), "left")
+      .withColumn("bin", floor(col("jac") * 10).cast("int"))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        avg(coalesce(col("hit"), lit(0.0))).as("measured"),
+        avg(lit(1.0) - pow(lit(1.0) - pow(col("jac"), rows), bands)).as("predicted"))
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+  }
+
+  /** Measured vs predicted simhash capture per set-cosine bin: the
+    * blocked pair generator has pigeonhole-perfect recall at
+    * `hamming <= h`, so capture is exactly `P(hamming <= h)` — and the
+    * Charikar hyperplane model says hamming ~ Binomial(bits, θ/π) with
+    * `θ = acos(cos)`. Matching measured to that CDF validates the
+    * md5-derived bit votes as a faithful random-hyperplane family. */
+  def simhashCaptureByBin(docs: DataFrame, truthPairs: DataFrame,
+      bits: Int, maxHamming: Int): Seq[(Int, Long, Double, Double)] = {
+    val sh = graft.dedup.Dedup.withSimhash(docs, "doc_id", "text", bits)
+    val q = acos(greatest(lit(-1.0), least(lit(1.0), col("cos")))) / math.Pi
+    def chooseD(n: Int, k: Int): Double =
+      (0 until k).map(i => (n - i).toDouble / (i + 1)).product
+    val binomCdf = (0 to maxHamming).map(i =>
+      lit(chooseD(bits, i)) * pow(q, i) * pow(lit(1.0) - q, bits - i))
+      .reduce(_ + _)
+    truthPairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("cos"),
+        (bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+          .cast("double").as("captured"),
+        binomCdf.as("pred"))
+      .withColumn("bin", floor(col("cos") * 10).cast("int"))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        avg(col("captured")).as("measured"), avg(col("pred")).as("predicted"))
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
   }
 }

@@ -181,6 +181,53 @@ object Quality {
       .withColumnRenamed("__n_tokens", "n_tokens")
   }
 
+  /** Strict NEVER-EXCEED shard packing — the companion to [[packShards]]
+    * for consumers that cannot tolerate its bounded one-document
+    * overshoot (fixed-size sequence buffers, hard object-store limits):
+    * a document that would push the current shard past `budgetTokens`
+    * starts a new shard instead. A single document larger than the
+    * whole budget still becomes its own oversized shard — no packing
+    * discipline can split what must not be split.
+    *
+    * The greedy fill is a non-associative sequential recurrence — no
+    * window/prefix-sum form exists — so it runs as per-stratum sorted
+    * `mapPartitions`: ONE exchange (repartition on the stratum key), an
+    * in-task sort by (stratum, id), then a single forward pass with
+    * O(1) state that resets at each stratum boundary. A stratum must
+    * fit one task — the same contract [[packShards]] documents (choose
+    * strata finer than executor memory: lang × source × id-hash-prefix);
+    * a partition may carry many strata, the pass handles the
+    * boundaries. This is the one place in the corpus pipeline where
+    * `mapPartitions` is genuinely required (the recurrence), trading
+    * whole-stage codegen for the never-exceed contract; q61's aligned
+    * packing remains the default for plain training shards. */
+  def packShardsStrict(docs: DataFrame, groupCols: Seq[String], idCol: String,
+      nTokensCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    val withTok = docs.withColumn("n_tokens", nTokensCol.cast("long"))
+    val parted = withTok.repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols :+ idCol).map(col): _*)
+    val schema = parted.schema
+      .add("shard_id", org.apache.spark.sql.types.LongType, nullable = false)
+    val gIdx = groupCols.map(parted.schema.fieldIndex)
+    val tIdx = parted.schema.fieldIndex("n_tokens")
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    parted.mapPartitions { rows =>
+      var curKey: Seq[Any] = null
+      var shard = 0L
+      var used = 0L
+      rows.map { r =>
+        val key = gIdx.map(r.get)
+        if (key != curKey) { curKey = key; shard = 0L; used = 0L }
+        val n = r.getLong(tIdx)
+        if (used > 0 && used + n > budgetTokens) { shard += 1; used = 0L }
+        used += n
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ shard)
+      }
+    }
+  }
+
   /** Unigram cross-entropy per document (nats/token) — the CCNet-style
     * language-model quality signal: score each token by its corpus-wide
     * unigram probability and average `-ln p(token)` over the document.

@@ -30,6 +30,34 @@ class QualitySpec extends SparkSpec {
     assert(m(3L).getDouble(1) == 1.0)
   }
 
+  test("packShardsStrict: never exceeds the budget; resets per stratum; oversized doc isolated") {
+    val docs = Seq(
+      // stratum a: 900+900 fit one 2000-shard, 800 starts the next
+      ("a", 1L, 900L), ("a", 2L, 900L), ("a", 3L, 800L), ("a", 4L, 1300L),
+      // stratum b: oversized single doc gets its own shard, then reset
+      ("b", 1L, 5000L), ("b", 2L, 100L),
+      ("b", 3L, 1900L), ("b", 4L, 200L)
+    ).toDF("lang", "doc_id", "toks")
+    val out = Quality.packShardsStrict(docs, Seq("lang"), "doc_id",
+        col("toks"), budgetTokens = 2000L)
+      .select("lang", "doc_id", "shard_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("a", 1L)) == 0L && out(("a", 2L)) == 0L)
+    assert(out(("a", 3L)) == 1L && out(("a", 4L)) == 2L) // 800+1300 > 2000
+    assert(out(("b", 1L)) == 0L) // oversized, alone
+    assert(out(("b", 2L)) == 1L && out(("b", 3L)) == 1L) // 100+1900 == 2000 fits
+    assert(out(("b", 4L)) == 2L)
+    // the never-exceed contract, asserted wholesale on the fixture:
+    // every multi-doc shard sums <= budget
+    val sums = Quality.packShardsStrict(docs, Seq("lang"), "doc_id",
+        col("toks"), budgetTokens = 2000L)
+      .groupBy("lang", "shard_id")
+      .agg(sum("n_tokens").as("s"), count(lit(1)).as("c"))
+      .collect()
+    sums.foreach(r => assert(r.getLong(3) == 1L || r.getLong(2) <= 2000L,
+      s"shard over budget: $r"))
+  }
+
   // -------------------------------------------------------------------
   // Benchmark contamination
   // -------------------------------------------------------------------

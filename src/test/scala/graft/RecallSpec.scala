@@ -88,6 +88,57 @@ class RecallSpec extends SparkSpec {
     exact.unpersist()
   }
 
+  // Planted-overlap corpus for the TEXT dedup-pair curves: 120 base docs
+  // of 32 unique tokens each, one variant per base sharing its first
+  // ceil(32f) tokens, f cycling {0.9, 0.7, 0.5, 0.3} — true 3-gram
+  // Jaccards land at ~0.82/0.54/0.30/0.15 (30 pairs per level), and
+  // unrelated docs share NO shingles, so the ground truth is exactly the
+  // 120 planted pairs. Deterministic (md5 hashing, fixed fixture): the
+  // assertions check constants, not statistics.
+  private lazy val plantedDocs = {
+    import spark.implicits._
+    (0 until 120).flatMap { i =>
+      val f = Seq(0.9, 0.7, 0.5, 0.3)(i % 4)
+      val keep = math.ceil(32 * f).toInt
+      val base = (0 until 32).map(j => s"d${i}_t$j")
+      val variant = base.take(keep) ++ (keep until 32).map(j => s"d${i}_x$j")
+      Seq((i.toLong * 2, base.mkString(" ")), (i.toLong * 2 + 1, variant.mkString(" ")))
+    }.toDF("doc_id", "text")
+  }
+
+  test("minhash banding S-curve matches 1-(1-s^r)^b; steep top-to-bottom") {
+    val truthP = RecallProbe.exactTextPairs(plantedDocs, "doc_id", "text", 3)
+    val bins = RecallProbe.minhashCaptureByBin(plantedDocs, truthP, bands = 8, rows = 4)
+    val byBin = bins.map(b => b._1 -> b).toMap
+    bins.filter(_._2 >= 20).foreach { case (bin, n, meas, pred) =>
+      assert(math.abs(meas - pred) <= 0.15,
+        f"bin $bin: measured $meas%.3f vs model $pred%.3f ($n pairs)")
+    }
+    // the S-curve's working ends: near-dup pairs (jac ~0.82) are almost
+    // always candidates, low-overlap pairs (jac ~0.15) almost never
+    assert(byBin(8)._3 >= 0.85, f"top-bin capture ${byBin(8)._3}%.3f below floor")
+    assert(byBin(1)._3 <= 0.25, f"bottom-bin capture ${byBin(1)._3}%.3f: not selective")
+  }
+
+  test("simhash capture matches Binomial(bits, theta/pi) CDF; monotone in cutoff") {
+    val truthP = RecallProbe.exactTextPairs(plantedDocs, "doc_id", "text", 3)
+    val at = Seq(1, 3, 6).map(h =>
+      h -> RecallProbe.simhashCaptureByBin(plantedDocs, truthP, 60, h))
+    at.foreach { case (h, bins) =>
+      bins.filter(_._2 >= 20).foreach { case (bin, n, meas, pred) =>
+        assert(math.abs(meas - pred) <= 0.15,
+          f"h<=$h bin $bin: measured $meas%.3f vs model $pred%.3f ($n pairs)")
+      }
+    }
+    def total(bins: Seq[(Int, Long, Double, Double)]): Double = {
+      val n = bins.map(_._2).sum
+      if (n == 0) 0.0 else bins.map(b => b._3 * b._2).sum / n
+    }
+    val Seq(t1, t3, t6) = at.map(x => total(x._2))
+    assert(t1 <= t3 && t3 <= t6,
+      f"capture must grow with the cutoff: h1=$t1%.3f h3=$t3%.3f h6=$t6%.3f")
+  }
+
   test("int8-quantized corpus: recall@10 >= 0.9; recall monotone in levels") {
     // Asymmetric retrieval: full-precision queries against a corpus
     // round-tripped through the QuantizeMse affine scheme — the serving
