@@ -974,6 +974,18 @@ object Queries {
         CAST(a = MIN(b) AS INTEGER) AS is_survivor
       FROM reach GROUP BY a ORDER BY doc_id"""))
 
+  // Same pipeline and oracle as q44 with the driver union-find fast path
+  // DISABLED (driverMaxEdges = 0), so the distributed label-propagation
+  // loop — the path that actually runs at 100 TB edge volumes — is the
+  // one hash-checked against the recursive-CTE closure.
+  val q44b_dedup_clusters_iterative = Q("q44b_dedup_clusters_iterative",
+    (s, dir) => Dedup.dedupByMinhash(documents(s, dir), "doc_id", "text",
+        n = 3, numPerm = 16, bands = 4, threshold = 0.5, driverMaxEdges = 0)
+      .select(col("id").as("doc_id"), col("cluster"),
+        col("is_survivor").cast("int").as("is_survivor"))
+      .orderBy("doc_id"),
+    q44_dedup_clusters.oracle)
+
   // Embedding centroid: per-dimension mean in the posexplode + groupBy
   // shape (map-side combinable — the scalable way to aggregate vectors;
   // decimal-summed for bit-stable parity).
@@ -1652,6 +1664,21 @@ object Queries {
         CAST(SUM(c) AS BIGINT) AS n_tokens
       FROM nll GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Streaming exact dedup end to end (see StreamingDedup.run): documents
+  // spooled across two micro-batches with every duplicate family SPLIT
+  // across the boundary, deduped on the normalized-text fingerprint by
+  // the streaming state op, parquet-sunk. The oracle is the batch
+  // equivalent — one row per distinct fingerprint with key-derived
+  // columns — so a hash match proves per-key exactly-once emission
+  // across batches (per-batch-only state would re-emit every family).
+  val q64_streaming_dedup = Q("q64_streaming_dedup",
+    (s, dir) => graft.streaming.StreamingDedup.run(s, dir),
+    Some("""
+      SELECT DISTINCT
+        md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint,
+        length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_len
+      FROM documents ORDER BY fingerprint"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -1664,12 +1691,13 @@ object Queries {
     q32_simhash_pairs, q33_minhash_pairs, q34_stats_agg, q35_percentiles,
     q36_time_bucket, q37_conditional_agg, q38_string_ops, q39_array_agg,
     q40_dedup_survivors, q41_multimodal_features, q42_set_ops,
-    q43_ann_topk_agg, q44_dedup_clusters, q45_embedding_centroid,
+    q43_ann_topk_agg, q44_dedup_clusters, q44b_dedup_clusters_iterative,
+    q45_embedding_centroid,
     q46_text_subwords, q47_corpus_filter, q48_range_join,
     q49_wind_pipeline, q50_sessionize, q51_embedding_neardup,
     q52_actor_stream, q53_normalize_text, q54_repetition_filter,
     q55_contamination, q56_pii_scan, q57_stratified_sample,
     q58_tfidf_keywords, q59_embedding_quantize, q60_pipeline_sample,
     q61_shard_packing, q61b_shard_packing_strict, q62_dedup_keep_best,
-    q63_unigram_entropy)
+    q63_unigram_entropy, q64_streaming_dedup)
 }

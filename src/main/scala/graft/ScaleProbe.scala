@@ -19,6 +19,14 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("local[32]", 32)
     val dir = "/root/testdata/sf0.1"
+    if (args.headOption.contains("verify-order")) {
+      // verify-order [factors-csv] [both|distinct|verify] — factor rows
+      // can be split across JVMs so the heavy 16× orders don't share one
+      // process's shuffle-spill headroom
+      val factors = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+      val which = args.lift(2).getOrElse("both")
+      verifyOrder(spark, dir, factors, which); spark.stop(); return
+    }
     def rep(df: DataFrame, n: Int, idCol: String): DataFrame =
       (0 until n).map(i => df.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L)))
         .reduce(_ unionByName _)
@@ -123,5 +131,55 @@ object ScaleProbe {
       println(f"$n,${n * 5000},$jS%.2f,$jp,$sS%.2f,$sp,$nS%.2f,$np,$bpA,$nbA,$nlS%.2f,$npl")
     }
     spark.stop()
+  }
+
+  /** Candidate-dedup order experiment for `nearDupPairsFixed`
+    * (`sbt "runMain graft.ScaleProbe verify-order"`): measures
+    * distinct-first (dedup the band-collision pair stream before the
+    * vector-fetch joins — one candidate-volume shuffle, each pair scored
+    * once) against verify-first (pipeline collisions straight into the
+    * codegen cosine, dropDuplicates only on the ~sparse PASSING pairs).
+    * Both orders return identical rows; the question is purely which
+    * exchange is cheaper, and the answer feeds the library default. */
+  private def verifyOrder(spark: org.apache.spark.sql.SparkSession, dir: String,
+      factors: Seq[Int], which: String): Unit = {
+    def time(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    def mutateVec(c: org.apache.spark.sql.Column, idc: org.apache.spark.sql.Column, i: Int) =
+      if (i == 0) c
+      else transform(c, (x, j) =>
+        x + lit(0.15 * i) * (pmod(hash(idc, lit(i), j), lit(1000)).cast("double") / 500.0 - 1.0))
+    def repMutatedEmb(n: Int): DataFrame =
+      (0 until n).map(i => Tables.embeddings(spark, dir).select(
+        (col("vec_id") + lit(i.toLong * 100000000L)).as("id"),
+        mutateVec(col("embedding").cast("array<double>"), col("vec_id"), i).as("vec")))
+        .reduce(_ unionByName _)
+    def run(d: DataFrame, nVec: Long, dedupFirst: Boolean): (Double, Long) = {
+      val bp = graft.similarity.Similarity.adaptiveBandPlanes(nVec)
+      val nb = graft.similarity.Similarity.adaptiveNumBands(bp, 0.4)
+      var pairs = 0L
+      val s = time {
+        pairs = graft.similarity.Similarity.nearDupPairsFixed(
+          d, threshold = 0.4, bandPlanes = bp, numBands = nb,
+          dedupBeforeVerify = dedupFirst).count()
+      }
+      (s, pairs)
+    }
+    val doDistinct = which == "both" || which == "distinct"
+    val doVerify = which == "both" || which == "verify"
+    // untimed warmup: codegen for the requested plan shape(s)
+    if (doDistinct) run(repMutatedEmb(1), 2000L, dedupFirst = true)
+    if (doVerify) run(repMutatedEmb(1), 2000L, dedupFirst = false)
+    println("factor,vectors,distinct_first_s,verify_first_s,distinct_pairs,verify_pairs")
+    for (n <- factors) {
+      val embN = repMutatedEmb(n).cache()
+      embN.count()
+      val nVec = n * 2000L
+      val (dfS, dfP) = if (doDistinct) run(embN, nVec, dedupFirst = true) else (Double.NaN, -1L)
+      val (vfS, vfP) = if (doVerify) run(embN, nVec, dedupFirst = false) else (Double.NaN, -1L)
+      embN.unpersist()
+      println(f"$n,$nVec,$dfS%.2f,$vfS%.2f,$dfP,$vfP")
+    }
   }
 }

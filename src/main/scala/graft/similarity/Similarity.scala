@@ -258,9 +258,11 @@ object Similarity {
     * with its own `bandPlanes` hyperplanes; a pair is a candidate iff it
     * shares a bucket in ANY band, so recall is
     * `1 - (1 - p^bandPlanes)^numBands` with `p = 1 - acos(cos)/π` —
-    * tune bands up for recall, planes up for selectivity. Candidates are
-    * deduped (`distinct` on the id pair) BEFORE the exact cosine
-    * verification, so each surviving pair is scored exactly once.
+    * tune bands up for recall, planes up for selectivity. Candidate
+    * band collisions pipeline STRAIGHT into the cosine verification
+    * (verify-first); only the sparse passing pairs are deduped — see
+    * `nearDupPairsFixed`'s `dedupBeforeVerify` for why and the measured
+    * order comparison (SCALE.md "candidate-dedup order").
     *
     * **Banding defaults are corpus-size-adaptive**: with no explicit
     * `bandPlanes`/`numBands` the plane count follows
@@ -299,20 +301,39 @@ object Similarity {
     * adaptive entry point delegates here after deriving `(planes,
     * bands)`. Calling this directly with a fixed plane count at growing
     * corpus sizes reproduces the measured 16× disk-exhaustion; prefer
-    * the adaptive wrapper. */
+    * the adaptive wrapper.
+    *
+    * `dedupBeforeVerify` picks where candidate duplicates (a pair
+    * colliding in several bands) are collapsed:
+    *  - `false` (verify-first): band collisions pipeline straight into
+    *    the vector-fetch joins and the codegen cosine; only pairs that
+    *    PASS the threshold reach a `dropDuplicates` — the candidate
+    *    stream itself never shuffles. Random collisions land in ~1 band
+    *    (duplication ≈ 1 + (bands−1)p^planes), so the redundant-cosine
+    *    cost is a few percent while a full candidate-volume exchange
+    *    disappears.
+    *  - `true` (distinct-first): candidates dedup on the id pair BEFORE
+    *    the fetch, so every pair is scored exactly once — worth its
+    *    candidate-wide shuffle only when redundancy is high (a
+    *    duplicate-DENSE corpus whose true pairs collide in most bands)
+    *    AND the vector fetch itself shuffles wide rows (corpus too big
+    *    to broadcast, high dim).
+    * Both orders produce identical output (the duplicate rows carry
+    * bit-identical cosines). Measured at the 16× probe: see SCALE.md. */
   def nearDupPairsFixed(
       vectors: DataFrame,
       threshold: Double,
       bandPlanes: Int,
       numBands: Int,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      dedupBeforeVerify: Boolean = false): DataFrame = {
     val planes = hyperplanes(bandPlanes * numBands, dim, seed)
     val bucketCols = (0 until numBands).map { t =>
       val bandPl = planes.slice(t * bandPlanes, (t + 1) * bandPlanes)
       struct(lit(t).as("band"), lshBucket(col("vec"), bandPl).as("bucket"))
     }
-    // repartition(id) so the 32 plane dots per vector run fanned across
+    // repartition(id) so the plane dots per vector run fanned across
     // shuffle partitions, not inside a near-serial scan stage (small
     // file counts = few input splits); the verification joins reuse the
     // same exchange
@@ -324,13 +345,15 @@ object Similarity {
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cand
+      .select("id_a", "id_b")
+    val candidates = if (dedupBeforeVerify) cand.distinct() else cand
+    val verified = candidates
       .join(v.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorFunctions.cosineFast(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
+    if (dedupBeforeVerify) verified else verified.dropDuplicates("id_a", "id_b")
   }
 
   /** IVF (inverted file) ANN: deterministic "training" picks the first
