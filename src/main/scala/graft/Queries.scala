@@ -1679,6 +1679,33 @@ object Queries {
         length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_len
       FROM documents ORDER BY fingerprint"""))
 
+  // Context-window chunking (Quality.chunkDocuments): 40-token chunks,
+  // 8-token overlap (stride 32). Chunk text is md5'd in BOTH engines so
+  // the hash compare checks exact string equality of every chunk without
+  // dragging full text through the result.
+  val q65_doc_chunking = Q("q65_doc_chunking",
+    (s, dir) => graft.text.Quality.chunkDocuments(documents(s, dir), "doc_id", "text",
+        maxTokens = 40, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk_text")).as("chunk_md5"),
+        col("n_tokens"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+          len(string_split(text, ' ')) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          unnest([{'i': i,
+                   'txt': array_to_string(ws[i*32+1 : i*32+40], ' '),
+                   'nt': least(40, n - i*32)}
+                  FOR i IN generate_series(0,
+                    CAST(CASE WHEN n <= 40 THEN 0
+                         ELSE ceil((n-40)/32.0) END AS BIGINT))]) AS u
+        FROM w)
+      SELECT doc_id, u.i AS chunk_idx, md5(u.txt) AS chunk_md5, u.nt AS n_tokens
+      FROM c ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -1699,5 +1726,5 @@ object Queries {
     q55_contamination, q56_pii_scan, q57_stratified_sample,
     q58_tfidf_keywords, q59_embedding_quantize, q60_pipeline_sample,
     q61_shard_packing, q61b_shard_packing_strict, q62_dedup_keep_best,
-    q63_unigram_entropy, q64_streaming_dedup)
+    q63_unigram_entropy, q64_streaming_dedup, q65_doc_chunking)
 }

@@ -283,6 +283,14 @@ object Similarity {
     * Nothing materializes the all-pairs product; per-bucket join fan-out
     * is the standard LSH cost, bounded by bucket selectivity
     * (`2^bandPlanes` buckets per band). */
+  /** Corpus sizes (in vectors) up to which the verification joins
+    * BROADCAST the vector frame instead of shuffling the candidate
+    * stream: `n · dim · 8` bytes ≤ 64 MB of raw vector payload — small
+    * enough for every executor, far past Spark's 10 MB auto threshold
+    * (which would leave a 17 MB/32 k-vector corpus shuffling ~10⁸
+    * candidate rows through two sort-merge exchanges). */
+  def broadcastFetchMaxVectors(dim: Int): Long = (64L << 20) / (dim * 8L)
+
   def nearDupPairs(
       vectors: DataFrame, // (id, vec: array<double>)
       threshold: Double,
@@ -291,10 +299,11 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       corpusCount: Option[Long] = None): DataFrame = {
-    val bp = bandPlanes.getOrElse(
-      adaptiveBandPlanes(corpusCount.getOrElse(vectors.count())))
+    val n = corpusCount.getOrElse(vectors.count())
+    val bp = bandPlanes.getOrElse(adaptiveBandPlanes(n))
     val nb = numBands.getOrElse(adaptiveNumBands(bp, threshold))
-    nearDupPairsFixed(vectors, threshold, bp, nb, dim, seed)
+    nearDupPairsFixed(vectors, threshold, bp, nb, dim, seed,
+      broadcastFetch = n <= broadcastFetchMaxVectors(dim))
   }
 
   /** [[nearDupPairs]] at an EXPLICIT banding configuration — the
@@ -319,7 +328,17 @@ object Similarity {
     *    AND the vector fetch itself shuffles wide rows (corpus too big
     *    to broadcast, high dim).
     * Both orders produce identical output (the duplicate rows carry
-    * bit-identical cosines). Measured at the 16× probe: see SCALE.md. */
+    * bit-identical cosines). Measured at the 16× probe: see SCALE.md.
+    *
+    * `broadcastFetch` hints the two vector-fetch joins to broadcast the
+    * vector frame (the adaptive wrapper sets it from the corpus size,
+    * [[broadcastFetchMaxVectors]]): the candidate stream — orders of
+    * magnitude more rows than the corpus — then never shuffles at all,
+    * and the whole pipeline runs scan → hash-join → cosine in one
+    * stage. At corpus sizes past the broadcast budget the flag turns
+    * itself off and the joins fall back to shuffles, which is correct:
+    * there the candidate/corpus row ratio is what LSH selectivity
+    * controls, not the join strategy. */
   def nearDupPairsFixed(
       vectors: DataFrame,
       threshold: Double,
@@ -327,7 +346,8 @@ object Similarity {
       numBands: Int,
       dim: Int = 64,
       seed: Long = 42L,
-      dedupBeforeVerify: Boolean = false): DataFrame = {
+      dedupBeforeVerify: Boolean = false,
+      broadcastFetch: Boolean = false): DataFrame = {
     val planes = hyperplanes(bandPlanes * numBands, dim, seed)
     val bucketCols = (0 until numBands).map { t =>
       val bandPl = planes.slice(t * bandPlanes, (t + 1) * bandPlanes)
@@ -347,9 +367,10 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val candidates = if (dedupBeforeVerify) cand.distinct() else cand
+    def fetch(df: DataFrame): DataFrame = if (broadcastFetch) broadcast(df) else df
     val verified = candidates
-      .join(v.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
-      .join(v.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .join(fetch(v.select(col("id").as("id_a"), col("vec").as("va"))), Seq("id_a"))
+      .join(fetch(v.select(col("id").as("id_b"), col("vec").as("vb"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorFunctions.cosineFast(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)

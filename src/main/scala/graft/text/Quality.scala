@@ -311,4 +311,40 @@ object Quality {
       .partitionBy(idCol).orderBy(col("score").desc, col("token"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Split documents into fixed-size overlapping token-window chunks —
+    * the step between corpus filtering and [[packShards]]: a training
+    * (or embedding/retrieval-index) job consumes context-window-sized
+    * pieces, not arbitrary-length documents. Chunk `i` covers words
+    * `[i·stride, i·stride + maxTokens)` with
+    * `stride = maxTokens − overlap`; the last chunk may be short but a
+    * chunk contributing no NEW words past the previous one's overlap is
+    * never emitted, and an `n ≤ maxTokens` document yields exactly one
+    * chunk (itself). Tokens are whitespace words, same contract as
+    * [[TextStats.tokens]].
+    *
+    * Scale shape: zero shuffles and zero lambdas — the word array is
+    * materialized once per row, chunk starts explode from a codegen
+    * `sequence` generator, and each chunk is a `concat_ws(slice(...))`,
+    * so the whole operator fuses into the scan stage and parallelism is
+    * per-document-row regardless of document length skew (a 1M-token
+    * document costs its own row's work, never a shuffle partition's). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val n = size(col("ws"))
+    // nChunks = 1 + ceil((n - maxTokens)/stride) for n > maxTokens else 1
+    val nChunks = when(n <= maxTokens, lit(1L))
+      .otherwise(lit(1L) + ceil((n - maxTokens).cast("double") / stride).cast("long"))
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("ws"))
+      .select(col(idCol), col("ws"),
+        posexplode(sequence(lit(0L), (nChunks - 1L) * stride, lit(stride.toLong))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        concat_ws(" ", slice(col("ws"), col("col") + 1, lit(maxTokens))).as("chunk_text"),
+        least(lit(maxTokens), size(col("ws")) - col("col").cast("int")).as("n_tokens"))
+  }
 }

@@ -30,6 +30,34 @@ class QualitySpec extends SparkSpec {
     assert(m(3L).getDouble(1) == 1.0)
   }
 
+  test("chunkDocuments: windows, overlap, tail, and no shuffle in the plan") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 10 tokens
+      (2L, "a b c"),                          // fits one chunk
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")         // exactly max+stride boundary
+    ).toDF("doc_id", "text")
+    // maxTokens=4, overlap=2 -> stride=2
+    val out = Quality.chunkDocuments(docs, "doc_id", "text", maxTokens = 4, overlap = 2)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,2,4,6 -> 4 chunks; last covers w7..w10 (full window)
+    assert(d1.map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(d1.map(_._4).toSeq == Seq(4, 4, 4, 4))
+    // consecutive chunks overlap by exactly `overlap` words
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3.split(" ").takeRight(2).toSeq == b._3.split(" ").take(2).toSeq)
+    }
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b c", 3)))
+    // 8 tokens: starts 0,2,4 -> last chunk x5..x8; no empty/no-new-word tail
+    val d3 = rows.filter(_._1 == 3L).sortBy(_._2)
+    assert(d3.map(_._3).toSeq == Seq("x1 x2 x3 x4", "x3 x4 x5 x6", "x5 x6 x7 x8"))
+    // scan-fused: generator + project only, never an exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("packShardsStrict: never exceeds the budget; resets per stratum; oversized doc isolated") {
     val docs = Seq(
       // stratum a: 900+900 fit one 2000-shard, 800 starts the next
