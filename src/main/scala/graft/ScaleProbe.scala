@@ -162,7 +162,11 @@ object ScaleProbe {
       val s = time {
         pairs = graft.similarity.Similarity.nearDupPairsFixed(
           d, threshold = 0.4, bandPlanes = bp, numBands = nb,
-          dedupBeforeVerify = dedupFirst).count()
+          dedupBeforeVerify = dedupFirst,
+          // same broadcast-fetch rule the adaptive wrapper derives, so the
+          // probe measures the library default's join strategy
+          broadcastFetch =
+            nVec <= graft.similarity.Similarity.broadcastFetchMaxVectors(64)).count()
       }
       (s, pairs)
     }

@@ -63,6 +63,30 @@ class SimilaritySpec extends SparkSpec {
     assert(lower.map(p => (p._1, p._2)).distinct.length == lower.length) // deduped
   }
 
+  test("hoisted-norm cosine is bit-identical to cosine_sim on every pair") {
+    // nearDupPairsFixed verifies with dot(va,vb)/(nrm_a*nrm_b) where nrm
+    // is hoisted per corpus row (Similarity.scala) — same left-to-right
+    // accumulation and IEEE-rounded sqrt as cosine_sim's fused loop, so
+    // the doubles must be EQUAL, not just close. Pin that on a dense
+    // random corpus so the q51 oracle can never drift from the hoist.
+    val rnd = new scala.util.Random(7)
+    val v = (0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextGaussian()))).toDF("id", "vec")
+    val a = v.select(col("id").as("id_a"), col("vec").as("va"))
+    val b = v.select(col("id").as("id_b"), col("vec").as("vb"))
+    val dot = graft.functions.VectorFunctions.dotFast _
+    val rows = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(
+        graft.functions.VectorFunctions.cosineFast(col("va"), col("vb")).as("fused"),
+        (dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb"))))).as("hoisted"))
+      .as[(Double, Double)].collect()
+    assert(rows.length == 40 * 39 / 2)
+    rows.foreach { case (f, h) =>
+      assert(java.lang.Double.doubleToLongBits(f) == java.lang.Double.doubleToLongBits(h),
+        s"fused $f != hoisted $h")
+    }
+  }
+
   test("adaptive banding: planes track corpus doublings, bands restore base recall") {
     import Similarity.{adaptiveBandPlanes, adaptiveNumBands, collisionProb}
     // every oracle-checked corpus (500-2000 vectors) must derive EXACTLY
