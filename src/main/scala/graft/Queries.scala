@@ -1706,6 +1706,79 @@ object Queries {
       SELECT doc_id, u.i AS chunk_idx, md5(u.txt) AS chunk_md5, u.nt AS n_tokens
       FROM c ORDER BY doc_id, chunk_idx"""))
 
+  // Content-defined segmentation (Quality.cdcSegments): token starts a
+  // segment iff h32(token) % 8 == 0 — boundaries depend on content only,
+  // so the oracle re-derives every breakpoint in DuckDB with the same
+  // md5-prefix hash and slices the same spans. Segment text md5'd in
+  // both engines (exact string equality without dragging text through
+  // the compare).
+  val q66_cdc_segments = Q("q66_cdc_segments",
+    (s, dir) => graft.text.Quality.cdcSegments(documents(s, dir), "doc_id", "text",
+        avgSegTokens = 8)
+      .select(col("doc_id"), col("seg_idx"), md5(col("seg_text")).as("seg_md5"),
+        col("n_tokens"), col("start_pos"))
+      .orderBy("doc_id", "seg_idx"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+          len(string_split(text, ' ')) AS n
+        FROM documents),
+      s AS (
+        SELECT doc_id, ws, n,
+          [i FOR i IN generate_series(1, n)
+             IF i = 1 OR CAST(('0x' || substr(md5(ws[i]), 1, 8)) AS BIGINT) % 8 = 0] AS starts
+        FROM w),
+      s2 AS (SELECT doc_id, ws, starts, list_append(starts[2:], n + 1) AS ends FROM s),
+      seg AS (
+        SELECT doc_id, u.i - 1 AS seg_idx, u.m AS seg_md5, u.nt AS n_tokens,
+          u.sp AS start_pos
+        FROM (SELECT doc_id,
+                unnest([{'i': i,
+                         'm': md5(array_to_string(ws[starts[i] : ends[i]-1], ' ')),
+                         'nt': ends[i] - starts[i],
+                         'sp': starts[i] - 1}
+                        FOR i IN generate_series(1, len(starts))]) AS u
+              FROM s2))
+      SELECT doc_id, seg_idx, seg_md5, n_tokens, start_pos
+      FROM seg ORDER BY doc_id, seg_idx"""))
+
+  // Verbatim cross-document overlap (Quality.verbatimOverlapPairs): doc
+  // pairs colliding on >=1 CDC segment of >=4 tokens, boilerplate-capped
+  // at df <= 50. The oracle replays segmentation, intra-doc distinct,
+  // the df gate, and the pair count.
+  val q67_verbatim_overlap = Q("q67_verbatim_overlap",
+    (s, dir) => graft.text.Quality.verbatimOverlapPairs(documents(s, dir),
+        "doc_id", "text", avgSegTokens = 8, minSegTokens = 4, maxDf = 50)
+      .orderBy("id_a", "id_b"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+          len(string_split(text, ' ')) AS n
+        FROM documents),
+      s AS (
+        SELECT doc_id, ws, n,
+          [i FOR i IN generate_series(1, n)
+             IF i = 1 OR CAST(('0x' || substr(md5(ws[i]), 1, 8)) AS BIGINT) % 8 = 0] AS starts
+        FROM w),
+      s2 AS (SELECT doc_id, ws, starts, list_append(starts[2:], n + 1) AS ends FROM s),
+      seg AS (
+        SELECT DISTINCT doc_id,
+          u.m AS seg_md5
+        FROM (SELECT doc_id,
+                unnest([{'m': md5(array_to_string(ws[starts[i] : ends[i]-1], ' ')),
+                         'nt': ends[i] - starts[i]}
+                        FOR i IN generate_series(1, len(starts))]) AS u
+              FROM s2)
+        WHERE u.nt >= 4),
+      eligible AS (
+        SELECT seg_md5 FROM seg GROUP BY seg_md5
+        HAVING count(*) BETWEEN 2 AND 50),
+      posting AS (SELECT s.doc_id, s.seg_md5 FROM seg s JOIN eligible e USING (seg_md5))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM posting a JOIN posting b
+        ON a.seg_md5 = b.seg_md5 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -1726,5 +1799,6 @@ object Queries {
     q55_contamination, q56_pii_scan, q57_stratified_sample,
     q58_tfidf_keywords, q59_embedding_quantize, q60_pipeline_sample,
     q61_shard_packing, q61b_shard_packing_strict, q62_dedup_keep_best,
-    q63_unigram_entropy, q64_streaming_dedup, q65_doc_chunking)
+    q63_unigram_entropy, q64_streaming_dedup, q65_doc_chunking,
+    q66_cdc_segments, q67_verbatim_overlap)
 }

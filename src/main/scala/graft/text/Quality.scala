@@ -329,6 +329,88 @@ object Quality {
     * so the whole operator fuses into the scan stage and parallelism is
     * per-document-row regardless of document length skew (a 1M-token
     * document costs its own row's work, never a shuffle partition's). */
+  /** Content-defined segmentation (Rabin/CDC applied at token level —
+    * the technique rsync/LBFS popularized, here the distributed cure for
+    * VERBATIM cross-document overlap detection): a token STARTS a new
+    * segment iff `h32(token) % avgSegTokens == 0`, so segment boundaries
+    * depend only on CONTENT, never position — two documents sharing a
+    * long verbatim span produce bit-identical interior segments no
+    * matter where the span sits in each document. Fixed-stride windows
+    * can't do that (alignments differ across docs); CDC is what makes
+    * exact-substring dedup a hash join instead of a suffix array.
+    * Expected segment length is `avgSegTokens`; `start_pos` is the
+    * 0-based token offset of the segment in its document.
+    *
+    * Scale shape: zero shuffles — breakpoints, spans, and segment texts
+    * are all array expressions over the per-row token array (the md5
+    * breakpoint hash dominates the cost and runs identically either
+    * way), and the generator output is one row per segment, so
+    * parallelism is per-document regardless of length skew. The
+    * breakpoint hash is [[Dedup.h32]] (md5-prefix), replayable in any
+    * engine — the q66 oracle re-derives every boundary in DuckDB. */
+  def cdcSegments(docs: DataFrame, idCol: String, textCol: String,
+      avgSegTokens: Int): DataFrame = {
+    require(avgSegTokens >= 2, s"avgSegTokens must be >= 2, got $avgSegTokens")
+    val isBreak = (i: Column) =>
+      (i === 0) || pmod(Dedup.h32(element_at(col("ws"), i + 1)), lit(avgSegTokens)) === 0
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("ws"))
+      .select(col(idCol), col("ws"),
+        filter(sequence(lit(0), size(col("ws")) - 1), isBreak).as("starts"))
+      .select(col(idCol), col("ws"), col("starts"),
+        concat(slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
+          array(size(col("ws")))).as("ends"))
+      .select(col(idCol),
+        posexplode(zip_with(col("starts"), col("ends"), (s, e) => struct(
+          concat_ws(" ", slice(col("ws"), s + 1, e - s)).as("seg_text"),
+          (e - s).as("n_tokens"),
+          s.as("start_pos")))))
+      .select(col(idCol), col("pos").as("seg_idx"),
+        col("col.seg_text").as("seg_text"),
+        col("col.n_tokens").as("n_tokens"),
+        col("col.start_pos").as("start_pos"))
+  }
+
+  /** Document pairs sharing VERBATIM text: docs whose [[cdcSegments]]
+    * collide on at least one segment of `>= minSegTokens` tokens, with
+    * the collision count (`n_shared`) per pair. This is the
+    * "exact substring duplication" pass of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better") in
+    * hash-join form: CDC alignment means a shared span needs no
+    * positional enumeration, just equality on segment hashes.
+    *
+    * Boilerplate guard: segments appearing in more than `maxDf`
+    * documents are EXCLUDED from pairing — a license header shared by
+    * 10⁶ docs is boilerplate (detect it with [[repetitionStats]] or a
+    * plain df rollup), not pairwise overlap, and pairing it would
+    * produce a 10¹²-row join. With the cap, per-segment join fan-out is
+    * ≤ maxDf², so worst-case output is bounded by
+    * `n_segments · maxDf²` — linear in the corpus.
+    *
+    * Scale shape: segment generation never shuffles; the df rollup and
+    * the posting self-join shuffle on the 60-bit segment hash (uniform
+    * by construction); the final per-pair count shuffles on (id_a,id_b).
+    * No shuffle carries segment TEXT — only ids and hashes. */
+  def verbatimOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      avgSegTokens: Int, minSegTokens: Int, maxDf: Int = 50): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val seg = cdcSegments(docs, idCol, textCol, avgSegTokens)
+      .filter(col("n_tokens") >= minSegTokens)
+      // distinct BEFORE the df count: a segment repeated inside one doc
+      // is intra-doc repetition (repetitionStats territory), and must
+      // count once toward df and once toward any pair it witnesses
+      .select(col(idCol).as("doc"), Dedup.h60(col("seg_text")).as("seg_h"))
+      .distinct()
+    val eligible = seg.groupBy("seg_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("seg_h")
+    val posting = seg.join(eligible, Seq("seg_h"))
+    posting.select(col("seg_h"), col("doc").as("id_a"))
+      .join(posting.select(col("seg_h"), col("doc").as("id_b")), Seq("seg_h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+  }
+
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
       maxTokens: Int, overlap: Int = 0): DataFrame = {
     require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")

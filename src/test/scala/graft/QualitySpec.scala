@@ -58,6 +58,77 @@ class QualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("cdcSegments: content-defined boundaries are position-independent; segments tile the doc") {
+    // Shared span S embedded at DIFFERENT offsets in two docs: every
+    // segment strictly inside S must be identical across the two docs —
+    // the property fixed-stride windows cannot give.
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, "pre1 " + shared + " post1"),
+      (2L, "alpha beta gamma delta " + shared)
+    ).toDF("doc_id", "text")
+    val out = Quality.cdcSegments(docs, "doc_id", "text", avgSegTokens = 4)
+    val segs = out.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4)))
+
+    // segments tile each doc exactly: n_tokens sums to doc length,
+    // start_pos is the running sum, reassembly gives the original text
+    for ((id, txt) <- Seq((1L, "pre1 " + shared + " post1"),
+                          (2L, "alpha beta gamma delta " + shared))) {
+      val ss = segs.filter(_._1 == id).sortBy(_._2)
+      assert(ss.map(_._4).sum == txt.split(" ").length)
+      assert(ss.map(_._5).toSeq == ss.map(_._4).toSeq.scanLeft(0)(_ + _).init)
+      assert(ss.map(_._3).mkString(" ") == txt)
+    }
+
+    // interior segments of the shared span coincide: drop each doc's
+    // segments that touch text outside S, compare the rest
+    def interior(id: Long, spanStart: Int): Seq[String] = {
+      val spanEnd = spanStart + 40
+      segs.filter(_._1 == id).sortBy(_._2)
+        .filter(s => s._5 >= spanStart && s._5 + s._4 <= spanEnd)
+        .map(_._3).toSeq
+    }
+    val i1 = interior(1L, 1)   // doc 1: S starts after 1 leading token
+    val i2 = interior(2L, 4)   // doc 2: S starts after 4 leading tokens
+    assert(i1.nonEmpty, "span must contain at least one interior segment")
+    // doc 1's interior segments, minus any boundary-straddling first/last,
+    // appear as a contiguous run inside doc 2's (and vice versa)
+    assert(i2.containsSlice(i1.drop(1).dropRight(1)) ||
+           i1.containsSlice(i2.drop(1).dropRight(1)))
+
+    // scan-fused: generator + project only, never an exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"cdcSegments must not shuffle:\n$plan")
+  }
+
+  test("verbatimOverlapPairs: finds planted overlap, honors minSegTokens and maxDf") {
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ")
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, "pre1 " + shared + " post1"),
+      (2L, "alpha beta gamma delta " + shared),
+      (3L, "unrelated text entirely different from the rest " + boiler),
+      (4L, "more unrelated material here too " + boiler),
+      (5L, "yet another boilerplate carrier " + boiler)
+    ).toDF("doc_id", "text")
+    val pairs = Quality.verbatimOverlapPairs(docs, "doc_id", "text",
+        avgSegTokens = 4, minSegTokens = 2, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 2L)), s"planted overlap not found: $pairSet")
+    val shared12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    assert(shared12 >= 1)
+    // boilerplate trio pairs up at maxDf=50 but vanishes at maxDf=2
+    assert(pairSet.contains((3L, 4L)) && pairSet.contains((4L, 5L)))
+    val capped = Quality.verbatimOverlapPairs(docs, "doc_id", "text",
+        avgSegTokens = 4, minSegTokens = 2, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((3L, 4L)) && !capped.contains((4L, 5L)),
+      s"df>maxDf boilerplate must not pair: $capped")
+    assert(capped.contains((1L, 2L)), "df=2 planted overlap must survive the cap")
+  }
+
   test("packShardsStrict: never exceeds the budget; resets per stratum; oversized doc isolated") {
     val docs = Seq(
       // stratum a: 900+900 fit one 2000-shard, 800 starts the next
