@@ -1779,6 +1779,64 @@ object Queries {
         ON a.seg_md5 = b.seg_md5 AND a.doc_id < b.doc_id
       GROUP BY 1, 2 ORDER BY id_a, id_b"""))
 
+  /** DuckDB replay of [[Similarity.kmeansFit]]'s Lloyd iterations,
+    * macro-expanded per iteration (the oracle-side twin of the engine's
+    * driver loop). Exactness is what makes this checkable at all: the
+    * per-dimension mean runs over DECIMAL(27,12) in BOTH engines —
+    * order-independent arithmetic — so centroids are bit-identical at
+    * every iteration and cosine assignments can never diverge. */
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int = 64): String = {
+    def assign(cents: String, out: String): String =
+      s"""$out AS (
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+            row_number() OVER (PARTITION BY e.id ORDER BY
+              list_inner_product(e.v, c.cv) /
+                (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv))) DESC,
+              c.cid) AS rn
+          FROM e, $cents c) WHERE rn = 1)"""
+    def update(from: String, out: String): String =
+      s"""$out AS (
+        SELECT cid, list(m ORDER BY dim) AS cv FROM (
+          SELECT cid, dim,
+            CAST(SUM(CAST(v[dim] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+          FROM $from, generate_series(1, $dim) AS t(dim) GROUP BY cid, dim)
+        GROUP BY cid)"""
+    val steps = (0 until iters)
+      .map(i => assign(s"c$i", s"a$i") + ",\n" + update(s"a$i", s"c${i + 1}"))
+      .mkString(",\n")
+    s"""
+      WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+        FROM (SELECT id, v FROM e ORDER BY id LIMIT $k)),
+      $steps,
+      ${assign(s"c$iters", "afin")},
+      nn AS (SELECT cid, count(*) AS n FROM afin GROUP BY cid)
+      SELECT c.cid, nn.n, t.dim, c.cv[t.dim] AS c
+      FROM c$iters c JOIN nn USING (cid), generate_series(1, $dim) AS t(dim)
+      ORDER BY cid, dim"""
+  }
+
+  // Spherical k-means (Similarity.kmeansFit, k=8, 2 Lloyd iterations)
+  // over the embeddings corpus: final centroids exploded per dimension
+  // plus the final-assignment cluster sizes. No rounding anywhere — the
+  // DECIMAL(27,12) means keep both engines bit-identical.
+  val q68_kmeans = Q("q68_kmeans",
+    (s, dir) => {
+      val v = embeddings(s, dir).select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vec"))
+      val cents = Similarity.kmeansFit(v, k = 8, iters = 2)
+      val counts = Similarity
+        .kmeansAssign(v, cents.select(col("cid"), col("centroid").as("cvec")))
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+      cents.join(counts, Seq("cid"))
+        .select(col("cid"), col("n"), posexplode(col("centroid")).as(Seq("dim", "c")))
+        .select(col("cid"), col("n"), (col("dim") + 1).as("dim"), col("c"))
+        .orderBy("cid", "dim")
+    },
+    Some(kmeansOracleSql(k = 8, iters = 2)))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -1800,5 +1858,5 @@ object Queries {
     q58_tfidf_keywords, q59_embedding_quantize, q60_pipeline_sample,
     q61_shard_packing, q61b_shard_packing_strict, q62_dedup_keep_best,
     q63_unigram_entropy, q64_streaming_dedup, q65_doc_chunking,
-    q66_cdc_segments, q67_verbatim_overlap)
+    q66_cdc_segments, q67_verbatim_overlap, q68_kmeans)
 }

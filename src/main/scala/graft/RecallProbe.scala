@@ -126,6 +126,13 @@ object RecallProbe {
       val r = recallAtK(truth, Similarity.ivfTopK(queries, centroids, assigned, k, nprobe = np), k)
       println(f"| IVF (nlist=16) | nprobe=$np | $r%.3f | — |")
     }
+    // trained centroids (2 Lloyd iterations) vs the first-nlist seed:
+    // same nprobe budget, measured side by side
+    for (np <- Seq(1, 2, 4, 8)) {
+      val (centroids, assigned) = Similarity.ivfIndex(cands, nlist = 16, trainIters = 2)
+      val r = recallAtK(truth, Similarity.ivfTopK(queries, centroids, assigned, k, nprobe = np), k)
+      println(f"| IVF trained (nlist=16, 2 iters) | nprobe=$np | $r%.3f | — |")
+    }
 
     // Quantized-corpus retrieval: full-precision queries scored against
     // an int8-dequantized candidate set (asymmetric distance — the

@@ -397,9 +397,20 @@ object Similarity {
     * only the `nprobe` nearest centroid lists. The candidate corpus is
     * therefore pre-partitioned by centroid — at scale, write it bucketed
     * by `centroid` so probes become partition-pruned scans. */
-  def ivfIndex(candidates: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
-    val centroids = candidates.orderBy(col("cand_id")).limit(nlist)
-      .select(col("cand_id").as("centroid_id"), col("cand_vec").as("centroid_vec"))
+  def ivfIndex(candidates: DataFrame, nlist: Int,
+      trainIters: Int = 0): (DataFrame, DataFrame) = {
+    // trainIters > 0 refines the first-nlist seed with Lloyd iterations
+    // ([[kmeansFit]]) — at 100 TB the seed vectors are arbitrary crawl
+    // order and trained centroids balance the inverted lists, which is
+    // what bounds per-probe scan cost (RecallProbe measures the recall
+    // side). 0 keeps the deterministic untrained seed (q31's oracle).
+    val centroids =
+      if (trainIters > 0)
+        kmeansFit(candidates.select(col("cand_id").as("id"), col("cand_vec").as("vec")),
+            nlist, trainIters)
+          .select(col("cid").cast("long").as("centroid_id"), col("centroid").as("centroid_vec"))
+      else candidates.orderBy(col("cand_id")).limit(nlist)
+        .select(col("cand_id").as("centroid_id"), col("cand_vec").as("centroid_vec"))
     // Nearest-centroid assignment as a partial-aggregatable max_by: the
     // N×nlist scored rows collapse map-side to one row per cand_id, so the
     // shuffle carries N rows instead of N×nlist (the window-per-cand_id
@@ -412,6 +423,71 @@ object Similarity {
       .agg(max_by(col("centroid_id"), struct(col("cdist"), (-col("centroid_id")).as("nid"))).as("centroid"))
     (centroids, assigned)
   }
+
+  /** Distributed spherical k-means (Lloyd iterations, cosine
+    * assignment): the real "training" step [[ivfIndex]]'s
+    * first-`nlist`-vectors shortcut stands in for, and the clustering
+    * primitive semantic-dedup pipelines (SemDeDup-style
+    * cluster-then-dedup) start from. Deterministic end to end:
+    * initial centroids are the first `k` vectors by id; assignment
+    * maximizes cosine with ties to the LOWER centroid id; the centroid
+    * update is the per-dimension mean computed over `DECIMAL(27,12)` —
+    * exact, order-independent arithmetic, so the result is bit-identical
+    * under any partitioning AND replayable in any engine (the q68 oracle
+    * macro-expands the same iterations in DuckDB). Note cosine is
+    * scale-invariant in the centroid, so the plain mean IS the spherical
+    * k-means update — no normalization step is needed for assignment
+    * equivalence. A cluster that loses all members drops out (both
+    * engines agree); callers wanting fixed k re-seed.
+    *
+    * Scale shape: the MLlib pattern — centroids live on the driver
+    * (`k · dim` doubles, bounded by the caller's `k`) and broadcast each
+    * iteration; per-iteration cost is one scan with a broadcast
+    * cross-score collapsed map-side by the `max_by` partial agg (the
+    * shuffle carries N assignment rows, never N·k scores) plus a
+    * (cid,dim)-keyed mean over k·dim cells. Nothing iterates on the
+    * driver but the k-row centroid table. Returns `(cid, centroid)`. */
+  def kmeansFit(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    var centroids: Seq[(Int, Seq[Double])] =
+      vectors.orderBy("id").limit(k).select("vec").collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+    for (_ <- 0 until iters) {
+      val cdf = centroids.toDF("cid", "cvec")
+      // assignment carries vec through the max_by (ivfIndex's shape) so
+      // the centroid update needs no join back to the corpus — one
+      // id-keyed shuffle per iteration, then the k·dim-cell mean
+      val assigned = vectors.crossJoin(broadcast(cdf))
+        .select(col("id"), col("vec"), col("cid"),
+          graft.functions.VectorFunctions.cosineFast(col("vec"), col("cvec")).as("sim"))
+        .groupBy("id", "vec")
+        .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("nid"))).as("cid"))
+      centroids = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 12)))
+          .cast("double") / count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), transform(col("dm"), s => s("m")).as("cvec"))
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    }
+    centroids.toDF("cid", "centroid")
+  }
+
+  /** Nearest-centroid assignment under cosine, ties to the lower
+    * centroid id — one broadcast pass, map-side `max_by` collapse (same
+    * shape as [[ivfIndex]]'s assignment). Input `(id, vec)` ×
+    * `(cid, cvec)` → `(id, cid)`. */
+  def kmeansAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
+      .select(col("id"), col("cid"),
+        graft.functions.VectorFunctions.cosineFast(col("vec"), col("cvec")).as("sim"))
+      .groupBy("id")
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("nid"))).as("cid"))
 
   def ivfTopK(
       queries: DataFrame,

@@ -87,6 +87,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansFit: separates planted clusters; bit-identical under repartitioning") {
+    // three well-separated directions in R^4, 6 points each, jittered
+    val dirs = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+    // ids interleave the groups (id = j*3 + g) so the first-k-by-id init
+    // seeds one centroid per planted direction — first-k init is
+    // sensitive to input order by design (callers choose ids/seeding)
+    val pts = for {
+      (d, g) <- dirs.zipWithIndex; j <- 0 until 6
+    } yield ((j * 3 + g).toLong, d.zipWithIndex.map { case (x, i) =>
+      x + 0.05 * (((g * 6 + j) * 4 + i) % 7 - 3) / 3.0 })
+    val v = pts.toDF("id", "vec")
+    val cents = Similarity.kmeansFit(v, k = 3, iters = 3)
+    val assign = Similarity.kmeansAssign(v,
+        cents.select(col("cid"), col("centroid").as("cvec")))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // every planted group lands in ONE cluster, and groups differ
+    val byGroup = (0 until 3).map(g => (0 until 6).map(j => assign((j * 3 + g).toLong)).distinct)
+    byGroup.foreach(cs => assert(cs.length == 1, s"group split across clusters: $byGroup"))
+    assert(byGroup.map(_.head).distinct.length == 3, s"groups merged: $byGroup")
+
+    // decimal means make the fit partitioning-invariant BIT-identically
+    val c1 = cents.orderBy("cid").collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val c2 = Similarity.kmeansFit(v.repartition(7), k = 3, iters = 3)
+      .orderBy("cid").collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    assert(c1.length == c2.length)
+    c1.zip(c2).foreach { case ((i1, v1), (i2, v2)) =>
+      assert(i1 == i2)
+      v1.zip(v2).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b),
+          s"centroid drift under repartition: $a vs $b")
+      }
+    }
+  }
+
   test("adaptive banding: planes track corpus doublings, bands restore base recall") {
     import Similarity.{adaptiveBandPlanes, adaptiveNumBands, collisionProb}
     // every oracle-checked corpus (500-2000 vectors) must derive EXACTLY
