@@ -1785,7 +1785,7 @@ object Queries {
     * per-dimension mean runs over DECIMAL(27,12) in BOTH engines —
     * order-independent arithmetic — so centroids are bit-identical at
     * every iteration and cosine assignments can never diverge. */
-  private def kmeansOracleSql(k: Int, iters: Int, dim: Int = 64): String = {
+  private def kmeansOracleCtes(k: Int, iters: Int, dim: Int = 64): String = {
     def assign(cents: String, out: String): String =
       s"""$out AS (
         SELECT id, v, cid FROM (
@@ -1811,12 +1811,15 @@ object Queries {
         SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
         FROM (SELECT id, v FROM e ORDER BY id LIMIT $k)),
       $steps,
-      ${assign(s"c$iters", "afin")},
+      ${assign(s"c$iters", "afin")}"""
+  }
+
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int = 64): String =
+    s"""${kmeansOracleCtes(k, iters, dim)},
       nn AS (SELECT cid, count(*) AS n FROM afin GROUP BY cid)
       SELECT c.cid, nn.n, t.dim, c.cv[t.dim] AS c
       FROM c$iters c JOIN nn USING (cid), generate_series(1, $dim) AS t(dim)
       ORDER BY cid, dim"""
-  }
 
   // Spherical k-means (Similarity.kmeansFit, k=8, 2 Lloyd iterations)
   // over the embeddings corpus: final centroids exploded per dimension
@@ -1836,6 +1839,30 @@ object Queries {
         .orderBy("cid", "dim")
     },
     Some(kmeansOracleSql(k = 8, iters = 2)))
+
+  // SemDeDup (Similarity.semanticDedup): k-means clusters (k=8, 2 Lloyd
+  // iterations — the q68 fit, bit-identical in DuckDB), then
+  // within-cluster cosine pairs at 0.35 mark the higher id dropped;
+  // output is the survivor set. The oracle replays clustering, pairing,
+  // and the greedy survivor rule.
+  val q69_semantic_dedup = Q("q69_semantic_dedup",
+    (s, dir) => Similarity.semanticDedup(
+        embeddings(s, dir).select(col("vec_id").as("id"),
+          Similarity.asDouble(col("embedding")).as("vec")),
+        k = 8, iters = 2, threshold = 0.35)
+      .orderBy("id"),
+    Some {
+      s"""${kmeansOracleCtes(k = 8, iters = 2)},
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM afin a JOIN afin b ON a.cid = b.cid AND a.id < b.id
+        WHERE list_inner_product(a.v, b.v) /
+          (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.35),
+      dropped AS (SELECT DISTINCT id_b AS id FROM pairs)
+      SELECT f.id, f.cid FROM afin f
+      WHERE f.id NOT IN (SELECT id FROM dropped)
+      ORDER BY f.id"""
+    })
 
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
@@ -1858,5 +1885,5 @@ object Queries {
     q58_tfidf_keywords, q59_embedding_quantize, q60_pipeline_sample,
     q61_shard_packing, q61b_shard_packing_strict, q62_dedup_keep_best,
     q63_unigram_entropy, q64_streaming_dedup, q65_doc_chunking,
-    q66_cdc_segments, q67_verbatim_overlap, q68_kmeans)
+    q66_cdc_segments, q67_verbatim_overlap, q68_kmeans, q69_semantic_dedup)
 }

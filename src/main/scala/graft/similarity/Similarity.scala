@@ -457,15 +457,7 @@ object Similarity {
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
     for (_ <- 0 until iters) {
       val cdf = centroids.toDF("cid", "cvec")
-      // assignment carries vec through the max_by (ivfIndex's shape) so
-      // the centroid update needs no join back to the corpus — one
-      // id-keyed shuffle per iteration, then the k·dim-cell mean
-      val assigned = vectors.crossJoin(broadcast(cdf))
-        .select(col("id"), col("vec"), col("cid"),
-          graft.functions.VectorFunctions.cosineFast(col("vec"), col("cvec")).as("sim"))
-        .groupBy("id", "vec")
-        .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("nid"))).as("cid"))
-      centroids = assigned
+      centroids = assignCarrying(vectors, cdf)
         .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
         .groupBy("cid", "dim")
         .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 12)))
@@ -483,11 +475,50 @@ object Similarity {
     * shape as [[ivfIndex]]'s assignment). Input `(id, vec)` ×
     * `(cid, cvec)` → `(id, cid)`. */
   def kmeansAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignCarrying(vectors, centroids).select("id", "cid")
+
+  /** [[kmeansAssign]] keeping `vec` in the output `(id, vec, cid)`:
+    * carrying the vector through the `max_by` group key means callers
+    * that need it next (the centroid update, the within-cluster pair
+    * join) pay no join back to the corpus — one id-keyed shuffle total. */
+  private def assignCarrying(vectors: DataFrame, centroids: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(centroids))
-      .select(col("id"), col("cid"),
+      .select(col("id"), col("vec"), col("cid"),
         graft.functions.VectorFunctions.cosineFast(col("vec"), col("cvec")).as("sim"))
-      .groupBy("id")
+      .groupBy("id", "vec")
       .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("nid"))).as("cid"))
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * corpus, then deduplicate WITHIN clusters only — the clustering
+    * bounds pair generation so no global pair mining happens. Survivor
+    * rule is the deterministic greedy form: every pair in a cluster with
+    * `cosine >= threshold` marks the HIGHER id a duplicate; survivors
+    * are the unmarked rows. Returns `(id, cid)` survivors.
+    *
+    * Scale shape: [[kmeansFit]] + one assignment pass, then a self-join
+    * keyed by cluster id. Within-cluster pair cost is `Σ n_c²`, which is
+    * why SemDeDup chooses `k ∝ N` (constant expected cluster size —
+    * e.g. N/5000): that makes total pair volume LINEAR in the corpus
+    * and gives the cid-keyed shuffle N/5000 keys, plenty of
+    * parallelism. A tiny k on a huge corpus would both blow up `n_c²`
+    * and starve the join of shuffle keys — pick k from the corpus
+    * count, same discipline as [[adaptiveBandPlanes]]. */
+  def semanticDedup(vectors: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val cents = kmeansFit(vectors, k, iters)
+    val assigned = assignCarrying(vectors,
+      cents.select(col("cid"), col("centroid").as("cvec")))
+    val pairs = assigned.select(col("cid"), col("id").as("id_a"), col("vec").as("va"))
+      .join(assigned.select(col("cid"), col("id").as("id_b"), col("vec").as("vb")),
+        Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.cosineFast(col("va"), col("vb"))
+        >= threshold)
+    val dropped = pairs.select(col("id_b").as("id")).distinct()
+    assigned.select("id", "cid")
+      .join(dropped, Seq("id"), "left_anti")
+  }
 
   def ivfTopK(
       queries: DataFrame,

@@ -96,7 +96,14 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q51_embedding_neardup")
     assert(p.contains("dot_product"), "bucket bits must use the native expression")
     assert(!p.contains("aggregate(zip_with"), "no interpreted fold in the bucket path")
-    assert(p.contains("cosine_sim"), "verification uses the codegen expression")
+    // round-7 verify: hoisted per-row norms — dot/(na*nb), never the
+    // fused cosine (3x the arithmetic at candidate volume)
+    assert(p.contains("dot_product(va"), "verification uses the codegen dot on hoisted norms")
+    assert(!p.contains("cosine_sim"), "fused cosine must not run per candidate")
+    // vector fetch joins broadcast below the budget: the candidate
+    // stream must never sort-merge (the 16x 146s->12s regression test)
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate fetch must broadcast, not sort-merge:\n$p")
   }
 
   test("banded LSH top-k: query side broadcast on band join AND scoring join; codegen buckets") {

@@ -121,6 +121,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: drops higher-id near-dups within clusters, keeps cross-cluster") {
+    // interleaved ids seed one centroid per direction (as above); ids
+    // 0/3 and 1/4 are same-direction jittered near-dups (cos ~1), while
+    // different directions sit near 0 — threshold 0.9 drops exactly the
+    // higher id of each same-cluster near-dup pair
+    val dirs = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+    val pts = for {
+      (d, g) <- dirs.zipWithIndex; j <- 0 until 4
+    } yield ((j * 3 + g).toLong, d.map(x => x + 0.01 * (j + 1)))
+    val v = pts.toDF("id", "vec")
+    val survivors = Similarity.semanticDedup(v, k = 3, iters = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // each direction's 4 jittered copies collapse to the lowest id
+    assert(survivors.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L),
+      s"exactly one survivor per direction: ${survivors.toSeq}")
+    // survivors sit in 3 distinct clusters
+    assert(survivors.map(_._2).distinct.length == 3)
+    // at an unreachable threshold nothing drops
+    val none = Similarity.semanticDedup(v, k = 3, iters = 2, threshold = 1.1)
+    assert(none.count() == 12)
+  }
+
   test("adaptive banding: planes track corpus doublings, bands restore base recall") {
     import Similarity.{adaptiveBandPlanes, adaptiveNumBands, collisionProb}
     // every oracle-checked corpus (500-2000 vectors) must derive EXACTLY
