@@ -1864,6 +1864,56 @@ object Queries {
       ORDER BY f.id"""
     })
 
+  // Incremental dedup (Dedup.incrementalDedup): docs with doc_id % 10 == 0
+  // play the NEW batch, the rest the existing corpus; survivors are batch
+  // docs that are neither exact- nor minhash-near-duplicates (>= 0.5 est.
+  // Jaccard, 16 perms x 4 bands — the q33 oracle's replayable config) of
+  // the corpus. The oracle replays fingerprints, signatures, banding,
+  // and both anti-joins.
+  val q70_incremental_dedup = Q("q70_incremental_dedup",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, numPerm = 16, bands = 4, threshold = 0.5)
+        .orderBy("id")
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+               doc_id % 10 = 0 AS is_batch
+        FROM documents),
+      exact_hit AS (
+        SELECT DISTINCT b.doc_id AS id
+        FROM fp b JOIN fp c ON b.fp = c.fp AND b.is_batch AND NOT c.is_batch),
+      sh AS (
+        SELECT doc_id AS id, doc_id % 10 = 0 AS is_batch,
+          list_transform(
+            list_distinct([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                           FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]),
+            s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM documents),
+      sig AS (
+        SELECT id, is_batch,
+          [list_min(list_transform(hs, h -> ((2*i+1) * h + (7919*i+1)) % 4294967311))
+           FOR i IN generate_series(0, 15)] AS sig
+        FROM sh),
+      banded AS (
+        SELECT id, is_batch, sig, b,
+          array_to_string(sig[b*4+1:b*4+4], '-') AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+      near_hit AS (
+        SELECT DISTINCT a.id
+        FROM banded a JOIN banded b ON a.b = b.b AND a.band_key = b.band_key
+        WHERE a.is_batch AND NOT b.is_batch
+          AND CAST(len(list_filter([a.sig[i] = b.sig[i] FOR i IN generate_series(1, 16)], x -> x)) AS DOUBLE) / 16 >= 0.5)
+      SELECT doc_id AS id FROM fp
+      WHERE is_batch
+        AND doc_id NOT IN (SELECT id FROM exact_hit)
+        AND doc_id NOT IN (SELECT id FROM near_hit)
+      ORDER BY id"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -1885,5 +1935,6 @@ object Queries {
     q58_tfidf_keywords, q59_embedding_quantize, q60_pipeline_sample,
     q61_shard_packing, q61b_shard_packing_strict, q62_dedup_keep_best,
     q63_unigram_entropy, q64_streaming_dedup, q65_doc_chunking,
-    q66_cdc_segments, q67_verbatim_overlap, q68_kmeans, q69_semantic_dedup)
+    q66_cdc_segments, q67_verbatim_overlap, q68_kmeans, q69_semantic_dedup,
+    q70_incremental_dedup)
 }

@@ -398,6 +398,58 @@ object Dedup {
     *     filtering degenerates, so the plain postings join is used.
     *     Both paths produce IDENTICAL output for the same `threshold`
     *     (asserted by DedupSpec). */
+  /** Incremental (batch-vs-corpus) dedup — the daily-ingest shape: keep
+    * the NEW batch's documents that are neither exact duplicates nor
+    * MinHash near-duplicates (est. Jaccard `>= threshold`) of the
+    * EXISTING corpus. Returns the surviving batch ids.
+    *
+    * Scale shape — the corpus NEVER shuffles: the batch (small by
+    * definition of an increment) broadcasts twice — its fingerprint set
+    * against one corpus scan (exact path) and its banded minhash keys
+    * against a second (near path); each scan's hit set is bounded by
+    * the BATCH size and broadcasts back as an anti-join. Total cost is
+    * two corpus scans and zero corpus-sized exchanges, vs. the naive
+    * union-then-self-join which re-pairs the whole corpus against
+    * itself on every increment. At 100 TB the corpus-side signatures
+    * would be precomputed once and stored (withMinhashSignature output
+    * is a table), making each increment one scan of a narrow table. */
+  def incrementalDedup(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numPerm / bands
+    require(bands * rows == numPerm, "bands must divide numPerm")
+    val bFp = batch.select(col(idCol).as("id"),
+      TextStats.fingerprint(col(textCol)).as("fp"))
+    val exactHits = corpus
+      .select(TextStats.fingerprint(col(textCol)).as("fp"))
+      .join(broadcast(bFp.select("fp").distinct()), Seq("fp"))
+      .select("fp").distinct()
+    def banded(df: DataFrame): DataFrame =
+      withMinhashSignature(df, idCol, textCol, n, numPerm)
+        .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+        .withColumn("band_key", concat_ws("-",
+          transform(slice(col("sig"), col("band") * rows + 1, lit(rows)), _.cast("string"))))
+    val nearHits = banded(corpus)
+      .select(col("band"), col("band_key"), col("sig").as("sig_c"))
+      .join(broadcast(banded(batch)
+        .select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))),
+        Seq("band", "band_key"))
+      .select(col("id_b"),
+        (size(filter(zip_with(col("sig_b"), col("sig_c"), (x, y) => x === y), p => p))
+          .cast("double") / numPerm).as("est"))
+      .filter(col("est") >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    bFp.join(broadcast(exactHits), Seq("fp"), "left_anti")
+      .join(broadcast(nearHits), Seq("id"), "left_anti")
+      .select("id")
+  }
+
   def jaccardPairs(
       df: DataFrame,
       idCol: String,

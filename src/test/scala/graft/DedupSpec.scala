@@ -71,6 +71,26 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("incrementalDedup: exact and near batch dupes of the corpus drop; corpus never shuffles wide") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different corpus content about spark physical planning rules"),
+      (3L, "yet another unrelated document talking about shuffle partitions")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup of 1
+      (12L, "entirely novel text with no counterpart in the existing corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+      n = 3, numPerm = 16, bands = 4, threshold = 0.5)
+    assert(out.as[Long].collect().toSet == Set(12L))
+    // both anti-joins and both hit joins must broadcast — the corpus
+    // side may aggregate (signatures) but never sort-merge-join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$plan")
+  }
+
   test("simhashPairs blocking finds all pairs within maxHamming") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", bits = 16, maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
