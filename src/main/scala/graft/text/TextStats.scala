@@ -23,7 +23,10 @@ object TextStats {
     * `regexp_extract_all` stays inside codegen. */
   val SubwordPattern = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(SubwordPattern), lit(0)))
+    // regexp_count, not size(regexp_extract_all(...)): counting must not
+    // materialize an array of every match — at 16x corpus the array
+    // allocation dominated q46 (the suite's worst scaler)
+    regexp_count(text, lit(SubwordPattern))
 
   /** Lexical diversity from a precomputed token array. */
   def lexicalDiversityW(t: Column): Column =
