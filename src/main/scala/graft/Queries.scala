@@ -1914,6 +1914,97 @@ object Queries {
         AND doc_id NOT IN (SELECT id FROM near_hit)
       ORDER BY id"""))
 
+  // Line-level boilerplate removal (Quality.removeBoilerplate): the
+  // corpus has no newlines, so "lines" are synthesized as non-overlapping
+  // 8-token windows (the q65 chunk convention) joined by \n; any line in
+  // >= 3 distinct docs is boilerplate and dropped, docs reassembled in
+  // order. The oracle replays the lining, the document-frequency rollup,
+  // the anti-join, and the ordered reassembly in DuckDB; clean text is
+  // md5'd in both engines.
+  val q71_boilerplate = Q("q71_boilerplate",
+    (s, dir) => {
+      val ws = split(col("text"), " ")
+      val nLines = ceil(size(ws).cast("double") / 8).cast("int")
+      val lined = documents(s, dir).select(col("doc_id"),
+        concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+          i => concat_ws(" ", slice(ws, i * 8 + 1, lit(8))))).as("text"))
+      graft.text.Quality.removeBoilerplate(lined, "doc_id", "text",
+          sep = "\n", minDocs = 3)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("lines_kept"), col("lines_removed"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+          len(string_split(text, ' ')) AS n
+        FROM documents),
+      lined AS (
+        SELECT doc_id,
+          [array_to_string(ws[i*8+1 : i*8+8], ' ')
+           FOR i IN generate_series(0, CAST(ceil(n/8.0) AS BIGINT) - 1)] AS ls
+        FROM w),
+      ln AS (
+        SELECT doc_id, u.pos, u.line
+        FROM (SELECT doc_id,
+                unnest([{'pos': i, 'line': ls[i]}
+                        FOR i IN generate_series(1, len(ls))]) AS u
+              FROM lined)),
+      bp AS (
+        SELECT line FROM (
+          SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY line)
+        WHERE df >= 3),
+      re AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+          count(*) AS lines_kept
+        FROM ln ANTI JOIN bp USING (line)
+        GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id)
+      SELECT t.doc_id, md5(coalesce(re.clean_text, '')) AS clean_md5,
+        coalesce(re.lines_kept, 0) AS lines_kept,
+        t.n_lines - coalesce(re.lines_kept, 0) AS lines_removed
+      FROM tot t LEFT JOIN re USING (doc_id)
+      ORDER BY doc_id"""))
+
+  // CCNet perplexity bucketing (Quality.perplexityBuckets): the q63
+  // unigram-LM score split into head/middle/tail at the exact 1/3 and
+  // 2/3 quantiles. Spark's exact `percentile` and DuckDB's
+  // `quantile_cont` interpolate identically (the q35 parity rule), and
+  // bucket edges only compare interpolated cutoffs against the raw
+  // neighbor scores, so the boundary is engine-stable. Scores are
+  // rounded for display only — bucketing uses the raw double.
+  val q72_ppl_buckets = Q("q72_ppl_buckets",
+    (s, dir) => graft.text.Quality.perplexityBuckets(
+        documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), round(col("nats_per_token"), 6).as("nats_per_token"),
+        col("n_tokens"), col("ppl_bucket"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      perdoc AS (
+        SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY doc_id, token),
+      tf AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ctf FROM perdoc GROUP BY token),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM perdoc),
+      nll AS (
+        SELECT doc_id, c,
+          CAST(-ln(CAST(ctf AS DOUBLE) / n_total) AS DECIMAL(27,12))
+            * CAST(c AS DECIMAL(6,0)) AS nllc
+        FROM perdoc JOIN tf USING (token), tot),
+      sc AS (
+        SELECT doc_id,
+          CAST(SUM(nllc) AS DOUBLE) / SUM(c) AS nats,
+          CAST(SUM(c) AS BIGINT) AS n_tokens
+        FROM nll GROUP BY doc_id),
+      cut AS (
+        SELECT quantile_cont(nats, 1.0/3) AS c1, quantile_cont(nats, 2.0/3) AS c2
+        FROM sc)
+      SELECT s.doc_id, round(s.nats, 6) AS nats_per_token, s.n_tokens,
+        CASE WHEN s.nats <= c.c1 THEN 'head'
+             WHEN s.nats <= c.c2 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket
+      FROM sc s, cut c ORDER BY s.doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -1936,5 +2027,5 @@ object Queries {
     q61_shard_packing, q61b_shard_packing_strict, q62_dedup_keep_best,
     q63_unigram_entropy, q64_streaming_dedup, q65_doc_chunking,
     q66_cdc_segments, q67_verbatim_overlap, q68_kmeans, q69_semantic_dedup,
-    q70_incremental_dedup)
+    q70_incremental_dedup, q71_boilerplate, q72_ppl_buckets)
 }

@@ -275,6 +275,48 @@ object Quality {
       .select(col("id").as(idCol), col("nats_per_token"), col("n_tokens"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.3, the
+    * step after LM scoring): split the corpus into head / middle /
+    * tail at the `cuts` quantiles of the [[unigramCrossEntropy]]
+    * score — "head" is the most predictable text, the slice CCNet
+    * keeps for LM training; "tail" is mash and wrong-language noise.
+    * Output: `(idCol, nats_per_token, n_tokens, ppl_bucket)`.
+    *
+    * Scale shape: scoring is q63's shape (occurrence rows never
+    * shuffle on the bare token key); the cutoffs are ONE aggregate
+    * over the per-doc score frame (corpus-count rows, metadata width)
+    * broadcast back as a 1-row frame, so bucketing fuses into the
+    * scored scan — no global sort and no single-partition window
+    * anywhere (an `ntile` over a global ORDER BY — the naive spelling
+    * — funnels every row through one task). `exact = true` uses the
+    * sort-based exact `percentile` aggregate (DuckDB-replayable as
+    * `quantile_cont`, the q35 parity rule) — fine up to cutoff frames
+    * that fit one aggregation buffer; at real scale flip
+    * `exact = false` for the one-pass mergeable Greenwald–Khanna
+    * sketch ([[graft.sketches.Sketches.approxQuantiles]], rank error
+    * ≤ `relativeError`) — same downstream plan, bounded-error cutoffs
+    * (QualitySpec bounds the disagreement between the two). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      cuts: (Double, Double) = (1.0 / 3, 2.0 / 3),
+      exact: Boolean = true, relativeError: Double = 0.01): DataFrame = {
+    require(cuts._1 < cuts._2, s"cuts must be increasing, got $cuts")
+    val scored = unigramCrossEntropy(docs, idCol, textCol)
+    val withCuts =
+      if (exact)
+        scored.crossJoin(broadcast(scored.agg(
+          expr(s"percentile(nats_per_token, ${cuts._1})").as("__c1"),
+          expr(s"percentile(nats_per_token, ${cuts._2})").as("__c2"))))
+      else {
+        val Seq(c1, c2) = graft.sketches.Sketches.approxQuantiles(
+          scored, "nats_per_token", Seq(cuts._1, cuts._2), relativeError)
+        scored.withColumn("__c1", lit(c1)).withColumn("__c2", lit(c2))
+      }
+    withCuts.select(col(idCol), col("nats_per_token"), col("n_tokens"),
+      when(col("nats_per_token") <= col("__c1"), "head")
+        .when(col("nats_per_token") <= col("__c2"), "middle")
+        .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Top-`k` TF-IDF keywords per document. IDF is the raw ratio
     * `N / df(token)` (no logarithm: integer-exact inputs and a single
     * IEEE division keep scores bit-reproducible across engines; log()
@@ -409,6 +451,88 @@ object Quality {
       .join(posting.select(col("seg_h"), col("doc").as("id_b")), Seq("seg_h"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Lines qualifying as corpus-level boilerplate: a line (a literal
+    * `sep`-delimited segment of `textCol`) that appears in at least
+    * `minDocs` DISTINCT documents. Navigation bars, cookie banners and
+    * license headers repeat across pages; body prose does not — that
+    * document-frequency asymmetry is the whole signal (the line-level
+    * dedup pass of CCNet, Wenzek et al. 2019, and RefinedWeb, Penedo
+    * et al. 2023). Output: `(line, doc_freq)`.
+    *
+    * Scale shape: `array_distinct` INSIDE each document row makes the
+    * plain `count` a document frequency, so the one exchange (keyed by
+    * the line itself) carries at most one row per (doc, distinct line)
+    * and partial-aggregates map-side. The output is the heavy-hitter
+    * set — bounded by how much text actually repeats `minDocs`+ times,
+    * orders of magnitude smaller than the corpus. */
+  def boilerplateLines(docs: DataFrame, textCol: String,
+      sep: String = "\n", minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    docs
+      .select(explode(array_distinct(
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+  }
+
+  /** Line-level boilerplate removal — drop every [[boilerplateLines]]
+    * line from every document and reassemble the remainder in original
+    * order (CCNet/RefinedWeb's cleaning step between raw crawl and
+    * document-level dedup). Non-boilerplate lines repeated WITHIN one
+    * document are all kept — intra-doc repetition is
+    * [[repetitionStats]]'s concern, not this pass's. Output:
+    * `(idCol, clean_text, lines_kept, lines_removed)`; a document made
+    * entirely of boilerplate survives with empty `clean_text`.
+    *
+    * Scale shape, broadcast branch (default): the frequent-line set
+    * collapses to a single sorted array, broadcast onto the corpus scan
+    * as a 1-row frame; membership and reassembly are per-row array
+    * expressions, so the DOCUMENT side never shuffles at all — the only
+    * exchange in the whole plan is [[boilerplateLines]]'s line rollup
+    * (PlanShapeSpec pins this). Per-line membership is a linear scan of
+    * the broadcast array — fine while boilerplate stays in the tens of
+    * thousands of lines. Flip `viaBroadcast = false` when it doesn't
+    * (a low `minDocs` over a web-scale crawl): lines then explode with
+    * positions, anti-join the frequent set on the line key, and
+    * reassemble with one id-keyed exchange — the standard shape when
+    * the filter set itself is data-scale. Both branches are
+    * spec-asserted identical (QualitySpec). */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minDocs: Int = 3,
+      viaBroadcast: Boolean = true): DataFrame = {
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val bp = boilerplateLines(docs, textCol, sep, minDocs)
+    if (viaBroadcast) {
+      val bpArr = bp.agg(sort_array(collect_list(col("line"))).as("__bp"))
+      docs.crossJoin(broadcast(bpArr))
+        .withColumn("__lines", split(col(textCol), qsep))
+        .withColumn("__kept",
+          filter(col("__lines"), l => !array_contains(col("__bp"), l)))
+        .select(col(idCol),
+          concat_ws(sep, col("__kept")).as("clean_text"),
+          size(col("__kept")).cast("long").as("lines_kept"),
+          (size(col("__lines")) - size(col("__kept"))).cast("long")
+            .as("lines_removed"))
+    } else {
+      val ln = docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), qsep)).as(Seq("__pos", "line")))
+      val re = ln.join(bp.select("line"), Seq("line"), "left_anti")
+        .groupBy("__id").agg(
+          count(lit(1)).as("lines_kept"),
+          concat_ws(sep, transform(
+            array_sort(collect_list(struct(col("__pos"), col("line")))),
+            x => x.getField("line"))).as("clean_text"))
+      docs.select(col(idCol).as("__id"),
+          size(split(col(textCol), qsep)).cast("long").as("__total"))
+        .join(re, Seq("__id"), "left")
+        .select(col("__id").as(idCol),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("lines_kept"), lit(0L)).as("lines_kept"),
+          (col("__total") - coalesce(col("lines_kept"), lit(0L)))
+            .as("lines_removed"))
+    }
   }
 
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,

@@ -194,6 +194,68 @@ class QualitySpec extends SparkSpec {
       s"fallback must prune with the codegen bloom probe:\n$p")
   }
 
+  test("removeBoilerplate: drops frequent lines, keeps order and intra-doc repeats") {
+    // "nav" is in all 4 docs (boilerplate at minDocs=3); "rare" only in 2
+    val docs = Seq(
+      (1L, "nav\nbody one\nbody one\nrare"),
+      (2L, "nav\nbody two"),
+      (3L, "rare\nnav"),
+      (4L, "nav") // fully boilerplate: survives with empty text
+    ).toDF("doc_id", "text")
+    val bp = Quality.boilerplateLines(docs, "text", minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(bp.toSeq == Seq(("nav", 4L)))
+    val out = Quality.removeBoilerplate(docs, "doc_id", "text", minDocs = 3)
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // intra-doc repeated (non-boilerplate) line kept twice, order preserved
+    assert(m(1L) == (("body one\nbody one\nrare", 3L, 1L)))
+    assert(m(2L) == (("body two", 1L, 1L)))
+    assert(m(3L) == (("rare", 1L, 1L)))
+    assert(m(4L) == (("", 0L, 1L)))
+    // join fallback (for a frequent set too big to broadcast) is identical
+    val viaJoin = Quality.removeBoilerplate(docs, "doc_id", "text",
+      minDocs = 3, viaBroadcast = false)
+    assert(viaJoin.orderBy("doc_id").collect().toSeq ==
+      out.orderBy("doc_id").collect().toSeq)
+    // broadcast branch: the document side never shuffles — the frequent
+    // set arrives by broadcast and the only hash-partitioned exchange in
+    // the final plan is the line rollup (the SinglePartition exchange is
+    // the 1-row collect_list agg)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"doc side must not shuffle:\n$plan")
+  }
+
+  test("perplexityBuckets: tertiles split the corpus; GK branch agrees; no window") {
+    val docs = Tables.documents(spark, sf())
+    val out = Quality.perplexityBuckets(docs, "doc_id", "text")
+    val counts = out.groupBy("ppl_bucket").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    // exact tertile cutoffs: each bucket holds a third (±1 for ties)
+    assert(counts.keySet == Set("head", "middle", "tail"))
+    counts.values.foreach(c =>
+      assert(math.abs(c - n / 3.0) <= 2, s"lopsided buckets: $counts"))
+    // head is the LOW-entropy (most predictable) slice
+    val means = out.groupBy("ppl_bucket").agg(avg("nats_per_token"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(means("head") < means("middle") && means("middle") < means("tail"))
+    // GK-sketch cutoffs may only disagree near the boundary: bounded
+    // bucket-size drift at 1% rank error
+    val gk = Quality.perplexityBuckets(docs, "doc_id", "text", exact = false)
+      .groupBy("ppl_bucket").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (b, c) =>
+      assert(math.abs(gk(b) - c) <= math.max(4, n / 50), s"GK drift: $counts vs $gk") }
+    // no global sort / single-partition window in the bucketing plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"bucketing must not window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition\n   +- *"), plan)
+  }
+
   test("contaminationStats: flags only above maxFrac") {
     val bench = Seq((100L, "p q r")).toDF("doc_id", "text")
     val docs = Seq((1L, "p q r s t u v w x y z a b c d e f g h i j k l m n o")).toDF("doc_id", "text")
