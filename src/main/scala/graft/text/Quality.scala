@@ -295,7 +295,11 @@ object Quality {
     * `exact = false` for the one-pass mergeable Greenwald–Khanna
     * sketch ([[graft.sketches.Sketches.approxQuantiles]], rank error
     * ≤ `relativeError`) — same downstream plan, bounded-error cutoffs
-    * (QualitySpec bounds the disagreement between the two). */
+    * (QualitySpec bounds the disagreement between the two). Either way
+    * the score frame is consumed twice (cutoffs + bucketing) — at real
+    * scale persist the [[unigramCrossEntropy]] output first, or take
+    * the cutoffs on a deterministic [[hashKeep]] sample, rather than
+    * paying the scoring shuffles twice. */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
       cuts: (Double, Double) = (1.0 / 3, 2.0 / 3),
       exact: Boolean = true, relativeError: Double = 0.01): DataFrame = {
@@ -490,10 +494,10 @@ object Quality {
     * collapses to a single sorted array, broadcast onto the corpus scan
     * as a 1-row frame; membership and reassembly are per-row array
     * expressions, so the DOCUMENT side never shuffles at all — the only
-    * exchange in the whole plan is [[boilerplateLines]]'s line rollup
-    * (PlanShapeSpec pins this). Per-line membership is a linear scan of
-    * the broadcast array — fine while boilerplate stays in the tens of
-    * thousands of lines. Flip `viaBroadcast = false` when it doesn't
+    * exchange in the whole plan is the hashed line-df rollup
+    * (QualitySpec pins this). Per-line membership is a linear scan of
+    * the broadcast long array — fine while boilerplate stays in the
+    * tens of thousands of lines. Flip `viaBroadcast = false` when it doesn't
     * (a low `minDocs` over a web-scale crawl): lines then explode with
     * positions, anti-join the frequent set on the line key, and
     * reassemble with one id-keyed exchange — the standard shape when
@@ -502,14 +506,27 @@ object Quality {
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", minDocs: Int = 3,
       viaBroadcast: Boolean = true): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val qsep = java.util.regex.Pattern.quote(sep)
-    val bp = boilerplateLines(docs, textCol, sep, minDocs)
+    // Hashed-key discipline (the q44/PPJoin rule): the df rollup, the
+    // broadcast array, and the anti-join all carry the 8-byte xxhash64
+    // of the line, never line text — shuffle and broadcast bytes stay
+    // flat no matter how long boilerplate lines get. 64-bit collisions
+    // (a non-boilerplate line hashing onto a frequent one) are the
+    // usual ~n²/2⁶⁵ lottery; [[boilerplateLines]] keeps the string-keyed
+    // rollup for reporting.
+    val bpH = docs
+      .select(explode(array_distinct(split(col(textCol), qsep))).as("line"))
+      .groupBy(xxhash64(col("line")).as("__lh"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+      .select("__lh")
     if (viaBroadcast) {
-      val bpArr = bp.agg(sort_array(collect_list(col("line"))).as("__bp"))
+      val bpArr = bpH.agg(sort_array(collect_list(col("__lh"))).as("__bp"))
       docs.crossJoin(broadcast(bpArr))
         .withColumn("__lines", split(col(textCol), qsep))
         .withColumn("__kept",
-          filter(col("__lines"), l => !array_contains(col("__bp"), l)))
+          filter(col("__lines"), l => !array_contains(col("__bp"), xxhash64(l))))
         .select(col(idCol),
           concat_ws(sep, col("__kept")).as("clean_text"),
           size(col("__kept")).cast("long").as("lines_kept"),
@@ -518,7 +535,8 @@ object Quality {
     } else {
       val ln = docs.select(col(idCol).as("__id"),
         posexplode(split(col(textCol), qsep)).as(Seq("__pos", "line")))
-      val re = ln.join(bp.select("line"), Seq("line"), "left_anti")
+        .withColumn("__lh", xxhash64(col("line")))
+      val re = ln.join(bpH, Seq("__lh"), "left_anti")
         .groupBy("__id").agg(
           count(lit(1)).as("lines_kept"),
           concat_ws(sep, transform(
