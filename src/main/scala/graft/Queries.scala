@@ -2005,6 +2005,50 @@ object Queries {
              ELSE 'tail' END AS ppl_bucket
       FROM sc s, cut c ORDER BY s.doc_id"""))
 
+  // Streaming near-dup dedup end to end (StreamingDedup.runNear): docs
+  // arrive in two micro-batches (doc_id parity), per-band minhash-LSH
+  // leaders carry across the boundary in flatMapGroupsWithState state,
+  // later arrivals verify est-Jaccard >= 0.5 against their band leader.
+  // The oracle replays signatures, banding, (batch, doc_id)-ordered
+  // leadership, and the leader-verify rule in DuckDB.
+  val q73_streaming_near_dedup = Q("q73_streaming_near_dedup",
+    (s, dir) => graft.streaming.StreamingDedup.runNear(s, dir),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id AS id,
+          list_transform(
+            list_distinct([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                           FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]),
+            s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM documents),
+      sig AS (
+        SELECT id,
+          [list_min(list_transform(hs, h -> ((2*i+1) * h + (7919*i+1)) % 4294967311))
+           FOR i IN generate_series(0, 15)] AS sig
+        FROM sh),
+      banded AS (
+        SELECT id, id % 2 AS bt, b, sig,
+          array_to_string(sig[b*4+1:b*4+4], '-') AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+      ranked AS (
+        SELECT id, bt, b, band_key, sig,
+          row_number() OVER (PARTITION BY b, band_key ORDER BY bt, id) AS rnk
+        FROM banded),
+      leaders AS (
+        SELECT b, band_key, sig AS lsig FROM ranked WHERE rnk = 1),
+      verdicts AS (
+        SELECT r.id,
+          CASE WHEN r.rnk = 1 THEN FALSE
+               ELSE CAST(len(list_filter(
+                      [r.sig[i] = l.lsig[i] FOR i IN generate_series(1, 16)],
+                      x -> x)) AS DOUBLE) / 16 >= 0.5
+          END AS hit
+        FROM ranked r JOIN leaders l USING (b, band_key))
+      SELECT id AS doc_id,
+        CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_bands,
+        SUM(CASE WHEN hit THEN 1 ELSE 0 END) = 0 AS survives
+      FROM verdicts GROUP BY id ORDER BY id"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2027,5 +2071,6 @@ object Queries {
     q61_shard_packing, q61b_shard_packing_strict, q62_dedup_keep_best,
     q63_unigram_entropy, q64_streaming_dedup, q65_doc_chunking,
     q66_cdc_segments, q67_verbatim_overlap, q68_kmeans, q69_semantic_dedup,
-    q70_incremental_dedup, q71_boilerplate, q72_ppl_buckets)
+    q70_incremental_dedup, q71_boilerplate, q72_ppl_buckets,
+    q73_streaming_near_dedup)
 }

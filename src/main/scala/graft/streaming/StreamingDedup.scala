@@ -1,9 +1,10 @@
 package graft.streaming
 
 import java.io.File
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.Tables
 import graft.text.TextStats
@@ -66,6 +67,90 @@ object StreamingDedup {
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  // ---------------------------------------------------------------------
+  // Streaming NEAR-duplicate suppression (MinHash-LSH state)
+  // ---------------------------------------------------------------------
+
+  final case class BandArrival(band: Int, band_key: String, doc_id: Long,
+      sig: Array[Long])
+  final case class BandLeader(sig: Array[Long])
+  final case class BandVerdict(doc_id: Long, band: Int, hit: Boolean)
+
+  /** One row per (document, LSH band) for a stream of documents: the
+    * MinHash signature (`numPerm` perms over `n`-shingles — the exact
+    * replayable config of the batch family) split into `bands` band
+    * keys. Column-pure on purpose: the batch-side
+    * [[graft.dedup.Dedup.withMinhashSignature]] aggregate shape needs a
+    * groupBy, which append-mode streaming cannot place before a stateful
+    * op — here the signature is the [[graft.dedup.Dedup.minhashSignature]]
+    * expression and banding is an explode, both stateless. */
+  def bandArrivals(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerm: Int, bands: Int): DataFrame = {
+    val rows = numPerm / bands
+    require(bands * rows == numPerm, "bands must divide numPerm")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.dedup.Dedup.minhashSignature(col(textCol), n, numPerm).as("sig"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .select(col("band"),
+        concat_ws("-", transform(
+          slice(col("sig"), col("band") * rows + 1, lit(rows)),
+          _.cast("string"))).as("band_key"),
+        col("doc_id"), col("sig"))
+  }
+
+  /** Per-band LSH verdicts with leader verification, carried across
+    * micro-batches: the FIRST arrival on a band key becomes that key's
+    * leader and its signature is the key's state; every later arrival
+    * (same batch or any later one) verifies its estimated Jaccard
+    * (fraction of agreeing minhashes) against the leader and is a `hit`
+    * iff est ≥ `threshold` — an LSH band collision alone does not drop
+    * a document, the same candidate→verify discipline as the batch
+    * `minhashLshPairs`. A document is a near-duplicate iff ANY of its
+    * bands hits (roll verdicts up by doc_id at the sink).
+    *
+    * Determinism: within a batch each band group is processed in
+    * doc_id order, so leadership and every verdict are functions of
+    * (batch assignment, doc_id) — replayable by a batch oracle.
+    *
+    * Approximation (the price of bounded state): only the leader's
+    * signature is retained per band key, so a document near-duplicate
+    * of a non-leader SURVIVOR — but not of any band leader it collides
+    * with — is admitted. State is 8·numPerm bytes per distinct band
+    * key ever seen: linear in unique content, independent of duplicate
+    * volume. At real scale back it with the RocksDB state store and
+    * sweep long-range leakage with the periodic batch pass
+    * ([[graft.dedup.Dedup.incrementalDedup]]), exactly as [[exactDedupTtl]]'s
+    * doc prescribes for the exact family. */
+  def nearDedupVerdicts(arrivals: Dataset[BandArrival], numPerm: Int,
+      threshold: Double): Dataset[BandVerdict] = {
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val stateEnc = Encoders.product[BandLeader]
+    implicit val outEnc = Encoders.product[BandVerdict]
+    arrivals.groupByKey(a => (a.band, a.band_key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), rows: Iterator[BandArrival],
+            state: GroupState[BandLeader]) =>
+          val sorted = rows.toArray.sortBy(_.doc_id)
+          var leader: Option[Array[Long]] = state.getOption.map(_.sig)
+          // strict (not a lazy iterator): state.update must not be
+          // deferred into downstream iterator consumption
+          val out = sorted.map { a =>
+            leader match {
+              case None =>
+                leader = Some(a.sig)
+                state.update(BandLeader(a.sig))
+                BandVerdict(a.doc_id, a.band, hit = false)
+              case Some(ls) =>
+                val agree = ls.iterator.zip(a.sig.iterator)
+                  .count { case (x, y) => x == y }
+                BandVerdict(a.doc_id, a.band,
+                  hit = agree.toDouble / numPerm >= threshold)
+            }
+          }
+          out.iterator
+      }
+  }
+
   private val SpoolSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
@@ -121,5 +206,68 @@ object StreamingDedup {
     try q.processAllAvailable() finally q.stop()
 
     spark.read.parquet(outDir.toString).orderBy("fingerprint")
+  }
+
+  /** Parity spool for [[runNear]]: even doc_ids are micro-batch 1, odd
+    * doc_ids micro-batch 2 — a batch assignment an oracle can replay as
+    * `doc_id % 2`. Unlike [[run]]/q52 (whose state is batch-order
+    * tolerant by design), near-dup leadership DEPENDS on which batch is
+    * processed first, so the file order is pinned explicitly: the file
+    * source orders by modification time, and each spool file's mtime is
+    * set far apart (not left to write-time clock resolution). */
+  private def writeParitySpool(spark: SparkSession, dir: String,
+      spool: File): Unit = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    def partFiles() = Option(spool.listFiles())
+      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(spool.toString)
+    val batch1 = partFiles()
+    batch1.foreach(_.setLastModified(1000000000000L))
+    val seen = batch1.map(_.getName).toSet
+    docs.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(spool.toString)
+    partFiles().filterNot(f => seen(f.getName))
+      .foreach(_.setLastModified(1000000100000L))
+  }
+
+  /** q73 — streaming NEAR-dup dedup driven end to end: documents arrive
+    * in two micro-batches (even doc_ids first), stream through
+    * [[bandArrivals]] → [[nearDedupVerdicts]] (16 perms × 4 bands over
+    * 3-shingles, est-Jaccard verify at 0.5 — the q33/q70 replayable
+    * config) into a parquet sink; verdicts roll up to one row per
+    * document: how many of its bands hit a leader, and whether it
+    * survives (zero hits). The DuckDB oracle replays signatures,
+    * banding, per-band leadership in (batch, doc_id) order, and the
+    * leader-verify rule — a hash match proves band leadership carried
+    * across the micro-batch boundary (per-batch state would re-elect
+    * leaders in batch 2 and flip its duplicates to survivors). */
+  def runNear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = new File(sys.props("java.io.tmpdir"), "graft-q73")
+    rmTree(base)
+    val spool = new File(base, "spool"); spool.mkdirs()
+    writeParitySpool(spark, dir, spool)
+
+    val docs = spark.readStream.schema(SpoolSchema)
+      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    val verdicts = nearDedupVerdicts(
+      bandArrivals(docs, "doc_id", "text", n = 3, numPerm = 16, bands = 4)
+        .as[BandArrival],
+      numPerm = 16, threshold = 0.5)
+    val outDir = new File(base, "out")
+    val q = verdicts.toDF().writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .outputMode("append")
+      .option("checkpointLocation", new File(base, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    spark.read.parquet(outDir.toString)
+      .groupBy("doc_id")
+      .agg(sum(col("hit").cast("long")).as("n_hit_bands"))
+      .select(col("doc_id"), col("n_hit_bands"),
+        (col("n_hit_bands") === 0).as("survives"))
+      .orderBy("doc_id")
   }
 }
