@@ -12,9 +12,15 @@ object Verify {
     // Same subset knob as Bench: SPARK_GRAFT_ONLY=q01,q65 dumps (and
     // lists oracles for) just those queries — local pre-checks of a new
     // query don't pay for the whole suite. Unset = full driver contract.
+    // PREFIX-matched (q65 selects q65_doc_chunking), so the short form
+    // in docs and muscle memory actually selects something.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    def keep(name: String): Boolean = only.forall(_(name))
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+    def keep(name: String): Boolean =
+      only.forall(_.exists(p => name.startsWith(p)))
+    val selected = SparkEntry.queries.filter(kv => keep(kv._1))
+    if (selected.isEmpty)
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY=${only.fold("")(_.mkString(","))} matched no queries — nothing will be written")
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -86,10 +86,15 @@ object Dedup {
       array_min(transform(hs, h => (a * h + b) % Prime))
     })
 
-  /** MinHash signature straight from text (single-column convenience;
-    * prefer [[withMinhashSignature]] on hot paths). */
+  /** MinHash signature straight from text — the codegen'd native
+    * expression [[org.apache.spark.sql.graft.MinhashSig]]: one md5 per
+    * shingle over byte ranges of the original UTF-8 text, no string
+    * materialization, no interpreted lambdas. Bit-identical to
+    * [[withMinhashSignature]] and [[minhashFromHashes]] (DedupSpec pins
+    * all three). Use this form where the aggregate shape cannot go —
+    * e.g. a streaming stateless projection before a stateful op. */
   def minhashSignature(text: Column, n: Int, numPerm: Int): Column =
-    minhashFromHashes(hashedShingles(text, n), numPerm)
+    call_function("minhash_sig", text, lit(n), lit(numPerm))
 
   /** (id, sig) frame computed in the aggregate shape: explode shingles,
     * hash each ONCE with codegen'd md5, then `numPerm` `min()` aggregates

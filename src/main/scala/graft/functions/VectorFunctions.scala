@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, NfcNormalize, QuantizeMse}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, QuantizeMse}
 
 /** Public facade for the codegen'd vector/fingerprint expressions
   * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
@@ -34,6 +34,13 @@ object VectorFunctions {
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children(0))),
+    // minhash_sig(text, n, numPerm): n/numPerm must be foldable int
+    // literals — they size the generated signature array, not per-row data
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinhashSig(children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())),
     // Spark's own codegen'd bloom probe (the expression its runtime
     // bloom-filter join uses) — not in the public FunctionRegistry, so
     // expose it for externally-built sketches (Sketches.bloomSemiJoin):

@@ -3,9 +3,10 @@
  * packaging for third-party native expressions. */
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{AbstractDataType, DataType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static call target for generated code ([[NfcNormalize.doGenCode]]):
@@ -44,5 +45,105 @@ case class NfcNormalize(child: Expression)
       s => s"org.apache.spark.sql.graft.TextNormStatics.nfc($s)")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** Static call target for [[MinhashSig.doGenCode]]. Bit-identical to the
+  * column pipeline `minhashFromHashes(hashedShingles(text, n), numPerm)`
+  * (graft.dedup.Dedup) and to the aggregate shape `withMinhashSignature`
+  * — pinned by DedupSpec — but one straight-line JVM pass per row:
+  *
+  * A shingle (n consecutive words joined by single spaces) of a text
+  * split on `" "` is EXACTLY a byte range of the original UTF-8 text
+  * (0x20 never occurs inside a multi-byte UTF-8 sequence, and joining
+  * split words with single spaces reconstructs the original bytes, empty
+  * words included), so each shingle hashes with one `md5(bytes, from,
+  * len)` — no string materialization, no per-permutation re-evaluation.
+  * The interpreted higher-order-lambda column form re-evaluates its
+  * lambdas element-by-element outside whole-stage codegen and measured
+  * 10-50x slower per row (SCALE.md). */
+object MinhashStatics {
+  /** Modulus of the universal-hash permutation family —
+    * same constant as `graft.dedup.Dedup.Prime`. */
+  final val Prime = 4294967311L
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** MinHash signature of `text`: `numPerm` permutations
+    * `(2i+1)*h + 7919i+1 mod P` minimized over the 32-bit md5-prefix
+    * hashes of all word `n`-gram shingles (duplicate shingles cannot
+    * change a min, so no dedup pass is needed). */
+  def sig(text: UTF8String, n: Int, numPerm: Int): ArrayData = {
+    val bytes = text.getBytes
+    // word start offsets: a split(" ") word k>0 starts after the k-th
+    // space byte; starts(w) is a virtual space past the last word
+    var spaces = 0
+    var p = 0
+    while (p < bytes.length) { if (bytes(p) == ' ') spaces += 1; p += 1 }
+    val w = spaces + 1
+    val starts = new Array[Int](w + 1)
+    var k = 1
+    p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') { starts(k) = p + 1; k += 1 }
+      p += 1
+    }
+    starts(w) = bytes.length + 1
+    val out = new Array[Long](numPerm)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val md = digests.get()
+    // start positions 0..max(w-n, 0) inclusive — the column pipeline's
+    // sequence(0, greatest(size(words)-n, 0)); a tail shorter than n
+    // words (or w < n entirely) still yields its joined-words shingle
+    val nStarts = math.max(w - n, 0) + 1
+    var i = 0
+    while (i < nStarts) {
+      val from = starts(i)
+      val to = starts(math.min(i + n, w)) - 1
+      md.reset()
+      md.update(bytes, from, to - from)
+      val d = md.digest()
+      // h32: first 8 md5 hex digits = first 4 digest bytes, unsigned
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var q = 0
+      while (q < numPerm) {
+        val v = ((2L * q + 1) * h + 7919L * q + 1) % Prime
+        if (v < out(q)) out(q) = v
+        q += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Codegen'd MinHash signature `minhash_sig(text, n, numPerm)` — the
+  * hot-path form of the dedup family's signature for projections where
+  * the aggregate shape cannot go (a streaming stateless projection before
+  * a stateful op; any single-pass scoring scan). Values are bit-identical
+  * to `Dedup.withMinhashSignature` (spec-pinned), so batch and streaming
+  * passes agree on every signature and the DuckDB oracle replays both.
+  * Null in → null out. */
+case class MinhashSig(child: Expression, n: Int, numPerm: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  require(numPerm >= 1, s"numPerm must be >= 1, got $numPerm")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(s: Any): Any =
+    MinhashStatics.sig(s.asInstanceOf[UTF8String], n, numPerm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.MinhashStatics.sig($s, $n, $numPerm)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
     copy(child = newChild)
 }

@@ -55,6 +55,40 @@ class DedupSpec extends SparkSpec {
       s"prefix path lost ${(truth -- pref).size} / invented ${(pref -- truth).size} pairs")
   }
 
+  test("minhash_sig codegen expression is bit-identical to the aggregate and lambda shapes") {
+    // three independent derivations of the same signature: the codegen'd
+    // native expression (minhashSignature — q73's hot path), the
+    // aggregate shape (withMinhashSignature — the batch hot path), and
+    // the interpreted lambda pipeline (minhashFromHashes ∘ hashedShingles
+    // — the original reference form). Edge cases: empty text, repeated
+    // spaces (empty split words), text shorter than the shingle, unicode
+    // multi-byte, and an exact duplicate pair.
+    val edge = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, "one"), (4L, "two  spaced   words"),
+      (5L, "héllo wörld ünicode ☃ text"), (6L, "one"),
+      (7L, " leading and trailing "))
+      .toDF("doc_id", "text")
+    for ((n, numPerm) <- Seq((3, 16), (2, 8), (5, 4))) {
+      val codegen = edge.select(col("doc_id"),
+        Dedup.minhashSignature(col("text"), n, numPerm).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val lambda = edge.select(col("doc_id"),
+        Dedup.minhashFromHashes(Dedup.hashedShingles(col("text"), n), numPerm).as("sig"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val agg = Dedup.withMinhashSignature(edge, "doc_id", "text", n, numPerm)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(codegen == lambda, s"codegen != lambda at n=$n perms=$numPerm")
+      assert(codegen == agg, s"codegen != aggregate at n=$n perms=$numPerm")
+      assert(codegen(1L) != codegen(3L))
+      assert(codegen(3L) == codegen(6L), "identical text must sign identically")
+    }
+    // null in -> null out
+    val nullRow = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(Dedup.minhashSignature(col("text"), 3, 16).as("sig")).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("minhash est_jaccard approximates true jaccard; LSH finds exact dups") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         n = 3, numPerm = 32, bands = 8, threshold = 0.0)
