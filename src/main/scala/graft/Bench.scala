@@ -30,6 +30,12 @@ import org.apache.spark.sql.SparkSession
   * (e.g. the dedup self-join guards) are rebuilt per rep, not amortized.
   */
 object Bench {
+  // All JSON-bound numbers go through a locale-pinned formatter: the f""
+  // interpolator uses the JVM default locale, and a comma-decimal locale
+  // (de_DE) would emit "q01":1,061 — invalid JSON, driver parse failure.
+  private def j3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -74,7 +80,7 @@ object Bench {
     // the one-line JSON contract on stdout)
     suite.foreach { q =>
       System.err.println(s"[bench-reps] ${q.name}: " +
-        times(q.name).map(t => f"$t%.2f").mkString(" "))
+        times(q.name).map(t => String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))).mkString(" "))
     }
     val results = suite.map { q =>
       val sorted = times(q.name).sorted
@@ -137,10 +143,10 @@ object Bench {
     val repsOut = sys.env.getOrElse("SPARK_GRAFT_REPS_OUT", "BENCH_reps.json")
     try {
       val repsJson = suite.map { q =>
-        "\"" + q.name + "\":[" + times(q.name).map(t => f"$t%.3f").mkString(",") + "]"
+        "\"" + q.name + "\":[" + times(q.name).map(t => j3(t)).mkString(",") + "]"
       }.mkString("{", ",", "}")
       val movedJson = moved.map { case (n, (p, c)) =>
-        "\"" + n + "\":{\"prev\":" + f"$p%.3f" + ",\"now\":" + f"$c%.3f" + "}"
+        "\"" + n + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(c) + "}"
       }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter(repsOut, "UTF-8")
       try w.println(s"""{"sf":"$sfDir","reps":$repsJson,"moved_vs_prev":$movedJson}""")
@@ -149,13 +155,13 @@ object Bench {
     // Medians at 3 decimals: the driver's log capture keeps only the
     // LAST 2000 chars of this line (BENCH_r04-r06 all lost their head
     // and failed the driver's parse) — 63 compact entries fit whole.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + j3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val movedInline = moved.map { case (n, (p, c)) =>
-      "\"" + n + "\":{\"prev\":" + f"$p%.3f" + ",\"now\":" + f"$c%.3f" + "}"
+      "\"" + n + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(c) + "}"
     }.mkString("{", ",", "}")
-    val totalStr = f"$total%.3f"
+    val totalStr = j3(total)
     println(s"""{"metric":"total","value":$totalStr,"unit":"sec","moved_vs_prev":$movedInline,"reps_file":"$repsOut","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1657,7 +1657,7 @@ object Queries {
       nll AS (
         SELECT doc_id, c,
           CAST(-ln(CAST(ctf AS DOUBLE) / n_total) AS DECIMAL(27,12))
-            * CAST(c AS DECIMAL(6,0)) AS nllc
+            * CAST(c AS DECIMAL(10,0)) AS nllc
         FROM perdoc JOIN tf USING (token), tot)
       SELECT doc_id,
         round(CAST(SUM(nllc) AS DOUBLE) / SUM(c), 6) AS nats_per_token,
@@ -1989,7 +1989,7 @@ object Queries {
       nll AS (
         SELECT doc_id, c,
           CAST(-ln(CAST(ctf AS DOUBLE) / n_total) AS DECIMAL(27,12))
-            * CAST(c AS DECIMAL(6,0)) AS nllc
+            * CAST(c AS DECIMAL(10,0)) AS nllc
         FROM perdoc JOIN tf USING (token), tot),
       sc AS (
         SELECT doc_id,

@@ -298,9 +298,10 @@ object Dedup {
     // on a real cluster a lost executor fails the job instead of
     // recomputing — acceptable for a deterministic batch pass, or swap
     // for reliable `checkpoint` with a checkpoint dir when it isn't.
-    var labels = edges.select(col("src").as("id")).distinct()
+    var ckpt = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
       .localCheckpoint(true)
+    var labels = ckpt
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIterations) {
@@ -317,6 +318,15 @@ object Dedup {
           col("cluster").as("old"))
         .localCheckpoint(true)
       changed = next.filter(col("cluster") =!= col("old")).count()
+      // the superseded iterate's blocks are dead the moment `changed`
+      // materializes `next`; free them NOW — Dataset.unpersist goes
+      // through the CacheManager, which knows nothing of checkpoint
+      // RDDs, so without this up to maxIterations subgraph-sized block
+      // sets sit in executor storage until the ContextCleaner's GC.
+      // (The FINAL iterate must stay: the returned join reads it
+      // lazily; its blocks fall to the ContextCleaner with the result.)
+      freeLocalCheckpoint(ckpt)
+      ckpt = next
       labels = next.select("id", "cluster")
       iter += 1
     }
@@ -327,6 +337,18 @@ object Dedup {
       .join(labels, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
+
+  /** Drop the executor blocks behind a `localCheckpoint(true)`ed frame.
+    * The checkpoint persists its internal RDD directly (LogicalRDD leaf),
+    * invisible to the CacheManager that `Dataset.unpersist` talks to —
+    * this reaches the leaf RDD and unpersists it. Only for frames that
+    * will never be read again (the lineage is truncated; recompute after
+    * this is impossible). */
+  private def freeLocalCheckpoint(ds: DataFrame): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Driver-side union-find over a collected edge list, joined back to
     * the corpus as a broadcast map. Arbitrary-root union with path

@@ -242,7 +242,13 @@ object Similarity {
       threshold: Double,
       basePlanes: Int = DefaultBasePlanes,
       baseBands: Int = DefaultBaseBands): Int = {
-    if (bandPlanes <= basePlanes) baseBands
+    // p = 1 exactly (threshold >= 1.0: identical-vector "near"-dup)
+    // degenerates the S-curve match: both log1p terms are -Inf, the
+    // ratio NaN, and ceil(NaN).toInt would silently yield numBands = 0
+    // — an EMPTY bucket column set, i.e. zero candidates ever. One band
+    // of any plane count has recall 1 for p = 1, so baseBands is exact.
+    require(threshold <= 1.0, s"cosine threshold must be <= 1, got $threshold")
+    if (bandPlanes <= basePlanes || collisionProb(threshold) >= 1.0) baseBands
     else {
       val p = collisionProb(threshold)
       val base = math.log1p(-math.pow(p, basePlanes))

@@ -260,15 +260,19 @@ object Quality {
     val perDoc = toks.groupBy("id", "token").agg(count(lit(1)).as("c"))
     val tf = perDoc.groupBy("token").agg(sum(col("c")).as("ctf"))
     val tot = perDoc.agg(sum(col("c")).as("n_total"))
-    // c is bounded far below 10^6 per (doc, token); DECIMAL(6,0) keeps
-    // the product width 27+6=33 <= 38 in BOTH engines (a bare BIGINT
-    // multiplicand would overflow DuckDB's 38-digit decimal width).
+    // DECIMAL(10,0) is the widest multiplicand both engines multiply
+    // exactly at scale 12: Spark (27,12)x(10,0) -> (27+10+1=38,12),
+    // DuckDB -> (27+10=37,12). The 10^10 bound is STRUCTURALLY
+    // unreachable (a Spark string column caps at 2 GB, so one document
+    // holds < 2^31 ~ 2.1e9 occurrences of any token) — unlike the
+    // previous DECIMAL(6,0), whose 10^6 bound a few-MB spam document
+    // could cross and silently null out of the sum under non-ANSI casts.
     perDoc.join(tf, Seq("token"))
       .crossJoin(broadcast(tot))
       .select(col("id"), col("c"),
         ((-log(col("ctf").cast("double") / col("n_total")))
           .cast(org.apache.spark.sql.types.DecimalType(27, 12)) *
-          col("c").cast(org.apache.spark.sql.types.DecimalType(6, 0))).as("nllc"))
+          col("c").cast(org.apache.spark.sql.types.DecimalType(10, 0))).as("nllc"))
       .groupBy("id")
       .agg((sum(col("nllc")).cast("double") / sum(col("c"))).as("nats_per_token"),
         sum(col("c")).as("n_tokens"))

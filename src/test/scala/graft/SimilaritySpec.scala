@@ -164,6 +164,12 @@ class SimilaritySpec extends SparkSpec {
     // same four planes cost only ~2.3x bands
     assert(adaptiveNumBands(8, 0.9) == 19)
     assert(collisionProb(1.0) == 1.0 && math.abs(collisionProb(0.0) - 0.5) < 1e-12)
+    // degenerate p = 1 (threshold = 1.0, exact-duplicate vectors): the
+    // S-curve match is 0/0 — must fall back to baseBands, never the
+    // silent numBands = 0 (zero bucket columns = zero candidates ever)
+    assert(adaptiveNumBands(8, 1.0) == 8)
+    assert(adaptiveNumBands(24, 1.0) == 8)
+    intercept[IllegalArgumentException](adaptiveNumBands(8, 1.5))
     // restored recall at the threshold matches the base config's to <1e-9
     // (the derivation inverts the model exactly, up to the bands ceil)
     def recall(p: Double, b: Int, l: Int) = 1.0 - math.pow(1.0 - math.pow(p, b), l)
