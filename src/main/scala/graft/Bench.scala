@@ -55,12 +55,16 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    def runOnce(q: Queries.Q): Double = {
+    // A rep that throws returns None — it must NEVER be published as a
+    // timing. r8 timed 18 analysis exceptions at ~0.06 s each and the
+    // bench JSON read as a round of big speedups (VERDICT r8 #2).
+    def runOnce(q: Queries.Q): Option[Double] = {
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
+      val ok =
+        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name} FAILED: $e"); false }
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
     // Untimed full passes: codegen + JIT for every query's plan, plus
     // one more pass so the C2 compile backlog drains before timing.
@@ -74,17 +78,20 @@ object Bench {
     // ~7s steady-state). G1 self-regulates fine with the pinned heap;
     // the median across interleaved passes sheds any residual outlier.
     (1 to reps).foreach { _ =>
-      suite.foreach(q => times(q.name) :+= runOnce(q))
+      suite.foreach(q => runOnce(q).foreach(t => times(q.name) :+= t))
     }
+    // Queries with zero successful reps are published under "failed",
+    // never under "queries" — absent/None, not a small number.
+    val failed = suite.map(_.name).filter(n => times(n).isEmpty)
     // per-pass rep times on stderr for harness diagnosis (not part of
     // the one-line JSON contract on stdout)
     suite.foreach { q =>
       System.err.println(s"[bench-reps] ${q.name}: " +
         times(q.name).map(t => String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))).mkString(" "))
     }
-    val results = suite.map { q =>
+    val results = suite.flatMap { q =>
       val sorted = times(q.name).sorted
-      q.name -> sorted(sorted.length / 2)
+      if (sorted.isEmpty) None else Some(q.name -> sorted(sorted.length / 2))
     }.toMap
     // Round-over-round movement flags: compare medians against the most
     // recent BENCH_r*.json in the working directory (or an explicit
@@ -148,8 +155,9 @@ object Bench {
       val movedJson = moved.map { case (n, (p, c)) =>
         "\"" + n + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(c) + "}"
       }.mkString("{", ",", "}")
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val w = new java.io.PrintWriter(repsOut, "UTF-8")
-      try w.println(s"""{"sf":"$sfDir","reps":$repsJson,"moved_vs_prev":$movedJson}""")
+      try w.println(s"""{"sf":"$sfDir","failed":$failedJson,"reps":$repsJson,"moved_vs_prev":$movedJson}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] reps file: $e") }
     // Medians at 3 decimals: the driver's log capture keeps only the
@@ -162,7 +170,8 @@ object Bench {
       "\"" + n + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(c) + "}"
     }.mkString("{", ",", "}")
     val totalStr = j3(total)
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","moved_vs_prev":$movedInline,"reps_file":"$repsOut","queries":$qs,"sf":"$sfDir"}""")
+    val failedStr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","failed":$failedStr,"moved_vs_prev":$movedInline,"reps_file":"$repsOut","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the synthetic test tables (TESTDATA.md).
   *
-  * Timestamp policy: the driver data carries parquet `timestamp[ns]`
-  * (events) and `timestamp[ms]` (orders/lineitem), both timezone-naive.
-  * Spark 4 rejects nanosecond parquet timestamps unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[GraftSession]]),
-  * in which case `ts` arrives as a LongType of nanoseconds; we convert to
-  * `TIMESTAMP_NTZ` at microsecond precision (floor division — identical to
-  * what DuckDB does when it truncates ns→µs), keeping everything
-  * timezone-naive so parity with the oracle is bit-exact.
+  * Timestamp policy: the driver has shipped `events.ts` in two physical
+  * layouts across testdata generations — parquet `timestamp[ns]` (which
+  * Spark 4 reads as a LongType of nanoseconds under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, set by [[GraftSession]])
+  * and plain `timestamp[us]`. Parquet in the wild is written by many
+  * engines, so [[events]] adapts to the SCANNED dtype instead of
+  * hard-coding one layout: LongType → ns→µs floor division (identical to
+  * DuckDB's ns→µs truncation), timestamp/timestamp_ntz → pass-through
+  * cast to `TIMESTAMP_NTZ`. Everything stays timezone-naive so parity
+  * with the oracle is bit-exact in both layouts.
   */
 object Tables {
   /** Make a session the engine can run on regardless of who built it:
@@ -41,17 +43,26 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
-  /** `events` with `ts` normalized from raw nanoseconds to TIMESTAMP_NTZ
-    * (µs, floor — identical to DuckDB's ns→µs truncation, so the oracle
-    * sees the very same values). Use [[eventsRawNs]] for the lossless long. */
-  def events(s: SparkSession, dir: String): DataFrame =
-    read(s, dir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  /** `events` with `ts` normalized to TIMESTAMP_NTZ at µs precision,
+    * whatever physical layout the parquet carries (see object scaladoc).
+    * The dtype dispatch happens at plan-build time from the scanned
+    * schema — zero runtime cost, and a future regeneration in either
+    * layout keeps analyzing. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = read(s, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val ts = raw.schema("ts").dataType match {
+      case LongType => // legacy timestamp[ns] read as raw nanos
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+      case TimestampNTZType => col("ts")
+      case TimestampType => // tz-aware µs; session is pinned UTC, so this
+        col("ts").cast("timestamp_ntz") // is a relabel, not a shift
+      case other =>
+        throw new IllegalStateException(s"events.ts has unsupported type $other")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
-
-  /** `events` with the original nanosecond epoch as `ts_ns LONG`. */
-  def eventsRawNs(s: SparkSession, dir: String): DataFrame =
-    read(s, dir, "events").withColumnRenamed("ts", "ts_ns")
+  }
 }
 
 /** Session factory with the engine's standard configuration. */
