@@ -42,6 +42,40 @@ import graft.text.TextStats
   */
 object StreamingDedup {
 
+  /** Select the state-store backend for the streaming dedup queries and
+    * return the choice. Order: session conf `spark.graft.streaming.stateStore`
+    * → env `SPARK_GRAFT_STATE_STORE` → default `rocksdb`.
+    *
+    * RocksDB is the default because both dedup regimes carry state that
+    * is LINEAR IN UNIQUE CONTENT (one entry per fingerprint / band key):
+    * the default HDFSBacked provider keeps every version of that map on
+    * the executor HEAP, so at 100 TB the state alone evicts the working
+    * set; RocksDB spills it to local disk with bounded block-cache
+    * memory, which is the only shape that survives an open-ended
+    * firehose. Changelog checkpointing is enabled with it so each commit
+    * uploads a delta, not a full snapshot. The `hdfs` value remains for
+    * A/B runs (HarnessSpec pins provider-identical output). */
+  def configureStateStore(spark: SparkSession): String = {
+    val choice = spark.conf.getOption("spark.graft.streaming.stateStore")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_STORE"))
+      .getOrElse("rocksdb")
+    choice match {
+      case "rocksdb" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+          "true")
+      case "hdfs" =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      case other =>
+        throw new IllegalArgumentException(
+          s"spark.graft.streaming.stateStore must be rocksdb|hdfs, got $other")
+    }
+    choice
+  }
+
   /** Fingerprint + key-derived projection shared by the streaming query
     * and the oracle: every output column is a function of the normalized
     * text, so WHICH family member survives cannot affect the result. */
@@ -117,7 +151,7 @@ object StreamingDedup {
     * of a non-leader SURVIVOR — but not of any band leader it collides
     * with — is admitted. State is 8·numPerm bytes per distinct band
     * key ever seen: linear in unique content, independent of duplicate
-    * volume. At real scale back it with the RocksDB state store and
+    * volume. [[configureStateStore]] backs it with RocksDB by default;
     * sweep long-range leakage with the periodic batch pass
     * ([[graft.dedup.Dedup.incrementalDedup]]), exactly as [[exactDedupTtl]]'s
     * doc prescribes for the exact family. */
@@ -188,6 +222,7 @@ object StreamingDedup {
     * batch `SELECT DISTINCT` over the same normalization — a hash match
     * proves per-key exactly-once emission ACROSS batch boundaries. */
   def run(spark: SparkSession, dir: String): DataFrame = {
+    configureStateStore(spark)
     val base = new File(sys.props("java.io.tmpdir"), "graft-q64")
     rmTree(base)
     val spool = new File(base, "spool"); spool.mkdirs()
@@ -244,6 +279,7 @@ object StreamingDedup {
     * leaders in batch 2 and flip its duplicates to survivors). */
   def runNear(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    configureStateStore(spark)
     val base = new File(sys.props("java.io.tmpdir"), "graft-q73")
     rmTree(base)
     val spool = new File(base, "spool"); spool.mkdirs()

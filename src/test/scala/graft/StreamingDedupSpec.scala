@@ -34,6 +34,31 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state-store knob: rocksdb (default) and hdfs produce identical near-dedup output") {
+    def results(provider: String) = {
+      spark.conf.set("spark.graft.streaming.stateStore", provider)
+      try {
+        assert(StreamingDedup.configureStateStore(spark) == provider)
+        val expected = if (provider == "rocksdb") "RocksDBStateStoreProvider"
+          else "HDFSBackedStateStoreProvider"
+        assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+          .endsWith(expected))
+        StreamingDedup.runNear(spark, sf()).collect().map(_.toSeq).toSeq
+      } finally spark.conf.unset("spark.graft.streaming.stateStore")
+    }
+    val rocks = results("rocksdb")
+    val hdfs = results("hdfs")
+    assert(rocks.nonEmpty)
+    assert(rocks == hdfs, "state backend must not change dedup verdicts")
+    // unset conf + unset env falls back to the rocksdb default
+    assert(StreamingDedup.configureStateStore(spark) == "rocksdb")
+    intercept[IllegalArgumentException] {
+      spark.conf.set("spark.graft.streaming.stateStore", "leveldb")
+      try StreamingDedup.configureStateStore(spark)
+      finally spark.conf.unset("spark.graft.streaming.stateStore")
+    }
+  }
+
   test("exactDedupTtl: duplicate within TTL dropped, re-admitted after expiry") {
     implicit val sqlCtx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft-sdt-").toString
