@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, QuantizeMse}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, QuantizeMse, SortedContainsLong}
 
 /** Public facade for the codegen'd vector/fingerprint expressions
   * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
@@ -17,6 +17,7 @@ object VectorFunctions {
   def hammingDist(a: Column, b: Column): Column = call_function("hamming_dist", a, b)
   def quantizeMse(v: Column, levels: Column): Column = call_function("quantize_mse", v, levels)
   def nfcNormalize(s: Column): Column = call_function("nfc_normalize", s)
+  def sortedContains(arr: Column, key: Column): Column = call_function("sorted_contains", arr, key)
 
   private[functions] def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -41,6 +42,9 @@ object VectorFunctions {
       (children: Seq[Expression]) => MinhashSig(children(0),
         children(1).eval().asInstanceOf[Number].intValue(),
         children(2).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("sorted_contains"),
+      new ExpressionInfo(classOf[SortedContainsLong].getName, "sorted_contains"),
+      (children: Seq[Expression]) => SortedContainsLong(children(0), children(1))),
     // Spark's own codegen'd bloom probe (the expression its runtime
     // bloom-filter join uses) — not in the public FunctionRegistry, so
     // expose it for externally-built sketches (Sketches.bloomSemiJoin):

@@ -24,4 +24,32 @@ object SaltedJoin {
       explode(array((0 until salts).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Threshold-gated broadcast-head inner join for Zipf-skewed keys —
+    * the cure for `rows ⋈ stats` where `stats` is a per-key aggregate
+    * whose `fanInCol` bounds the per-key row count on the shuffle: keys
+    * whose fan-in exceeds `headFanIn` (the Zipf head — "the", "of", …)
+    * join via a BROADCAST of their stats rows (map-side, no hot
+    * reducer); the tail joins on the shuffle with per-reducer-key rows
+    * ≤ `headFanIn` by construction. Output is row-identical to
+    * `rows.join(stats, Seq(key))` (every key lands on exactly one side
+    * of the threshold; SkewJoinSpec pins equality on a Zipf fixture).
+    *
+    * Cost shape: `rows` feeds both branches, but its upstream exchange
+    * is IDENTICAL in each, so ReuseExchange materializes it once and the
+    * head branch adds only a map-side probe. When no key crosses the
+    * threshold the head relation is empty and AQE's empty-relation
+    * propagation prunes that whole branch at runtime — the gate costs
+    * nothing until skew exists. The head's size is Zipf-bounded:
+    * #keys with fan-in > T ≤ (total rows)/T, and in a Zipfian vocabulary
+    * far fewer — at the default T=10⁷ a 10⁹-document corpus broadcasts
+    * only the few-hundred-thousand-word stopword head. */
+  def headBroadcast(rows: DataFrame, stats: DataFrame, key: String,
+      fanInCol: String, headFanIn: Long): DataFrame = {
+    require(headFanIn > 0)
+    val head = stats.filter(col(fanInCol) > headFanIn)
+    val tail = stats.filter(col(fanInCol) <= headFanIn)
+    rows.join(tail, Seq(key))
+      .unionByName(rows.join(broadcast(head), Seq(key)))
+  }
 }

@@ -14,6 +14,15 @@ import graft.dedup.Dedup
   */
 object Quality {
 
+  /** Fan-in above which a token's stats rows broadcast instead of
+    * shuffling in the token-keyed joins ([[unigramCrossEntropy]],
+    * [[tfidfKeywords]] — via [[graft.operators.SaltedJoin.headBroadcast]]).
+    * 10⁷ keeps any single reducer's per-key rows to ~10 M narrow tuples
+    * (seconds of work) while the Zipf head that crosses it stays a
+    * comfortably broadcastable few hundred thousand rows even at 10⁹
+    * documents. */
+  val HeadTokenFanIn: Long = 10_000_000L
+
   /** Gopher-style repetition statistics per document (Rae et al. 2021,
     * "Scaling Language Models", table A1 repetition filters): the
     * fraction of word 2-grams occupied by the single most frequent
@@ -267,7 +276,14 @@ object Quality {
     // holds < 2^31 ~ 2.1e9 occurrences of any token) — unlike the
     // previous DECIMAL(6,0), whose 10^6 bound a few-MB spam document
     // could cross and silently null out of the sum under non-ANSI casts.
-    perDoc.join(tf, Seq("token"))
+    // Token-keyed join through the broadcast-head gate: per-key fan-in on
+    // the shuffle is df(token) ≤ ctf(token), so gating on ctf is a
+    // conservative superset of the true-skew head — a few extra stopwords
+    // broadcast, no hot key ever reaches a reducer. Below the threshold
+    // (every test corpus) AQE prunes the empty head branch and the plan
+    // is the old single join.
+    graft.operators.SaltedJoin
+      .headBroadcast(perDoc, tf, "token", "ctf", HeadTokenFanIn)
       .crossJoin(broadcast(tot))
       .select(col("id"), col("c"),
         ((-log(col("ctf").cast("double") / col("n_total")))
@@ -299,29 +315,39 @@ object Quality {
     * `exact = false` for the one-pass mergeable Greenwald–Khanna
     * sketch ([[graft.sketches.Sketches.approxQuantiles]], rank error
     * ≤ `relativeError`) — same downstream plan, bounded-error cutoffs
-    * (QualitySpec bounds the disagreement between the two). Either way
-    * the score frame is consumed twice (cutoffs + bucketing) — at real
-    * scale persist the [[unigramCrossEntropy]] output first, or take
-    * the cutoffs on a deterministic [[hashKeep]] sample, rather than
-    * paying the scoring shuffles twice. */
+    * (QualitySpec bounds the disagreement between the two).
+    *
+    * The score frame is needed twice (cutoffs + bucketing), so it is
+    * PERSISTED (memory-and-disk) and the cutoffs are taken EAGERLY —
+    * the cutoff job materializes the cache and the returned bucketing
+    * plan reads it back (PlanShapeSpec asserts an InMemoryTableScan and
+    * no token re-explode), so the scoring shuffles run exactly once.
+    * The cached frame is released by Spark's ContextCleaner once the
+    * returned DataFrame is dereferenced; eviction before then merely
+    * recomputes. */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
       cuts: (Double, Double) = (1.0 / 3, 2.0 / 3),
       exact: Boolean = true, relativeError: Double = 0.01): DataFrame = {
     require(cuts._1 < cuts._2, s"cuts must be increasing, got $cuts")
     val scored = unigramCrossEntropy(docs, idCol, textCol)
-    val withCuts =
-      if (exact)
-        scored.crossJoin(broadcast(scored.agg(
-          expr(s"percentile(nats_per_token, ${cuts._1})").as("__c1"),
-          expr(s"percentile(nats_per_token, ${cuts._2})").as("__c2"))))
-      else {
-        val Seq(c1, c2) = graft.sketches.Sketches.approxQuantiles(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (c1, c2) =
+      if (exact) {
+        val r = scored.agg(
+          expr(s"percentile(nats_per_token, ${cuts._1})"),
+          expr(s"percentile(nats_per_token, ${cuts._2})")).head()
+        // empty corpus → null percentiles → NaN cutoffs; both whens are
+        // false on every (nonexistent) row, so the empty result is exact
+        (if (r.isNullAt(0)) Double.NaN else r.getDouble(0),
+          if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
+      } else {
+        val Seq(a, b) = graft.sketches.Sketches.approxQuantiles(
           scored, "nats_per_token", Seq(cuts._1, cuts._2), relativeError)
-        scored.withColumn("__c1", lit(c1)).withColumn("__c2", lit(c2))
+        (a, b)
       }
-    withCuts.select(col(idCol), col("nats_per_token"), col("n_tokens"),
-      when(col("nats_per_token") <= col("__c1"), "head")
-        .when(col("nats_per_token") <= col("__c2"), "middle")
+    scored.select(col(idCol), col("nats_per_token"), col("n_tokens"),
+      when(col("nats_per_token") <= lit(c1), "head")
+        .when(col("nats_per_token") <= lit(c2), "middle")
         .otherwise("tail").as("ppl_bucket"))
   }
 
@@ -341,10 +367,9 @@ object Quality {
     * (doc, token) — already pre-aggregated, never occurrences) on the
     * token; per-key fan-in is bounded by document frequency. Stopwords
     * still dominate that bound at extreme scale ("the" appears in most
-    * documents); if the head of the vocabulary ever skews a stage,
-    * salt the join via [[graft.operators.SaltedJoin]] or broadcast the
-    * top-k df entries and join only the tail — the same cure
-    * [[unigramCrossEntropy]]'s scaladoc pins. */
+    * documents), so the join goes through the broadcast-head gate
+    * ([[graft.operators.SaltedJoin.headBroadcast]] on df >
+    * [[HeadTokenFanIn]]) — same cure as [[unigramCrossEntropy]]. */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     val tf = docs
@@ -352,7 +377,8 @@ object Quality {
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, Seq("token"))
+    val scored = graft.operators.SaltedJoin
+      .headBroadcast(tf, dfreq, "token", "df", HeadTokenFanIn)
       .crossJoin(broadcast(n))
       .select(col("id").as(idCol), col("token"),
         (col("tf").cast("double") * (col("n_docs").cast("double") / col("df")))
@@ -499,9 +525,11 @@ object Quality {
     * as a 1-row frame; membership and reassembly are per-row array
     * expressions, so the DOCUMENT side never shuffles at all — the only
     * exchange in the whole plan is the hashed line-df rollup
-    * (QualitySpec pins this). Per-line membership is a linear scan of
-    * the broadcast long array — fine while boilerplate stays in the
-    * tens of thousands of lines. Flip `viaBroadcast = false` when it doesn't
+    * (QualitySpec pins this). Per-line membership is a codegen BINARY
+    * SEARCH of the sorted broadcast array (`sorted_contains`,
+    * O(log |set|) per line — a 100k-line boilerplate set costs ~17
+    * probes, not 100k). Flip `viaBroadcast = false` when the set itself
+    * outgrows broadcast
     * (a low `minDocs` over a web-scale crawl): lines then explode with
     * positions, anti-join the frequent set on the line key, and
     * reassemble with one id-keyed exchange — the standard shape when
@@ -530,7 +558,8 @@ object Quality {
       docs.crossJoin(broadcast(bpArr))
         .withColumn("__lines", split(col(textCol), qsep))
         .withColumn("__kept",
-          filter(col("__lines"), l => !array_contains(col("__bp"), xxhash64(l))))
+          filter(col("__lines"), l => !graft.functions.VectorFunctions
+            .sortedContains(col("__bp"), xxhash64(l))))
         .select(col(idCol),
           concat_ws(sep, col("__kept")).as("clean_text"),
           size(col("__kept")).cast("long").as("lines_kept"),

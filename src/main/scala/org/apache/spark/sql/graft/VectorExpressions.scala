@@ -251,3 +251,57 @@ case class HammingDist(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): HammingDist =
     copy(left = newLeft, right = newRight)
 }
+
+/** Codegen'd binary search of a 64-bit key in a SORTED `ARRAY<BIGINT>` —
+  * the membership probe for broadcast heavy-hitter sets (boilerplate-line
+  * hashes). `array_contains` scans linearly, so a per-LINE probe against
+  * tens of thousands of boilerplate hashes costs O(|set|) per line;
+  * binary search makes it O(log |set|) with the same fused-loop codegen
+  * discipline as the other expressions here. The caller owns the sort
+  * invariant (`sort_array` at build time); an unsorted array yields
+  * arbitrary membership answers, same contract as
+  * `java.util.Arrays.binarySearch`. Null if either input is null. */
+case class SortedContainsLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "sorted_contains"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val key = b.asInstanceOf[Long]
+    var lo = 0; var hi = xs.numElements() - 1
+    var found = false
+    while (lo <= hi && !found) {
+      val mid = (lo + hi) >>> 1
+      val v = xs.getLong(mid)
+      if (v == key) found = true
+      else if (v < key) lo = mid + 1
+      else hi = mid - 1
+    }
+    found
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      val v = ctx.freshName("v")
+      s"""
+         |int $lo = 0; int $hi = $a.numElements() - 1;
+         |${ev.value} = false;
+         |while ($lo <= $hi) {
+         |  final int $mid = ($lo + $hi) >>> 1;
+         |  final long $v = $a.getLong($mid);
+         |  if ($v == $b) { ${ev.value} = true; break; }
+         |  else if ($v < $b) { $lo = $mid + 1; }
+         |  else { $hi = $mid - 1; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedContainsLong =
+    copy(left = newLeft, right = newRight)
+}

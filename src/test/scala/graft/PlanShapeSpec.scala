@@ -219,6 +219,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q72: bucketing reads the persisted score frame — scoring runs once") {
+    val p = plan("q72_ppl_buckets")
+    assert(p.contains("InMemoryTableScan"),
+      "bucketing must read the cached unigramCrossEntropy output")
+    // everything ABOVE the cache scan must be re-explode-free (the cached
+    // InMemoryRelation prints its own build plan below, which legitimately
+    // contains the one scoring explode)
+    assert(!p.split("InMemoryRelation")(0).contains("Generate "),
+      "a token re-explode above the cache scan means scoring runs twice")
+  }
+
   test("q53/q59: normalization and quantization run as codegen expressions in the scan stage") {
     val p53 = plan("q53_normalize_text")
     assert(p53.contains("nfc_normalize"), "NFC must be the native expression")
