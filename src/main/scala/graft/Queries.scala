@@ -901,6 +901,58 @@ object Queries {
         CAST((hv & 4095) AS DOUBLE) / 4096.0 AS f0
       FROM h ORDER BY media_id"""))
 
+  // The REAL decode path (no stub anywhere): each document's text bytes
+  // become a binary-netpbm P5 grayscale raster — header "P5\n{w} {h}\n255\n"
+  // + w·h payload bytes (text repeated/truncated), dimensions derived from
+  // the text length — and Multimodal.decodePgm genuinely parses the header
+  // and histograms the raster. The oracle replays the construction, the
+  // header-size arithmetic, and the 4-bin intensity histogram in SQL, so a
+  // hash match proves the decoder read actual pixels, not metadata.
+  val q41b_multimodal_decode = Q("q41b_multimodal_decode",
+    (s, dir) => {
+      val media = documents(s, dir)
+        .withColumn("l", length(col("text")))
+        .withColumn("w", (col("l") % 29 + 4).cast("int"))
+        .withColumn("h", (col("l") % 13 + 3).cast("int"))
+        .withColumn("npix", col("w") * col("h"))
+        .withColumn("payload",
+          expr("substring(repeat(text, int(ceil(double(npix)/double(l)))), 1, npix)"))
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          concat(
+            concat(lit("P5\n"), col("w").cast("string"), lit(" "),
+              col("h").cast("string"), lit("\n255\n")).cast("binary"),
+            col("payload").cast("binary")).as("content"),
+          map(lit("src"), lit("documents")).as("meta"))
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 4)
+        .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
+          element_at(col("features"), 1).cast("long").as("h0"),
+          element_at(col("features"), 2).cast("long").as("h1"),
+          element_at(col("features"), 3).cast("long").as("h2"),
+          element_at(col("features"), 4).cast("long").as("h3"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id AS media_id, text, length(text) AS l,
+          ((length(text) % 29) + 4) AS w, ((length(text) % 13) + 3) AS h
+        FROM documents),
+      p AS (
+        SELECT media_id, w, h,
+          substr(repeat(text, CAST(ceil(CAST(w*h AS DOUBLE)/l) AS INTEGER)), 1, w*h) AS payload
+        FROM d),
+      b AS (
+        SELECT media_id, w, h,
+          [ord(substr(payload, i, 1)) FOR i IN generate_series(1, CAST(w*h AS INTEGER))] AS bs
+        FROM p)
+      SELECT media_id,
+        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        CAST(strlen('P5' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10)) + w*h AS BIGINT) AS n_bytes,
+        CAST(len(list_filter(bs, x -> x // 64 = 0)) AS BIGINT) AS h0,
+        CAST(len(list_filter(bs, x -> x // 64 = 1)) AS BIGINT) AS h1,
+        CAST(len(list_filter(bs, x -> x // 64 = 2)) AS BIGINT) AS h2,
+        CAST(len(list_filter(bs, x -> x // 64 = 3)) AS BIGINT) AS h3
+      FROM b ORDER BY media_id"""))
+
   val q42_set_ops = Q("q42_set_ops",
     (s, dir) => {
       val active = orders(s, dir).filter(col("o_orderdate") >= ntz("1997-01-01 00:00:00"))
@@ -2060,7 +2112,7 @@ object Queries {
     q27_minhash_sig, q28_simhash, q29_ann_cosine, q30_ann_lsh, q31_ann_ivf,
     q32_simhash_pairs, q33_minhash_pairs, q34_stats_agg, q35_percentiles,
     q36_time_bucket, q37_conditional_agg, q38_string_ops, q39_array_agg,
-    q40_dedup_survivors, q41_multimodal_features, q42_set_ops,
+    q40_dedup_survivors, q41_multimodal_features, q41b_multimodal_decode, q42_set_ops,
     q43_ann_topk_agg, q44_dedup_clusters, q44b_dedup_clusters_iterative,
     q45_embedding_centroid,
     q46_text_subwords, q47_corpus_filter, q48_range_join,

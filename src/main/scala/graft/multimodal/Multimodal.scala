@@ -11,11 +11,15 @@ import org.apache.spark.sql.types._
   * batched `mapInPandas` UDF (same batch shape: one partition streams
   * through the codec without materializing).
   *
-  * The actual codec is STUBBED (`decodeStub`) — media libraries are not in
-  * this container — behind a deterministic fake so the Spark-side plumbing
-  * (schema, partitioning, batch iteration, null handling) is real and
-  * testable. Swap `decodeStub` for a real decoder (JavaCV etc.) at
-  * deployment; nothing else changes.
+  * The codec dispatch ([[decodeMedia]]) is REAL for two public formats
+  * that need no native libraries — binary netpbm images (PGM `P5` /
+  * PPM `P6`: [[decodePgm]]) and RIFF/WAVE PCM audio ([[decodeWav]]) —
+  * detected by magic bytes and fully header-parsed before trusting the
+  * payload. Payloads in any other (or malformed) format fall back to
+  * the deterministic [[decodeStub]], so the pipeline stays total; a
+  * deployment adds richer codecs (JPEG via javax.imageio, JavaCV, …)
+  * by extending the same dispatch — schema, partitioning, batch shape
+  * and null handling don't change.
   *
   * Scale notes: media rows are large and skew-prone, so helpers
   * `repartitionForDecode` (spread by hash, decouple from upstream file
@@ -69,6 +73,121 @@ object Multimodal {
     }
   }
 
+  /** Real decoder: binary netpbm — PGM (`P5`, one gray byte per pixel)
+    * and PPM (`P6`, three RGB bytes per pixel) with `maxval ≤ 255`.
+    * Header grammar per the netpbm spec: magic, then whitespace-separated
+    * width/height/maxval with `#`-to-EOL comments allowed between tokens,
+    * then EXACTLY one whitespace byte before the raster. Returns
+    * `(width, height, features)` where feature `j` counts raster sample
+    * bytes falling in intensity bin `j` of `dim` equal bins over
+    * `[0, maxval]` — an intensity histogram, integer-exact in float32 so
+    * oracles replay it bit-for-bit. None (→ caller falls back to the
+    * stub) on any malformed/truncated input. */
+  def decodePgm(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] = {
+    if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
+    val channels = bytes(1) match {
+      case '5' => 1
+      case '6' => 3
+      case _ => return None
+    }
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    // whitespace/comment skipper, then one decimal token
+    def nextInt(): Option[Int] = {
+      while (i < bytes.length && (isWs(bytes(i)) || bytes(i) == '#')) {
+        if (bytes(i) == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else i += 1
+      }
+      val start = i
+      var v = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9' && v <= Int.MaxValue) {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      if (i == start || v > Int.MaxValue) None else Some(v.toInt)
+    }
+    val parsed = for {
+      w <- nextInt(); h <- nextInt(); maxval <- nextInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+      // exactly one whitespace byte separates header from raster
+      if i < bytes.length && isWs(bytes(i))
+    } yield (w, h, maxval)
+    parsed.flatMap { case (w, h, maxval) =>
+      i += 1
+      val n = w.toLong * h * channels
+      if (bytes.length - i < n) None // truncated raster
+      else {
+        val hist = new Array[Float](dim)
+        var p = i
+        val end = i + n.toInt
+        while (p < end) {
+          val b = bytes(p) & 0xff
+          val bin = math.min(dim - 1, b * dim / (maxval + 1))
+          hist(bin) += 1f
+          p += 1
+        }
+        Some((w, h, hist))
+      }
+    }
+  }
+
+  /** Real decoder: RIFF/WAVE, integer PCM (format tag 1), 8-bit unsigned
+    * or 16-bit signed little-endian. Walks the chunk list (chunks may
+    * appear in any order and carry pad bytes), requires a complete `fmt `
+    * and a `data` chunk within bounds. Returns `(duration_s, features)`:
+    * duration = frames / sampleRate, feature `j` = peak |amplitude| of
+    * channel 0 over the `j`-th of `dim` contiguous frame segments (a peak
+    * envelope — integer-exact in float32 for both sample widths). None on
+    * anything malformed. */
+  def decodeWav(bytes: Array[Byte], dim: Int): Option[(Double, Array[Float])] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes == null || bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, block, bits
+    var data: Option[(Int, Int)] = None // offset, length
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val sz = u32(off + 4)
+      if (sz < 0 || off + 8 + sz > bytes.length) return None
+      val body = off + 8
+      if (id == "fmt " && sz >= 16) {
+        if (u16(body) != 1) return None // PCM only
+        fmt = Some((u16(body + 2), u32(body + 4).toInt, u16(body + 12), u16(body + 14)))
+      } else if (id == "data") data = Some((body, sz.toInt))
+      off = body + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
+    }
+    for {
+      (channels, rate, block, bits) <- fmt
+      (dOff, dLen) <- data
+      if channels > 0 && rate > 0 && block == channels * (bits / 8) &&
+        (bits == 8 || bits == 16)
+    } yield {
+      val nFrames = dLen / block
+      val peaks = new Array[Float](dim)
+      var f = 0
+      while (f < nFrames) {
+        val o = dOff + f * block
+        val amp = if (bits == 8) math.abs((bytes(o) & 0xff) - 128)
+          else math.abs((bytes(o) & 0xff) | (bytes(o + 1).toInt << 8))
+        val seg = if (nFrames == 0) 0 else math.min(dim - 1, f.toLong * dim / nFrames).toInt
+        if (amp > peaks(seg)) peaks(seg) = amp.toFloat
+        f += 1
+      }
+      (nFrames.toDouble / rate, peaks)
+    }
+  }
+
+  /** Codec dispatch: real decode when the payload IS a supported public
+    * format (validated, not just sniffed), [[decodeStub]] otherwise. */
+  def decodeMedia(kind: String, content: Array[Byte], dim: Int): (Option[Int], Option[Int], Option[Double], Array[Float]) = {
+    val real: Option[(Option[Int], Option[Int], Option[Double], Array[Float])] =
+      decodePgm(content, dim).map { case (w, h, f) => (Some(w), Some(h), None, f) }
+        .orElse(decodeWav(content, dim).map { case (d, f) => (None, None, Some(d), f) })
+    real.getOrElse(decodeStub(kind, content, dim))
+  }
+
   /** Distributed decode/feature-extract: one streamed pass per partition.
     * Null payloads produce a feature row with empty features (kept, so
     * joins stay total). */
@@ -80,7 +199,7 @@ object Multimodal {
         val id = r.getLong(0)
         val kind = r.getString(1)
         val content = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-        val (w, h, d, f) = decodeStub(kind, content, dim)
+        val (w, h, d, f) = decodeMedia(kind, content, dim)
         Row(id, kind, (if (content == null) 0 else content.length).toLong,
           w.orNull, h.orNull, d.orNull, f)
       }

@@ -28,6 +28,88 @@ class MultimodalSpec extends SparkSpec {
       again.map(_.getSeq[Float](6).toList).toSeq)
   }
 
+  // --- real decoders -------------------------------------------------
+
+  private def pgm(header: String, pixels: Array[Int]): Array[Byte] =
+    header.getBytes("US-ASCII") ++ pixels.map(_.toByte)
+
+  test("decodePgm: P5 header parse + exact intensity histogram") {
+    // 2x2 gray: one pixel per dim-4 bin
+    val img = pgm("P5\n2 2\n255\n", Array(0, 64, 128, 255))
+    val Some((w, h, hist)) = Multimodal.decodePgm(img, dim = 4)
+    assert((w, h) == (2, 2))
+    assert(hist.toSeq == Seq(1f, 1f, 1f, 1f))
+    // comments + arbitrary whitespace are legal netpbm header grammar
+    val commented = pgm("P5 # a comment\n# another\n 2\t1 # w h\n15\n", Array(3, 15))
+    val Some((w2, h2, hist2)) = Multimodal.decodePgm(commented, dim = 4)
+    assert((w2, h2) == (2, 1))
+    // maxval 15: bins over [0,15] -> 3*4/16=0, 15*4/16=3
+    assert(hist2.toSeq == Seq(1f, 0f, 0f, 1f))
+  }
+
+  test("decodePgm: P6 counts every RGB sample; malformed inputs refuse") {
+    val rgb = pgm("P6\n1 2\n255\n", Array(0, 0, 0, 255, 255, 255))
+    val Some((w, h, hist)) = Multimodal.decodePgm(rgb, dim = 2)
+    assert((w, h) == (1, 2))
+    assert(hist.toSeq == Seq(3f, 3f))
+    assert(Multimodal.decodePgm(pgm("P5\n2 2\n255\n", Array(1, 2, 3)), 4).isEmpty,
+      "truncated raster must refuse")
+    assert(Multimodal.decodePgm("P7\n2 2\n255\n xxxx".getBytes, 4).isEmpty)
+    assert(Multimodal.decodePgm("plain text that is not an image".getBytes, 4).isEmpty)
+    assert(Multimodal.decodePgm(pgm("P5\n2 2\n70000\n", Array(1, 2, 3, 4)), 4).isEmpty,
+      "maxval > 255 (16-bit netpbm) is out of scope and must refuse")
+  }
+
+  private def wav(bits: Int, channels: Int, rate: Int, frames: Array[Int]): Array[Byte] = {
+    val bytesPerSample = bits / 8
+    val block = channels * bytesPerSample
+    val dataLen = frames.length * block
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(rate)
+    bb.putInt(rate * block); bb.putShort(block.toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    frames.foreach { s =>
+      (0 until channels).foreach { _ =>
+        if (bits == 8) bb.put((s + 128).toByte) else bb.putShort(s.toShort)
+      }
+    }
+    bb.array()
+  }
+
+  test("decodeWav: duration from fmt/data chunks, per-segment peak envelope") {
+    // 8-bit mono 8 kHz, 4 frames: centered amplitudes 0,0,100,-100
+    val w8 = wav(8, 1, 8000, Array(0, 0, 100, -100))
+    val Some((dur, peaks)) = Multimodal.decodeWav(w8, dim = 2)
+    assert(dur == 4.0 / 8000)
+    assert(peaks.toSeq == Seq(0f, 100f))
+    // 16-bit stereo 44.1 kHz (channel 0 read per frame)
+    val w16 = wav(16, 2, 44100, Array(0, -32768, 1000, 500))
+    val Some((dur16, peaks16)) = Multimodal.decodeWav(w16, dim = 2)
+    assert(dur16 == 4.0 / 44100)
+    assert(peaks16.toSeq == Seq(32768f, 1000f))
+    assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes, 2).isEmpty)
+    assert(Multimodal.decodeWav(w8.take(30), 2).isEmpty, "truncated chunk must refuse")
+  }
+
+  test("extractFeatures dispatches real decoders by content, stub otherwise") {
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, "image", pgm("P5\n3 1\n255\n", Array(10, 70, 200)), Map.empty[String, String]))
+    rows.add(Row(2L, "audio", wav(8, 1, 1000, Array(50, -50)), Map.empty[String, String]))
+    rows.add(Row(3L, "image", "not a real format".getBytes, Map.empty[String, String]))
+    val df = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(df, dim = 4).orderBy("media_id").collect()
+    assert(f(0).getAs[Int]("width") == 3 && f(0).getAs[Int]("height") == 1)
+    assert(f(0).getSeq[Float](6) == Seq(1f, 1f, 0f, 1f))
+    assert(f(1).getAs[Double]("duration_s") == 2.0 / 1000)
+    // 2 frames over 4 segments: frame 0 -> seg 0, frame 1 -> seg 2
+    assert(f(1).getSeq[Float](6) == Seq(50f, 0f, 50f, 0f))
+    // unrecognized payload falls back to the deterministic stub
+    assert(f(2).getAs[Int]("width") > 0 && f(2).getSeq[Float](6).length == 4)
+  }
+
   test("sampleFrames: one row per sampled frame, capped") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 2L),
       everyNth = 1, maxFrames = 2).collect()
