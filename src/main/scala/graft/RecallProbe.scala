@@ -86,6 +86,21 @@ object RecallProbe {
     truthWithCos.agg(avg(model(pCollide(col("cos"))))).head().getDouble(0)
 
   def main(args: Array[String]): Unit = {
+    // `runMain graft.RecallProbe leakage [dir...]` — just the streaming
+    // leakage row(s), without the (slow) full probe suite
+    if (args.headOption.contains("leakage")) {
+      val dirs = if (args.length > 1) args.drop(1).toSeq
+        else Seq("/root/testdata/sf0.1")
+      val spark = GraftSession.get("local[32]", 32)
+      println(s"| corpus | removable dups | admitted | rate | lost clusters |")
+      println("|---|---|---|---|---|")
+      dirs.foreach { d =>
+        val (removable, extras, rate, lost) = streamingDedupLeakage(spark, d)
+        println(f"| $d | $removable | $extras | $rate%.3f | $lost |")
+      }
+      spark.stop()
+      return
+    }
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val nQ = args.lift(1).map(_.toInt).getOrElse(200)
     val k = args.lift(2).map(_.toInt).getOrElse(10)
@@ -180,7 +195,49 @@ object RecallProbe {
           println(f"| capture | h<=$h | [${bin / 10.0}%.1f,${(bin + 1) / 10.0}%.1f) | $n | $meas%.3f | $pred%.3f |")
       }
     }
+    val (removable, extras, leakRate, lost) = streamingDedupLeakage(spark, dir)
+    println(s"\n| streaming near-dedup vs batch (q73 config) | removable dups | admitted | rate | lost clusters |")
+    println("|---|---|---|---|---|")
+    println(f"| leader-only state leakage | $removable | $extras | $leakRate%.3f | $lost |")
     spark.stop()
+  }
+
+  /** Streaming near-dedup leakage vs the batch ground truth — the cost
+    * of [[graft.streaming.StreamingDedup.nearDedupVerdicts]]'s
+    * leader-only state, measured at the RecallProbe standard: run q73's
+    * exact streaming config (3-shingles, 16 perms × 4 bands, est-Jaccard
+    * verify at 0.5) and the batch [[graft.dedup.Dedup.dedupByMinhash]]
+    * with the IDENTICAL config over the same corpus, then score the
+    * stream's survivor set against the batch clusters (the estimator is
+    * shared, so every disagreement is structural: leader-only state +
+    * arrival order, never minhash variance).
+    *
+    * Returns (removable, extras, admittedDupRate, lostClusters):
+    * `removable` = Σ (size−1) over batch clusters — the duplicates a
+    * perfect pass removes; `extras` = Σ max(0, survivors−1) — duplicates
+    * the stream ADMITTED (its leakage); `admittedDupRate` =
+    * extras/removable; `lostClusters` = clusters with ZERO streaming
+    * survivors (over-suppression — content lost, should be 0: a
+    * cluster's first arrival hits no leader of its own cluster). */
+  def streamingDedupLeakage(spark: SparkSession, dir: String): (Long, Long, Double, Long) = {
+    val stream = graft.streaming.StreamingDedup.runNear(spark, dir)
+      .select(col("doc_id"), col("survives"))
+    val batch = graft.dedup.Dedup.dedupByMinhash(
+      Tables.documents(spark, dir), "doc_id", "text",
+      n = 3, numPerm = 16, bands = 4, threshold = 0.5)
+      .select(col("id").as("doc_id"), col("cluster"))
+    val per = batch.join(stream, Seq("doc_id"))
+      .groupBy("cluster").agg(
+        count(lit(1)).as("size"),
+        sum(col("survives").cast("long")).as("n_surv"))
+    val r = per.agg(
+      coalesce(sum(when(col("size") > 1, col("size") - 1).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("size") > 1,
+        greatest(col("n_surv") - 1, lit(0L))).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("n_surv") === 0, 1L).otherwise(0L)), lit(0L))).head()
+    val (removable, extras, lost) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    (removable, extras,
+      if (removable == 0) 0.0 else extras.toDouble / removable, lost)
   }
 
   /** Exact pairwise shingle overlap ground truth for the TEXT dedup

@@ -154,4 +154,20 @@ class RecallSpec extends SparkSpec {
     assert(r255 >= 0.9, f"int8 (255-level) recall $r255%.3f below floor")
     assert(r255 >= r3, f"recall must not improve as levels drop: 255->$r255%.3f 3->$r3%.3f")
   }
+
+  test("streaming near-dedup leakage vs batch: no lost clusters, leak under floor") {
+    // q73's leader-only state vs batch dedupByMinhash at the identical
+    // config — every disagreement is structural (see
+    // RecallProbe.streamingDedupLeakage). Deterministic: parity spool
+    // order + md5 minhash. Measured standard (SCALE.md): sf0.001/sf0.01
+    // leak ZERO of 29 removable dups; sf0.1 admits 19/392 (4.8%). The
+    // spec pins the fixture corpus exactly and a 10% ceiling as the
+    // regression floor.
+    val (removable, extras, rate, lost) =
+      RecallProbe.streamingDedupLeakage(spark, sf())
+    assert(lost == 0, s"streaming must never suppress a whole cluster ($lost lost)")
+    assert(removable >= 20, s"fixture should contain real dup families, got $removable")
+    assert(extras == 0 && rate == 0.0,
+      f"sf0.001 leaks nothing in the measured standard; got $extras/$removable ($rate%.3f)")
+  }
 }
