@@ -27,6 +27,14 @@ object ScaleProbe {
       val which = args.lift(2).getOrElse("both")
       verifyOrder(spark, dir, factors, which); spark.stop(); return
     }
+    if (args.headOption.contains("sorted-contains")) {
+      // sorted-contains — micro-measure the boilerplate membership probe:
+      // per-line binary search (sorted_contains) vs linear array_contains
+      // against broadcast sets of growing size, over the sf0.1 corpus
+      // split to lines. The removeBoilerplate broadcast branch uses the
+      // former; this probe quantifies the ceiling the linear probe had.
+      sortedContainsProbe(spark, dir); spark.stop(); return
+    }
     def rep(df: DataFrame, n: Int, idCol: String): DataFrame =
       (0 until n).map(i => df.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L)))
         .reduce(_ unionByName _)
@@ -141,6 +149,48 @@ object ScaleProbe {
     * codegen cosine, dropDuplicates only on the ~sparse PASSING pairs).
     * Both orders return identical rows; the question is purely which
     * exchange is cheaper, and the answer feeds the library default. */
+  /** Membership-probe micro-bench: every sf0.1 corpus line probed against
+    * a broadcast sorted long array of `setSize` synthetic hashes, once
+    * with the linear `array_contains` and once with the codegen binary
+    * search `sorted_contains` (identical inputs, noop sink, median of 3).
+    * Set sizes bracket real boilerplate sets (10³–10⁵). */
+  private def sortedContainsProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    docs.count()
+    def probe(setSize: Int, sorted: Boolean): Double = {
+      val arr = sequence(lit(0L), lit(setSize.toLong - 1))
+        .cast("array<bigint>")
+      // synthetic sorted hash set as a 1-row broadcast frame, same shape
+      // as removeBoilerplate's __bp (xxhash64 values are ~uniform, so a
+      // 0..n-1 ramp probed by real hashes measures pure probe cost:
+      // essentially every lookup misses, the common case)
+      val bp = spark.range(1).select(arr.as("__bp"))
+      val lines = docs.crossJoin(broadcast(bp))
+        .withColumn("__lines", split(col("text"), "\\."))
+      val kept =
+        if (sorted)
+          lines.withColumn("__kept", filter(col("__lines"),
+            l => !graft.functions.VectorFunctions.sortedContains(col("__bp"), xxhash64(l))))
+        else
+          lines.withColumn("__kept", filter(col("__lines"),
+            l => !array_contains(col("__bp"), xxhash64(l))))
+      val reps = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        kept.select(col("doc_id"), size(col("__kept")).as("n"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t) / 1e9
+      }
+      reps.sorted.apply(1)
+    }
+    println("set_size,array_contains_s,sorted_contains_s")
+    for (n <- Seq(1000, 10000, 100000)) {
+      val lin = probe(n, sorted = false)
+      val bin = probe(n, sorted = true)
+      println(f"$n,$lin%.2f,$bin%.2f")
+    }
+  }
+
   private def verifyOrder(spark: org.apache.spark.sql.SparkSession, dir: String,
       factors: Seq[Int], which: String): Unit = {
     def time(f: => Unit): Double = {
