@@ -83,6 +83,16 @@ object Bench {
     // Queries with zero successful reps are published under "failed",
     // never under "queries" — absent/None, not a small number.
     val failed = suite.map(_.name).filter(n => times(n).isEmpty)
+    // Machine-noise marker: a >3x floor-to-ceiling spread across
+    // interleaved reps is contention, not plan variance — flag it so a
+    // consumer of the medians knows which round-over-round moves to
+    // discount (the r8 lesson: five phantom "regressions" were all in
+    // this band). min-of-reps is the contention-robust statistic; both
+    // are derivable from the reps arrays, the flag just makes it legible.
+    val noisy = suite.map(_.name).filter { n =>
+      val ts = times(n)
+      ts.length >= 2 && ts.min > 0 && ts.max / ts.min > 3.0
+    }
     // per-pass rep times on stderr for harness diagnosis (not part of
     // the one-line JSON contract on stdout)
     suite.foreach { q =>
@@ -156,8 +166,9 @@ object Bench {
         "\"" + n + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(c) + "}"
       }.mkString("{", ",", "}")
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
       val w = new java.io.PrintWriter(repsOut, "UTF-8")
-      try w.println(s"""{"sf":"$sfDir","failed":$failedJson,"reps":$repsJson,"moved_vs_prev":$movedJson}""")
+      try w.println(s"""{"sf":"$sfDir","failed":$failedJson,"noisy":$noisyJson,"reps":$repsJson,"moved_vs_prev":$movedJson}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] reps file: $e") }
     // Medians at 3 decimals: the driver's log capture keeps only the

@@ -193,6 +193,48 @@ object StreamingDedup {
     f.delete()
   }
 
+  /** Spool reuse across replays: the spool content is a pure function of
+    * the corpus dir, so rebuilding it on every run (a window + two
+    * parquet writes) only re-measures the harness — a bench rep pays it
+    * 5×. The spool lives under a dir keyed by the corpus path and
+    * carries a marker recording the source's size+mtime fingerprint; a
+    * matching marker skips the rebuild, a regenerated corpus (the r8
+    * lesson: same path, new data) misses and rebuilds. Checkpoint and
+    * sink dirs are NEVER reused — callers put them in a fresh run dir
+    * (a resumed checkpoint would emit nothing; a stale sink doubles rows). */
+  private def spoolFor(spark: SparkSession, dir: String, kind: String,
+      write: (SparkSession, String, File) => Unit): File = {
+    def fingerprint(f: File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(fingerprint).sorted.mkString(",")
+      else s"${f.length()}:${f.lastModified()}"
+    val src = new File(dir, "documents.parquet")
+    val stamp = s"$dir\n${fingerprint(src)}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xff}%02x").mkString
+    val base = new File(sys.props("java.io.tmpdir"), s"graft-$kind-$key")
+    val spool = new File(base, "spool")
+    val marker = new File(base, "spool.ok")
+    val fresh = marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath) == stamp
+    if (!fresh) {
+      rmTree(base); spool.mkdirs()
+      write(spark, dir, spool)
+      java.nio.file.Files.writeString(marker.toPath, stamp)
+    }
+    spool
+  }
+
+  /** Fresh per-run sink+checkpoint dir next to the (reused) spool;
+    * previous run dirs are swept first so tmp usage stays bounded. */
+  private def freshRunDir(spool: File): File = {
+    val base = spool.getParentFile
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("run-")).foreach(rmTree)
+    val d = new File(base, s"run-${System.nanoTime()}")
+    d.mkdirs(); d
+  }
+
   /** Spool `documents` as two parquet files so that consecutive members
     * of every duplicate family land in DIFFERENT files: rows are
     * numbered within their fingerprint family and alternate b1/b2, so a
@@ -223,20 +265,18 @@ object StreamingDedup {
     * proves per-key exactly-once emission ACROSS batch boundaries. */
   def run(spark: SparkSession, dir: String): DataFrame = {
     configureStateStore(spark)
-    val base = new File(sys.props("java.io.tmpdir"), "graft-q64")
-    rmTree(base)
-    val spool = new File(base, "spool"); spool.mkdirs()
-    writeSpool(spark, dir, spool)
+    val spool = spoolFor(spark, dir, "q64", writeSpool)
+    val runDir = freshRunDir(spool)
 
     val docs = spark.readStream.schema(SpoolSchema)
       .option("maxFilesPerTrigger", 1).parquet(spool.toString)
     val unique = exactDedup(keyed(docs, "text"), Seq("fingerprint"))
       .select("fingerprint", "norm_len")
-    val outDir = new File(base, "out")
+    val outDir = new File(runDir, "out")
     val q = unique.writeStream.format("parquet")
       .option("path", outDir.toString)
       .outputMode("append")
-      .option("checkpointLocation", new File(base, "ckpt").toString)
+      .option("checkpointLocation", new File(runDir, "ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
 
@@ -280,10 +320,8 @@ object StreamingDedup {
   def runNear(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     configureStateStore(spark)
-    val base = new File(sys.props("java.io.tmpdir"), "graft-q73")
-    rmTree(base)
-    val spool = new File(base, "spool"); spool.mkdirs()
-    writeParitySpool(spark, dir, spool)
+    val spool = spoolFor(spark, dir, "q73", writeParitySpool)
+    val runDir = freshRunDir(spool)
 
     val docs = spark.readStream.schema(SpoolSchema)
       .option("maxFilesPerTrigger", 1).parquet(spool.toString)
@@ -291,11 +329,11 @@ object StreamingDedup {
       bandArrivals(docs, "doc_id", "text", n = 3, numPerm = 16, bands = 4)
         .as[BandArrival],
       numPerm = 16, threshold = 0.5)
-    val outDir = new File(base, "out")
+    val outDir = new File(runDir, "out")
     val q = verdicts.toDF().writeStream.format("parquet")
       .option("path", outDir.toString)
       .outputMode("append")
-      .option("checkpointLocation", new File(base, "ckpt").toString)
+      .option("checkpointLocation", new File(runDir, "ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
 
