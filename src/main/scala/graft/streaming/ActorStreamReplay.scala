@@ -58,10 +58,11 @@ object ActorStreamReplay {
     "status" -> KeyDef(Seq(ActorReplies.StringType())),
     "motion" -> KeyDef(Seq(PvtType()))))
 
-  private def rmTree(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete()
-  }
+  /** Connection-count knob — see the scale note inside [[writeSpool]].
+    * Surfaced here because the spool content depends on it, so it is
+    * part of the spool-reuse stamp. */
+  private def connCount: Int = sys.env.get("SPARK_GRAFT_Q52_CONNS").map(_.toInt)
+    .getOrElse(math.max(32, Runtime.getRuntime.availableProcessors()))
 
   /** Synthesize reply lines from `events` and spool them as chunk parquet:
     * one file per micro-batch; the second file holds the tail half of each
@@ -96,8 +97,7 @@ object ActorStreamReplay {
     // a real deployment fans in more sources; the query's OUTPUT is
     // connection-count-invariant (conn only partitions reassembly), so
     // the oracle needs no retuning when the bench scales it.
-    val conns = sys.env.get("SPARK_GRAFT_Q52_CONNS").map(_.toInt)
-      .getOrElse(math.max(32, Runtime.getRuntime.availableProcessors()))
+    val conns = connCount
     val wRank = Window.partitionBy(col("conn")).orderBy(col("id"))
     val numbered = e
       .select(concat(lit("c"), (col("u") % conns).cast("string")).as("conn"),
@@ -140,10 +140,11 @@ object ActorStreamReplay {
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = new File(sys.props("java.io.tmpdir"), "graft-q52")
-    rmTree(base)
-    val spool = new File(base, "spool"); spool.mkdirs()
-    writeSpool(spark, dir, spool)
+    // spool reused across runs (content-keyed on events.parquet + conns);
+    // checkpoint/sink always land in a fresh swept run dir
+    val spool = ReplayScaffold.spoolFor(spark, dir, "q52",
+      "events.parquet", s"conns=$connCount", writeSpool)
+    val runDir = ReplayScaffold.freshRunDir(spool)
 
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
     val chunks = spark.readStream.schema(ChunkSchema)
@@ -159,11 +160,11 @@ object ActorStreamReplay {
     // the driver and its table executes as a SINGLE-partition local scan,
     // which made the readback+sort ~46 s at sf0.1; the parquet observer is
     // also the production path (sinks/TelemetrySink).
-    val outDir = new File(base, "out")
+    val outDir = new File(runDir, "out")
     val q = points.writeStream.format("parquet")
       .option("path", outDir.toString)
       .outputMode("append")
-      .option("checkpointLocation", new File(base, "ckpt").toString)
+      .option("checkpointLocation", new File(runDir, "ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
 

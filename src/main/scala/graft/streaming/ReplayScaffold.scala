@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.io.File
+import org.apache.spark.sql.SparkSession
+
+/** Shared scaffold for the streaming replay harnesses (q52/q64/q73):
+  * spool reuse + fresh per-run sink/checkpoint dirs.
+  *
+  * A replay spool is a pure function of (corpus dir, generator config),
+  * so rebuilding it on every run only re-measures the harness — a bench
+  * rep pays the generator 5×. The spool lives under a dir keyed by the
+  * corpus path and carries a marker recording the SOURCE parquet's
+  * size+mtime fingerprint plus the generator's config stamp; a matching
+  * marker skips the rebuild, while a regenerated corpus under the same
+  * path (the r8 lesson) or a changed config misses and rebuilds.
+  *
+  * Checkpoints and sinks are NEVER reused — [[freshRunDir]] sweeps old
+  * run dirs and hands out a new one, so streaming state can never
+  * resume stale (a resumed checkpoint would emit nothing; a stale sink
+  * would double rows). */
+object ReplayScaffold {
+
+  def rmTree(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete()
+  }
+
+  /** Build-or-reuse the spool for `kind` over `dir`, fingerprinting
+    * `dir/sourceFile` and `extraStamp` (generator knobs that change the
+    * spool content — e.g. q52's connection count). */
+  def spoolFor(spark: SparkSession, dir: String, kind: String,
+      sourceFile: String, extraStamp: String,
+      write: (SparkSession, String, File) => Unit): File = {
+    def fingerprint(f: File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(fingerprint).sorted.mkString(",")
+      else s"${f.length()}:${f.lastModified()}"
+    val src = new File(dir, sourceFile)
+    val stamp = s"$dir\n${fingerprint(src)}\n$extraStamp"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xff}%02x").mkString
+    val base = new File(sys.props("java.io.tmpdir"), s"graft-$kind-$key")
+    val spool = new File(base, "spool")
+    val marker = new File(base, "spool.ok")
+    val fresh = marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath) == stamp
+    if (!fresh) {
+      rmTree(base); spool.mkdirs()
+      write(spark, dir, spool)
+      java.nio.file.Files.writeString(marker.toPath, stamp)
+    }
+    spool
+  }
+
+  /** Fresh per-run sink+checkpoint dir next to the (reused) spool;
+    * previous run dirs are swept first so tmp usage stays bounded. */
+  def freshRunDir(spool: File): File = {
+    val base = spool.getParentFile
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("run-")).foreach(rmTree)
+    val d = new File(base, s"run-${System.nanoTime()}")
+    d.mkdirs(); d
+  }
+}

@@ -188,52 +188,12 @@ object StreamingDedup {
   private val SpoolSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
-  private def rmTree(f: File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete()
-  }
-
-  /** Spool reuse across replays: the spool content is a pure function of
-    * the corpus dir, so rebuilding it on every run (a window + two
-    * parquet writes) only re-measures the harness — a bench rep pays it
-    * 5×. The spool lives under a dir keyed by the corpus path and
-    * carries a marker recording the source's size+mtime fingerprint; a
-    * matching marker skips the rebuild, a regenerated corpus (the r8
-    * lesson: same path, new data) misses and rebuilds. Checkpoint and
-    * sink dirs are NEVER reused — callers put them in a fresh run dir
-    * (a resumed checkpoint would emit nothing; a stale sink doubles rows). */
+  // spool reuse + fresh run dirs: shared scaffold, see ReplayScaffold
   private def spoolFor(spark: SparkSession, dir: String, kind: String,
-      write: (SparkSession, String, File) => Unit): File = {
-    def fingerprint(f: File): String =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).map(fingerprint).sorted.mkString(",")
-      else s"${f.length()}:${f.lastModified()}"
-    val src = new File(dir, "documents.parquet")
-    val stamp = s"$dir\n${fingerprint(src)}"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xff}%02x").mkString
-    val base = new File(sys.props("java.io.tmpdir"), s"graft-$kind-$key")
-    val spool = new File(base, "spool")
-    val marker = new File(base, "spool.ok")
-    val fresh = marker.exists() &&
-      java.nio.file.Files.readString(marker.toPath) == stamp
-    if (!fresh) {
-      rmTree(base); spool.mkdirs()
-      write(spark, dir, spool)
-      java.nio.file.Files.writeString(marker.toPath, stamp)
-    }
-    spool
-  }
+      write: (SparkSession, String, File) => Unit): File =
+    ReplayScaffold.spoolFor(spark, dir, kind, "documents.parquet", "", write)
 
-  /** Fresh per-run sink+checkpoint dir next to the (reused) spool;
-    * previous run dirs are swept first so tmp usage stays bounded. */
-  private def freshRunDir(spool: File): File = {
-    val base = spool.getParentFile
-    Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("run-")).foreach(rmTree)
-    val d = new File(base, s"run-${System.nanoTime()}")
-    d.mkdirs(); d
-  }
+  private def freshRunDir(spool: File): File = ReplayScaffold.freshRunDir(spool)
 
   /** Spool `documents` as two parquet files so that consecutive members
     * of every duplicate family land in DIFFERENT files: rows are
