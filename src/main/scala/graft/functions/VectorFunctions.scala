@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, QuantizeMse, SortedContainsLong}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PunctCount, QuantizeMse, SortedContainsLong, SubwordCount}
 
 /** Public facade for the codegen'd vector/fingerprint expressions
   * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
@@ -42,6 +42,12 @@ object VectorFunctions {
       (children: Seq[Expression]) => MinhashSig(children(0),
         children(1).eval().asInstanceOf[Number].intValue(),
         children(2).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("subword_count"),
+      new ExpressionInfo(classOf[SubwordCount].getName, "subword_count"),
+      (children: Seq[Expression]) => SubwordCount(children(0))),
+    (FunctionIdentifier("punct_count"),
+      new ExpressionInfo(classOf[PunctCount].getName, "punct_count"),
+      (children: Seq[Expression]) => PunctCount(children(0))),
     (FunctionIdentifier("sorted_contains"),
       new ExpressionInfo(classOf[SortedContainsLong].getName, "sorted_contains"),
       (children: Seq[Expression]) => SortedContainsLong(children(0), children(1))),

@@ -18,15 +18,16 @@ object TextStats {
 
   /** BPE-ish subword count estimate: alphanumeric runs count as one piece
     * each, every other non-space character as its own piece (a cheap,
-    * deterministic proxy for a real tokenizer's token count). RE2-safe
-    * pattern (no lookaround) so external engines can replay it, and
-    * `regexp_extract_all` stays inside codegen. */
+    * deterministic proxy for a real tokenizer's token count). The
+    * SEMANTICS are this RE2-safe pattern (the oracle replays it with
+    * `regexp_extract_all`); the EXECUTION is the codegen `subword_count`
+    * byte-walk (org.apache.spark.sql.graft.SubwordCount) — the regex NFA
+    * made the strictly data-linear q46 the suite's slowest 16× query, a
+    * per-codepoint branch runs it at scan speed. Spec-pinned equal to
+    * the regex formulation (OperatorsSpec). */
   val SubwordPattern = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
   def subwordCount(text: Column): Column =
-    // regexp_count, not size(regexp_extract_all(...)): counting must not
-    // materialize an array of every match — at 16x corpus the array
-    // allocation dominated q46 (the suite's worst scaler)
-    regexp_count(text, lit(SubwordPattern))
+    call_function("subword_count", text)
 
   /** Lexical diversity from a precomputed token array. */
   def lexicalDiversityW(t: Column): Column =
@@ -52,10 +53,13 @@ object TextStats {
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
     stopwordRatioW(tokens(text), stopwords)
 
-  /** Non-alphanumeric character ratio. */
+  /** Non-alphanumeric character ratio. Semantics: codepoints matching
+    * `[^a-z0-9 ]` over total codepoints (callers lowercase first);
+    * execution is the codegen `punct_count` byte-walk rather than
+    * length-minus-length-of-`regexp_replace`, which materialized a
+    * stripped copy of every document. */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))).cast("double") /
-      length(text)
+    call_function("punct_count", text).cast("double") / length(text)
 
   /** Per-language marker-word score: how many tokens are in the language's
     * marker list. Used by [[languageId]]. */

@@ -48,6 +48,88 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Static call targets for [[SubwordCount]]/[[PunctCount]]: one
+  * straight-line UTF-8 byte walk per row, replacing the regex engine.
+  * Multi-byte codepoints are skipped via their lead byte (continuation
+  * bytes never re-enter the loop), counting one piece per CODEPOINT —
+  * the same unit java.util.regex and RE2 character classes match on, so
+  * parity with the regex formulations is exact. */
+object TextCountStatics {
+  /** Matches of `[A-Za-z0-9]+|[^A-Za-z0-9 ]` (TextStats.SubwordPattern):
+    * each ASCII-alphanumeric run counts once, every other non-space
+    * codepoint counts by itself. */
+  def subwords(s: UTF8String): Int = {
+    val n = s.numBytes; var i = 0; var count = 0; var inRun = false
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) { // ASCII
+        val alnum = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+          (b >= '0' && b <= '9')
+        if (alnum) { if (!inRun) { count += 1; inRun = true } }
+        else { inRun = false; if (b != ' ') count += 1 }
+        i += 1
+      } else {
+        inRun = false; count += 1
+        i += UTF8String.numBytesForFirstByte(b)
+      }
+    }
+    count
+  }
+
+  /** Codepoints matching `[^a-z0-9 ]` — the numerator of
+    * TextStats.punctRatio's regex_replace formulation (which lowercases
+    * first, hence no A-Z arm). */
+  def punct(s: UTF8String): Int = {
+    val n = s.numBytes; var i = 0; var count = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 0) {
+        val keep = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || b == ' '
+        if (!keep) count += 1
+        i += 1
+      } else {
+        count += 1
+        i += UTF8String.numBytesForFirstByte(b)
+      }
+    }
+    count
+  }
+}
+
+/** Codegen'd subword count — `regexp_count(text, SubwordPattern)`
+  * semantics at byte-walk speed (the regex NFA was q46's whole cost;
+  * the suite's most data-linear query is exactly the one that should
+  * run at scan speed). Null in → null out. */
+case class SubwordCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "subword_count"
+  override protected def nullSafeEval(s: Any): Any =
+    TextCountStatics.subwords(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.TextCountStatics.subwords($s)")
+  override protected def withNewChildInternal(newChild: Expression): SubwordCount =
+    copy(child = newChild)
+}
+
+/** Codegen'd count of codepoints outside `[a-z0-9 ]` — the punct-ratio
+  * numerator without materializing a stripped copy of the string. */
+case class PunctCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "punct_count"
+  override protected def nullSafeEval(s: Any): Any =
+    TextCountStatics.punct(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.TextCountStatics.punct($s)")
+  override protected def withNewChildInternal(newChild: Expression): PunctCount =
+    copy(child = newChild)
+}
+
 /** Static call target for [[MinhashSig.doGenCode]]. Bit-identical to the
   * column pipeline `minhashFromHashes(hashedShingles(text, n), numPerm)`
   * (graft.dedup.Dedup) and to the aggregate shape `withMinhashSignature`

@@ -85,4 +85,30 @@ class OperatorsSpec extends SparkSpec {
     // hello , [space] world42 ! -> nonempty pieces: hello, ",", "world42", "!"
     assert(n == 4)
   }
+
+  test("subword_count/punct_count byte-walks equal the regex formulations") {
+    // edge inventory: empty, all-space, runs at both ends, tabs/newlines
+    // (non-space punct), digits, multi-byte codepoints (é, 中, emoji
+    // surrogate pair), mixed
+    val fixtures = Seq("", " ", "   ", "abc", "a b", ",,a,,", "a1b2", "tab\there",
+      "nl\nthere", "café touché", "中文 abc", "x😀y", "é", "!@# $%^")
+    val df = fixtures.toDF("t")
+    val cmpSub = df.select(
+      TextStats.subwordCount(col("t")).as("fast"),
+      regexp_count(col("t"), lit(TextStats.SubwordPattern)).as("rx")).collect()
+    cmpSub.zip(fixtures).foreach { case (r, s) =>
+      assert(r.getInt(0) == r.getInt(1), s"subwords('$s'): ${r.getInt(0)} vs regex ${r.getInt(1)}")
+    }
+    // punct ratio divides by length — both formulations reject the empty
+    // string identically under ANSI, so compare on non-empty inputs
+    val cmpP = df.filter(length(col("t")) > 0).select(col("t"),
+      TextStats.punctRatio(lower(col("t"))).as("fastp"),
+      ((length(lower(col("t"))) -
+        length(regexp_replace(lower(col("t")), "[^a-z0-9 ]", ""))).cast("double") /
+        length(lower(col("t")))).as("rxp")).collect()
+    cmpP.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"punct('${r.getString(0)}'): ${r.getDouble(1)} vs regex ${r.getDouble(2)}")
+    }
+  }
 }
