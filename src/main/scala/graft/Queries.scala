@@ -885,7 +885,11 @@ object Queries {
         col("doc_id").as("media_id"), lit("image").as("kind"),
         col("text").cast("binary").as("content"),
         map(lit("src"), lit("documents")).as("meta"))
-      graft.multimodal.Multimodal.extractFeatures(media, dim = 4)
+      // codec pinned to the stub: this query's oracle replays the md5
+      // stub, and a future document that happens to parse as netpbm/WAV
+      // must not flip it to a real decode (q41b owns the real path)
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 4,
+          codec = graft.multimodal.Multimodal.decodeStub)
         .select(col("media_id"), col("n_bytes"), col("width"), col("height"),
           element_at(col("features"), 1).cast("double").as("f0"))
         .orderBy("media_id")
@@ -910,13 +914,20 @@ object Queries {
   // hash match proves the decoder read actual pixels, not metadata.
   val q41b_multimodal_decode = Q("q41b_multimodal_decode",
     (s, dir) => {
+      // BYTE-safe construction: the decoder parses raw UTF-8 bytes while
+      // SQL length()/ord() count CHARACTERS, so the raster is built from
+      // an ASCII projection of the text (printable range only, 'x' if
+      // that leaves nothing) — chars == bytes by construction, and both
+      // engines replay the projection identically on any future corpus.
       val media = documents(s, dir)
-        .withColumn("l", length(col("text")))
+        .withColumn("a", regexp_replace(col("text"), "[^ -~]", ""))
+        .withColumn("a", when(length(col("a")) === 0, lit("x")).otherwise(col("a")))
+        .withColumn("l", length(col("a")))
         .withColumn("w", (col("l") % 29 + 4).cast("int"))
         .withColumn("h", (col("l") % 13 + 3).cast("int"))
         .withColumn("npix", col("w") * col("h"))
         .withColumn("payload",
-          expr("substring(repeat(text, int(ceil(double(npix)/double(l)))), 1, npix)"))
+          expr("substring(repeat(a, int(ceil(double(npix)/double(l)))), 1, npix)"))
         .select(col("doc_id").as("media_id"), lit("image").as("kind"),
           concat(
             concat(lit("P5\n"), col("w").cast("string"), lit(" "),
@@ -932,13 +943,18 @@ object Queries {
         .orderBy("media_id")
     },
     Some("""
-      WITH d AS (
-        SELECT doc_id AS media_id, text, length(text) AS l,
-          ((length(text) % 29) + 4) AS w, ((length(text) % 13) + 3) AS h
+      WITH d0 AS (
+        SELECT doc_id AS media_id,
+          CASE WHEN length(regexp_replace(text, '[^ -~]', '', 'g')) = 0 THEN 'x'
+               ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS a
         FROM documents),
+      d AS (
+        SELECT media_id, a, length(a) AS l,
+          ((length(a) % 29) + 4) AS w, ((length(a) % 13) + 3) AS h
+        FROM d0),
       p AS (
         SELECT media_id, w, h,
-          substr(repeat(text, CAST(ceil(CAST(w*h AS DOUBLE)/l) AS INTEGER)), 1, w*h) AS payload
+          substr(repeat(a, CAST(ceil(CAST(w*h AS DOUBLE)/l) AS INTEGER)), 1, w*h) AS payload
         FROM d),
       b AS (
         SELECT media_id, w, h,

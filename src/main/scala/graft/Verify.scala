@@ -74,6 +74,10 @@ object Verify {
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/errors.json"), json)
       System.err.println(s"[verify] ${failures.size}/${selected.size} queries FAILED: ${failures.keys.toSeq.sorted.mkString(",")}")
+    } else {
+      // a clean rerun into the same outDir must not leave last run's
+      // failure report behind
+      Files.deleteIfExists(Paths.get(s"$outDir/errors.json"))
     }
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -190,8 +190,13 @@ object Multimodal {
 
   /** Distributed decode/feature-extract: one streamed pass per partition.
     * Null payloads produce a feature row with empty features (kept, so
-    * joins stay total). */
-  def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+    * joins stay total). `codec` defaults to the real-first dispatch
+    * ([[decodeMedia]]); pass [[decodeStub]] to pin the deterministic
+    * stub regardless of payload content — a pipeline whose oracle
+    * replays the stub must not silently flip to a real decode when a
+    * payload happens to parse as netpbm/WAV. */
+  def extractFeatures(media: DataFrame, dim: Int = 8,
+      codec: (String, Array[Byte], Int) => (Option[Int], Option[Int], Option[Double], Array[Float]) = decodeMedia): DataFrame = {
     val spark = media.sparkSession
     val encoder = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select("media_id", "kind", "content").mapPartitions { it =>
@@ -199,7 +204,7 @@ object Multimodal {
         val id = r.getLong(0)
         val kind = r.getString(1)
         val content = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-        val (w, h, d, f) = decodeMedia(kind, content, dim)
+        val (w, h, d, f) = codec(kind, content, dim)
         Row(id, kind, (if (content == null) 0 else content.length).toLong,
           w.orNull, h.orNull, d.orNull, f)
       }

@@ -48,7 +48,10 @@ object SaltedJoin {
       fanInCol: String, headFanIn: Long): DataFrame = {
     require(headFanIn > 0)
     val head = stats.filter(col(fanInCol) > headFanIn)
-    val tail = stats.filter(col(fanInCol) <= headFanIn)
+    // NULL fan-in routes to the TAIL (plain-join identity requires every
+    // stats row to land on exactly one side; a three-valued `<=` alone
+    // would drop NULL-fan-in keys from both)
+    val tail = stats.filter(col(fanInCol) <= headFanIn || col(fanInCol).isNull)
     rows.join(tail, Seq(key))
       .unionByName(rows.join(broadcast(head), Seq(key)))
   }

@@ -31,10 +31,12 @@ object ReplayScaffold {
   def spoolFor(spark: SparkSession, dir: String, kind: String,
       sourceFile: String, extraStamp: String,
       write: (SparkSession, String, File) => Unit): File = {
+    // names are part of the fingerprint: two part files swapping contents
+    // at equal sizes within one mtime tick must still miss the marker
     def fingerprint(f: File): String =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).map(fingerprint).sorted.mkString(",")
-      else s"${f.length()}:${f.lastModified()}"
+      else s"${f.getName}=${f.length()}:${f.lastModified()}"
     val src = new File(dir, sourceFile)
     val stamp = s"$dir\n${fingerprint(src)}\n$extraStamp"
     val key = java.security.MessageDigest.getInstance("MD5")

@@ -274,6 +274,10 @@ case class SortedContainsLong(left: Expression, right: Expression)
     var found = false
     while (lo <= hi && !found) {
       val mid = (lo + hi) >>> 1
+      // binary search over nulls has no defined order — fail loud, never
+      // return a garbage membership answer
+      if (xs.isNullAt(mid))
+        throw new IllegalArgumentException("sorted_contains: null array element")
       val v = xs.getLong(mid)
       if (v == key) found = true
       else if (v < key) lo = mid + 1
@@ -293,6 +297,9 @@ case class SortedContainsLong(left: Expression, right: Expression)
          |${ev.value} = false;
          |while ($lo <= $hi) {
          |  final int $mid = ($lo + $hi) >>> 1;
+         |  if ($a.isNullAt($mid)) {
+         |    throw new IllegalArgumentException("sorted_contains: null array element");
+         |  }
          |  final long $v = $a.getLong($mid);
          |  if ($v == $b) { ${ev.value} = true; break; }
          |  else if ($v < $b) { $lo = $mid + 1; }
