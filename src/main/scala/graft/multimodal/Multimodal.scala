@@ -83,7 +83,10 @@ object Multimodal {
     * `[0, maxval]` — an intensity histogram, integer-exact in float32 so
     * oracles replay it bit-for-bit. None (→ caller falls back to the
     * stub) on any malformed/truncated input. */
-  def decodePgm(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] = {
+  /** Parsed binary-netpbm header: channels (1 = P5 gray, 3 = P6 RGB),
+    * dimensions, maxval, and the raster's byte offset. None on anything
+    * that is not a complete, in-bounds P5/P6 with maxval ≤ 255. */
+  private[multimodal] def parseNetpbm(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
     val channels = bytes(1) match {
       case '5' => 1
@@ -105,30 +108,57 @@ object Multimodal {
       }
       if (i == start || v > Int.MaxValue) None else Some(v.toInt)
     }
-    val parsed = for {
+    for {
       w <- nextInt(); h <- nextInt(); maxval <- nextInt()
       if w > 0 && h > 0 && maxval > 0 && maxval <= 255
       // exactly one whitespace byte separates header from raster
       if i < bytes.length && isWs(bytes(i))
-    } yield (w, h, maxval)
-    parsed.flatMap { case (w, h, maxval) =>
-      i += 1
-      val n = w.toLong * h * channels
-      if (bytes.length - i < n) None // truncated raster
-      else {
-        val hist = new Array[Float](dim)
-        var p = i
-        val end = i + n.toInt
-        while (p < end) {
-          val b = bytes(p) & 0xff
-          val bin = math.min(dim - 1, b * dim / (maxval + 1))
-          hist(bin) += 1f
-          p += 1
-        }
-        Some((w, h, hist))
-      }
-    }
+      if bytes.length - (i + 1) >= w.toLong * h * channels // raster in bounds
+    } yield (channels, w, h, maxval, i + 1)
   }
+
+  def decodePgm(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
+    parseNetpbm(bytes).map { case (channels, w, h, maxval, off) =>
+      val hist = new Array[Float](dim)
+      var p = off
+      val end = off + w * h * channels
+      while (p < end) {
+        val b = bytes(p) & 0xff
+        val bin = math.min(dim - 1, b * dim / (maxval + 1))
+        hist(bin) += 1f
+        p += 1
+      }
+      (w, h, hist)
+    }
+
+  /** REAL nearest-neighbor resample of a binary netpbm payload to
+    * `targetW × targetH` (source pixel `(x·w/tw, y·h/th)`, floor — the
+    * standard NN kernel), re-encoded in the same format (P5/P6, same
+    * maxval). None for non-netpbm payloads (→ caller falls back to the
+    * stub truncation). Pure per-row CPU: O(tw·th·channels) writes with
+    * no intermediate decode buffer. */
+  def resizePgm(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+    parseNetpbm(bytes).map { case (channels, w, h, maxval, off) =>
+      val header = s"P${if (channels == 1) '5' else '6'}\n$targetW $targetH\n$maxval\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + targetW * targetH * channels)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var o = header.length
+      var y = 0
+      while (y < targetH) {
+        val sy = (y.toLong * h / targetH).toInt
+        var x = 0
+        while (x < targetW) {
+          val sx = (x.toLong * w / targetW).toInt
+          val src = off + (sy * w + sx) * channels
+          var c = 0
+          while (c < channels) { out(o) = bytes(src + c); o += 1; c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
 
   /** Real decoder: RIFF/WAVE, integer PCM (format tag 1), 8-bit unsigned
     * or 16-bit signed little-endian. Walks the chunk list (chunks may
@@ -211,14 +241,16 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Resize plumbing for images: per-item transform producing a new
-    * payload + target dimensions, streamed per partition like
-    * [[extractFeatures]]. The pixel math is the STUB (real resize = swap
-    * the body for an image lib call; schema, null handling and batch
-    * shape stay fixed): the stub payload is the first
-    * `min(n, targetW*targetH)` input bytes, deterministic so tests can
-    * assert exact output. Non-image rows pass through untouched with
-    * null target dims — resize composes with mixed-kind media tables. */
+  /** Resize for images: per-item transform producing a new payload +
+    * target dimensions, streamed per partition like [[extractFeatures]].
+    * A payload that parses as binary netpbm gets the REAL
+    * nearest-neighbor resample ([[resizePgm]] — actual pixels move);
+    * any other payload falls back to the deterministic stub truncation
+    * (first `min(n, targetW*targetH)` bytes), so the op stays total on
+    * mixed/opaque media and a deployment swaps richer codecs in at the
+    * same seam as [[decodeMedia]]. Non-image rows pass through untouched
+    * with null target dims — resize composes with mixed-kind media
+    * tables. */
   def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -233,7 +265,9 @@ object Multimodal {
         val kind = r.getString(1)
         val content = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
         if (kind != "image" || content == null) Row(id, kind, content, null, null)
-        else Row(id, kind, content.take(math.min(content.length, targetW * targetH)),
+        else Row(id, kind,
+          resizePgm(content, targetW, targetH)
+            .getOrElse(content.take(math.min(content.length, targetW * targetH))),
           targetW, targetH)
       }
     }(encoder)

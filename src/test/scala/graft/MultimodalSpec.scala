@@ -110,6 +110,39 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).getAs[Int]("width") > 0 && f(2).getSeq[Float](6).length == 4)
   }
 
+  test("resizePgm: real nearest-neighbor resample, exact pixels, format-preserving") {
+    // 2x2 gray quadrants upsampled to 4x4: each source pixel becomes 2x2
+    val img = pgm("P5\n2 2\n255\n", Array(10, 20, 30, 40))
+    val Some(up) = Multimodal.resizePgm(img, 4, 4)
+    val Some((w, h, _)) = Multimodal.decodePgm(up, 4)
+    assert((w, h) == (4, 4))
+    val raster = up.drop(up.length - 16).map(_ & 0xff).toSeq
+    assert(raster == Seq(10, 10, 20, 20, 10, 10, 20, 20,
+      30, 30, 40, 40, 30, 30, 40, 40))
+    // 4x1 downsampled to 2x1 picks source columns 0 and 2 (floor NN)
+    val wide = pgm("P5\n4 1\n255\n", Array(1, 2, 3, 4))
+    val Some(down) = Multimodal.resizePgm(wide, 2, 1)
+    assert(down.drop(down.length - 2).map(_ & 0xff).toSeq == Seq(1, 3))
+    // P6 keeps channel triplets together
+    val rgb = pgm("P6\n2 1\n255\n", Array(1, 2, 3, 4, 5, 6))
+    val Some(rgbUp) = Multimodal.resizePgm(rgb, 4, 1)
+    assert(rgbUp.drop(rgbUp.length - 12).map(_ & 0xff).toSeq ==
+      Seq(1, 2, 3, 1, 2, 3, 4, 5, 6, 4, 5, 6))
+    assert(Multimodal.resizePgm("not an image".getBytes, 2, 2).isEmpty)
+  }
+
+  test("resizeImages dispatches the real resample for netpbm, stub truncation otherwise") {
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, "image", pgm("P5\n2 2\n255\n", Array(10, 20, 30, 40)), Map.empty[String, String]))
+    rows.add(Row(2L, "image", "opaquejpegbytes".getBytes, Map.empty[String, String]))
+    val df = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val r = Multimodal.resizeImages(df, 4, 4).orderBy("media_id").collect()
+    val real = r(0).getAs[Array[Byte]]("content")
+    assert(Multimodal.decodePgm(real, 4).exists { case (w, h, _) => (w, h) == (4, 4) })
+    assert(r(1).getAs[Array[Byte]]("content").toSeq ==
+      "opaquejpegbytes".getBytes.take(16).toSeq)
+  }
+
   test("sampleFrames: one row per sampled frame, capped") {
     val frames = Multimodal.sampleFrames(media.filter(col("media_id") === 2L),
       everyNth = 1, maxFrames = 2).collect()
