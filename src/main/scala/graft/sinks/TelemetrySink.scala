@@ -9,7 +9,10 @@ import graft.model.Point
   * — the Spark form of the reference's InfluxDB observer (K2,
   * cerebro/observer.py:67-130), with the idempotence contract SURVEY.md §4
   * requires: at-least-once upstream delivery is forgiven by deduping on
-  * (measurement, tags, time) within each batch; the STREAMING path
+  * (measurement, tags, fields, time) within each batch — fields included
+  * so same-series-same-timestamp points with distinct field sets (one
+  * device poll fanning out to many channel points) are data, not
+  * replays; the STREAMING path
   * ([[start]]) is exactly-once end-to-end because each micro-batch lands
   * in its own `__batch=<id>` partition via dynamic partition OVERWRITE —
   * a replayed batch (failure between the append and the checkpoint
@@ -34,8 +37,19 @@ object TelemetrySink {
       map_entries(coalesce(tags, map())),
       e => concat(e.getField("key"), lit("="), e.getField("value")))))
 
+  /** Canonical serialization of BOTH field maps, for the idempotence key.
+    * Fields are part of the key because at-least-once delivery replays
+    * IDENTICAL rows — two points on the same series+timestamp with
+    * DIFFERENT fields are distinct data (InfluxDB would merge their field
+    * sets on one row; our point-per-row model keeps both rows and readers
+    * merge downstream), e.g. the 16 thermistor channel points a single
+    * ADAM poll emits with one shared tag set (lvm.py:400-418). */
+  def canonicalFields(fields: org.apache.spark.sql.Column,
+      fieldsStr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(canonicalTags(fields), lit("|"), canonicalTags(fieldsStr))
+
   /** Write one batch: dedup on the idempotence key (measurement, tags,
-    * time), default the bucket, append partitioned files. For batch
+    * fields, time), default the bucket, append partitioned files. For batch
     * backfill (K3, `ingest_dataframe_to_influxdb`, tools.py:345-411);
     * the streaming sink goes through [[writeBatchIdempotent]] instead.
     *
@@ -65,8 +79,10 @@ object TelemetrySink {
     batch
       .withColumn(Point.Bucket, coalesce(col(Point.Bucket), lit(defaultBucket)))
       .withColumn("__tags_key", canonicalTags(col(Point.Tags)))
-      .dropDuplicates(Seq(Point.Measurement, "__tags_key", Point.Time))
-      .drop("__tags_key")
+      .withColumn("__fields_key",
+        canonicalFields(col(Point.Fields), col(Point.FieldsStr)))
+      .dropDuplicates(Seq(Point.Measurement, "__tags_key", "__fields_key", Point.Time))
+      .drop("__tags_key", "__fields_key")
 
   /** Exactly-once micro-batch commit: the batch id becomes a leaf
     * partition column and the write is a DYNAMIC partition overwrite, so
@@ -89,7 +105,7 @@ object TelemetrySink {
   /** Read-side half of the at-least-once contract (SURVEY §4): scan a
     * store written by [[writeBatch]]/[[writeBatchIdempotent]] and
     * collapse duplicates ACROSS `__batch` leaves on the idempotence key
-    * (measurement, canonical tags, time) — overlapping backfill re-runs
+    * (measurement, canonical tags, canonical fields, time) — overlapping backfill re-runs
     * each land in their own leaf, so only the reader can merge them.
     * Streaming leaves are exactly-once already; set `dedup = false` for
     * a pure-streaming store to skip the shuffle. `__batch` is dropped
@@ -100,8 +116,10 @@ object TelemetrySink {
     if (!dedup) raw.drop("__batch")
     else raw
       .withColumn("__tags_key", canonicalTags(col(Point.Tags)))
-      .dropDuplicates(Seq(Point.Measurement, "__tags_key", Point.Time))
-      .drop("__tags_key", "__batch")
+      .withColumn("__fields_key",
+        canonicalFields(col(Point.Fields), col(Point.FieldsStr)))
+      .dropDuplicates(Seq(Point.Measurement, "__tags_key", "__fields_key", Point.Time))
+      .drop("__tags_key", "__fields_key", "__batch")
   }
 
   /** SURVEY §7.4 #2 — per-measurement WIDE typed tables (the InfluxDB
@@ -123,7 +141,9 @@ object TelemetrySink {
   def writeWideTables(batch: DataFrame, outDir: String): Unit = {
     val deduped = batch
       .withColumn("__tags_key", canonicalTags(col(Point.Tags)))
-      .dropDuplicates(Seq(Point.Measurement, "__tags_key", Point.Time))
+      .withColumn("__fields_key",
+        canonicalFields(col(Point.Fields), col(Point.FieldsStr)))
+      .dropDuplicates(Seq(Point.Measurement, "__tags_key", "__fields_key", Point.Time))
     deduped.persist()
     try {
       val fieldsByMeasurement = deduped
@@ -134,9 +154,16 @@ object TelemetrySink {
         .view.mapValues(_.map(_.getString(1)).sorted.toSeq).toMap
       fieldsByMeasurement.toSeq.sortBy(_._1).foreach { case (m, fields) =>
         val slice = deduped.filter(col(Point.Measurement) === m)
-        val wide = slice.select(
-          (Seq(col(Point.Time), col(Point.Tags)) ++
-            fields.map(f => element_at(col(Point.Fields), f).as(f))): _*)
+        // InfluxDB field-set merge: points on the same series+timestamp
+        // carrying different fields (e.g. the 16 thermistor channel points
+        // of one poll) fold into ONE wide row, last-write-wins per field.
+        val wide = slice
+          .groupBy(col(Point.Time), col("__tags_key"))
+          .agg(
+            first(col(Point.Tags)).as(Point.Tags),
+            fields.map(f =>
+              last(element_at(col(Point.Fields), f), ignoreNulls = true).as(f)): _*)
+          .select((Seq(col(Point.Time), col(Point.Tags)) ++ fields.map(col)): _*)
         wide.write.mode(SaveMode.Append)
           .option("mergeSchema", "true")
           .parquet(s"$outDir/wide/measurement=${m}")

@@ -1,11 +1,80 @@
 package graft
 
+import java.io.ByteArrayOutputStream
+import java.net.{DatagramPacket, DatagramSocket, ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.functions._
-import graft.sources.{Parsers, PollingSource}
+import graft.sources.{Backoff, NetPoll, Parsers, PollingSource}
 import graft.sinks.TelemetrySink
 import graft.streaming.StreamOps
+
+/** In-process request/reply TCP device: accepts connections, reads each
+  * request up to `reqTerminator`, replies with `reply(request)`. Stands in
+  * for the reference's devices (govee bridge, sens4 transducer) so the
+  * live-socket poll path is tested end-to-end on a loopback. */
+final class LoopbackTcpDevice(reqTerminator: Byte, reply: String => String) {
+  val requests = new AtomicInteger(0)
+  @volatile private var server = new ServerSocket(0)
+  private val conns = java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+  def port: Int = server.getLocalPort
+
+  private def serve(s: ServerSocket): Unit =
+    try {
+      while (!s.isClosed) {
+        val conn = s.accept()
+        conns.add(conn)
+        val t = new Thread(() => handle(conn))
+        t.setDaemon(true)
+        t.start()
+      }
+    } catch { case _: SocketException => () } // closed — normal shutdown
+
+  private def handle(conn: Socket): Unit =
+    try {
+      val in = conn.getInputStream
+      val out = conn.getOutputStream
+      var open = true
+      while (open) {
+        val buf = new ByteArrayOutputStream(64)
+        var b = in.read()
+        while (b != -1 && b.toByte != reqTerminator) { buf.write(b); b = in.read() }
+        if (b == -1) open = false
+        else {
+          requests.incrementAndGet()
+          out.write(reply(new String(buf.toByteArray, UTF_8)).getBytes(UTF_8))
+          out.flush()
+        }
+      }
+    } catch { case _: java.io.IOException => () } finally {
+      conns.remove(conn)
+      conn.close()
+    }
+
+  def start(): Unit = {
+    val t = new Thread(() => serve(server))
+    t.setDaemon(true)
+    t.start()
+  }
+
+  /** Full outage: kill the listener AND every established connection, so a
+    * persistent-connection poller sees its next read fail. */
+  def stop(): Unit = {
+    server.close()
+    conns.forEach(c => try c.close() catch { case _: java.io.IOException => () })
+    conns.clear()
+  }
+
+  /** Rebind on the SAME port — the device coming back after an outage. */
+  def restart(): Unit = {
+    val p = port
+    server = new ServerSocket()
+    server.setReuseAddress(true)
+    server.bind(new java.net.InetSocketAddress("127.0.0.1", p))
+    start()
+  }
+}
 
 /** End-to-end ingest path: driver-side poller → file spool → streaming
   * parse (sens4 protocol) → normalize → idempotent parquet sink — the full
@@ -49,5 +118,144 @@ class PollingE2ESpec extends SparkSpec {
       assert(f("pir") == 2.0e-2 && f("temp") == 25.40)
       assert(row.getAs[String]("bucket") == "sensors")
     } finally src.stop()
+  }
+
+  private def waitFor(what: String, timeoutMs: Long = 15000)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(25)
+    assert(cond, s"timed out waiting for: $what")
+  }
+
+  test("S2 live TCP govee: socket poll -> spool -> parser, surviving a device outage") {
+    val spool = Files.createTempDirectory("graft-net-spool-").toString
+    val out = Files.createTempDirectory("graft-net-out-").toString
+    // reference conversation (lvm.py:56-67): "status <ADDR>\n" ->
+    // "<ADDR> <temp> <hum> <x> <isoTime>\n"
+    val tick = new AtomicInteger(0)
+    val device = new LoopbackTcpDevice('\n'.toByte, req => {
+      val addr = req.trim.stripPrefix("status").trim
+      val now = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC).withNano(0)
+      f"$addr ${21.0 + tick.incrementAndGet() * 0.25}%.2f 45.00 x $now\n"
+    })
+    device.start()
+    val poll = NetPoll.goveePoll("127.0.0.1", device.port, "a4:c1:38:aa:bb:cc")
+    val src = new PollingSource("govee-live", spool, poll, delayMs = 30,
+      backoff = Backoff(initialDelayMs = 20, maxDelayMs = 200),
+      bucket = Some("sensors"))
+    src.start()
+    try {
+      waitFor("3 live polls")(device.requests.get() >= 3)
+      // Outage: listener AND established connections die mid-run. The poll fn
+      // must throw (not hang), PollingSource's backoff must absorb it, and the
+      // next successful poll must be a fresh reconnect.
+      device.stop()
+      Thread.sleep(250)
+      device.restart()
+      val before = device.requests.get()
+      waitFor("reconnect after outage")(device.requests.get() >= before + 2)
+      src.stop()
+      poll.close()
+
+      val points = StreamOps.normalize(Map("observatory" -> "LCO"))(
+        Parsers.govee(src.rawStream(spark), "A4:C1:38:AA:BB:CC", "govee1",
+          delaySeconds = 60))
+      val q = TelemetrySink.start(points, s"$out/data", s"$out/ckpt",
+        defaultBucket = "sensors", queryName = "govee-live-sink")
+      try q.processAllAvailable() finally q.stop()
+
+      val result = spark.read.parquet(s"$out/data")
+      assert(result.select("measurement").distinct().collect()
+        .map(_.getString(0)).toSet == Set("temperature", "humidity"))
+      // every successful poll carried a distinct temperature — all survive
+      val temps = result.filter(col("measurement") === "temperature").collect()
+      assert(temps.length >= 4)
+      assert(temps.map(_.getAs[Map[String, Double]]("fields")("value")).distinct.length
+        == temps.length)
+      assert(temps.head.getAs[Map[String, String]]("tags")("address")
+        == "A4:C1:38:AA:BB:CC")
+      assert(temps.head.getAs[Map[String, String]]("tags")("device") == "govee1")
+    } finally { src.stop(); poll.close(); device.stop() }
+  }
+
+  test("S2/S4 live TCP sens4: backslash-terminated conversation end-to-end") {
+    val spool = Files.createTempDirectory("graft-net-spool-").toString
+    val out = Files.createTempDirectory("graft-net-out-").toString
+    // reference conversation (lvm.py:144-148): "@253Q?\" -> "@253ACKQ...\"
+    val device = new LoopbackTcpDevice('\\'.toByte, req => {
+      assert(req.startsWith("@253Q?"), s"unexpected sens4 request: $req")
+      "@253ACKQ1.10E-04,2.00E-02,3.00E-03,25.40,x\\"
+    })
+    device.start()
+    val poll = NetPoll.sens4Poll("127.0.0.1", device.port, deviceId = 253)
+    val src = new PollingSource("sens4-live", spool, poll, delayMs = 30,
+      backoff = Backoff(initialDelayMs = 20, maxDelayMs = 200),
+      bucket = Some("sensors"))
+    src.start()
+    try {
+      waitFor("3 sens4 polls")(device.requests.get() >= 3)
+      src.stop()
+      poll.close()
+
+      val points = StreamOps.normalize(Map.empty)(
+        Parsers.sens4(src.rawStream(spark), ccd = "r1"))
+      val q = TelemetrySink.start(points, s"$out/data", s"$out/ckpt",
+        defaultBucket = "sensors", queryName = "sens4-live-sink")
+      try q.processAllAvailable() finally q.stop()
+
+      val result = spark.read.parquet(s"$out/data")
+      assert(result.count() >= 3)
+      val f = result.collect().head.getAs[Map[String, Double]]("fields")
+      assert(f("pz") == 1.1e-4 && f("pir") == 2.0e-2 && f("temp") == 25.40)
+    } finally { src.stop(); poll.close(); device.stop() }
+  }
+
+  test("S7 live UDP thermistors: $016 datagram conversation end-to-end") {
+    val spool = Files.createTempDirectory("graft-net-spool-").toString
+    val out = Files.createTempDirectory("graft-net-out-").toString
+    // reference conversation (lvm.py:383-400): "$016\r\n" -> "!01<HEX>\r"
+    val server = new DatagramSocket(0)
+    val serverThread = new Thread(() => {
+      try {
+        val buf = new Array[Byte](64)
+        while (!server.isClosed) {
+          val p = new DatagramPacket(buf, buf.length)
+          server.receive(p)
+          val req = new String(p.getData, p.getOffset, p.getLength, UTF_8)
+          if (req == "$016\r\n") {
+            val reply = "!01ABCD\r".getBytes(UTF_8)
+            server.send(new DatagramPacket(reply, reply.length, p.getAddress, p.getPort))
+          }
+        }
+      } catch { case _: SocketException => () }
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val poll = NetPoll.thermistorPoll("127.0.0.1", server.getLocalPort)
+    val src = new PollingSource("therm-live", spool, poll, delayMs = 30,
+      bucket = Some("sensors"))
+    src.start()
+    try {
+      waitFor("2 spool files")(new java.io.File(spool).listFiles().count(_.getName.endsWith(".txt")) >= 2)
+      src.stop()
+
+      val points = StreamOps.normalize(Map.empty)(
+        Parsers.thermistors(src.rawStream(spark),
+          mapping = Map("channel0" -> "ln2_r1")))
+      val q = TelemetrySink.start(points, s"$out/data", s"$out/ckpt",
+        defaultBucket = "sensors", queryName = "therm-live-sink")
+      try q.processAllAvailable() finally q.stop()
+
+      val result = spark.read.parquet(s"$out/data")
+      assert(result.count() >= 32) // >=2 polls x 16 channels
+      // 0xABCD = 1010101111001101b: channel0 set, channel1 clear, channel15 set
+      val byChan = result.collect()
+        .map(r => r.getAs[Map[String, Double]]("fields").head)
+        .toMap
+      assert(byChan("channel0") == 1.0 && byChan("channel1") == 0.0)
+      assert(byChan("channel4") == 0.0 && byChan("channel15") == 1.0)
+      val named = result.filter(element_at(col("tags"), "channel_name") === "ln2_r1")
+      assert(named.count() >= 2)
+    } finally { src.stop(); server.close() }
   }
 }
