@@ -969,6 +969,68 @@ object Queries {
         CAST(len(list_filter(bs, x -> x // 64 = 3)) AS BIGINT) AS h3
       FROM b ORDER BY media_id"""))
 
+  // The javax.imageio decode path, oracle-hard because PNG is LOSSLESS:
+  // the same raster q41b constructs is round-tripped through a REAL PNG
+  // encode (Multimodal.encodeGrayPng) and decoded back by ImageIO
+  // (Multimodal.decodeImageIO inside the default decodeMedia dispatch), so
+  // the recovered intensity histogram must equal the histogram DuckDB
+  // computes directly on the constructed raster — a hash match proves
+  // ImageIO recovered the exact pixels through the PNG container. (A JPEG
+  // variant can't be oracle-checked this way — lossy — so JPEG decode is
+  // covered by MultimodalSpec instead.) n_bytes is deliberately absent
+  // from the output: the PNG byte length is encoder detail, not data.
+  // The encode UDF builds the test payload; the operator under test is
+  // the distributed extractFeatures decode that follows it.
+  val q41c_multimodal_imageio = Q("q41c_multimodal_imageio",
+    (s, dir) => {
+      val enc = udf((w: Int, h: Int, payload: Array[Byte]) =>
+        graft.multimodal.Multimodal.encodeGrayPng(w, h, payload))
+      val media = documents(s, dir)
+        .withColumn("a", regexp_replace(col("text"), "[^ -~]", ""))
+        .withColumn("a", when(length(col("a")) === 0, lit("x")).otherwise(col("a")))
+        .withColumn("l", length(col("a")))
+        .withColumn("w", (col("l") % 29 + 4).cast("int"))
+        .withColumn("h", (col("l") % 13 + 3).cast("int"))
+        .withColumn("npix", col("w") * col("h"))
+        .withColumn("payload",
+          expr("substring(repeat(a, int(ceil(double(npix)/double(l)))), 1, npix)"))
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          enc(col("w"), col("h"), col("payload").cast("binary")).as("content"),
+          map(lit("src"), lit("documents")).as("meta"))
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 4)
+        .select(col("media_id"), col("width"), col("height"),
+          element_at(col("features"), 1).cast("long").as("h0"),
+          element_at(col("features"), 2).cast("long").as("h1"),
+          element_at(col("features"), 3).cast("long").as("h2"),
+          element_at(col("features"), 4).cast("long").as("h3"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH d0 AS (
+        SELECT doc_id AS media_id,
+          CASE WHEN length(regexp_replace(text, '[^ -~]', '', 'g')) = 0 THEN 'x'
+               ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS a
+        FROM documents),
+      d AS (
+        SELECT media_id, a, length(a) AS l,
+          ((length(a) % 29) + 4) AS w, ((length(a) % 13) + 3) AS h
+        FROM d0),
+      p AS (
+        SELECT media_id, w, h,
+          substr(repeat(a, CAST(ceil(CAST(w*h AS DOUBLE)/l) AS INTEGER)), 1, w*h) AS payload
+        FROM d),
+      b AS (
+        SELECT media_id, w, h,
+          [ord(substr(payload, i, 1)) FOR i IN generate_series(1, CAST(w*h AS INTEGER))] AS bs
+        FROM p)
+      SELECT media_id,
+        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        CAST(len(list_filter(bs, x -> x // 64 = 0)) AS BIGINT) AS h0,
+        CAST(len(list_filter(bs, x -> x // 64 = 1)) AS BIGINT) AS h1,
+        CAST(len(list_filter(bs, x -> x // 64 = 2)) AS BIGINT) AS h2,
+        CAST(len(list_filter(bs, x -> x // 64 = 3)) AS BIGINT) AS h3
+      FROM b ORDER BY media_id"""))
+
   val q42_set_ops = Q("q42_set_ops",
     (s, dir) => {
       val active = orders(s, dir).filter(col("o_orderdate") >= ntz("1997-01-01 00:00:00"))
@@ -2128,7 +2190,8 @@ object Queries {
     q27_minhash_sig, q28_simhash, q29_ann_cosine, q30_ann_lsh, q31_ann_ivf,
     q32_simhash_pairs, q33_minhash_pairs, q34_stats_agg, q35_percentiles,
     q36_time_bucket, q37_conditional_agg, q38_string_ops, q39_array_agg,
-    q40_dedup_survivors, q41_multimodal_features, q41b_multimodal_decode, q42_set_ops,
+    q40_dedup_survivors, q41_multimodal_features, q41b_multimodal_decode,
+    q41c_multimodal_imageio, q42_set_ops,
     q43_ann_topk_agg, q44_dedup_clusters, q44b_dedup_clusters_iterative,
     q45_embedding_centroid,
     q46_text_subwords, q47_corpus_filter, q48_range_join,

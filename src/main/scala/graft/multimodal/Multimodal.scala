@@ -11,15 +11,17 @@ import org.apache.spark.sql.types._
   * batched `mapInPandas` UDF (same batch shape: one partition streams
   * through the codec without materializing).
   *
-  * The codec dispatch ([[decodeMedia]]) is REAL for two public formats
-  * that need no native libraries — binary netpbm images (PGM `P5` /
-  * PPM `P6`: [[decodePgm]]) and RIFF/WAVE PCM audio ([[decodeWav]]) —
-  * detected by magic bytes and fully header-parsed before trusting the
-  * payload. Payloads in any other (or malformed) format fall back to
-  * the deterministic [[decodeStub]], so the pipeline stays total; a
-  * deployment adds richer codecs (JPEG via javax.imageio, JavaCV, …)
-  * by extending the same dispatch — schema, partitioning, batch shape
-  * and null handling don't change.
+  * The codec dispatch ([[decodeMedia]]) is REAL for the public formats
+  * that need no native libraries: binary netpbm images (PGM `P5` /
+  * PPM `P6`: [[decodePgm]]), JPEG/PNG/GIF/BMP via the in-JDK
+  * `javax.imageio` readers ([[decodeImageIO]]), and RIFF/WAVE PCM audio
+  * ([[decodeWav]]) — each magic-byte detected and fully parsed before
+  * trusting the payload, and gated on the row's declared `kind`.
+  * Payloads in any other (or malformed) format fall back to the
+  * deterministic [[decodeStub]], so the pipeline stays total; a
+  * deployment adds richer codecs (video via JavaCV, …) by extending the
+  * same dispatch — schema, partitioning, batch shape and null handling
+  * don't change.
   *
   * Scale notes: media rows are large and skew-prone, so helpers
   * `repartitionForDecode` (spread by hash, decouple from upstream file
@@ -209,12 +211,122 @@ object Multimodal {
     }
   }
 
+  /** JPEG/PNG/GIF/BMP magic bytes — the formats the in-JDK `javax.imageio`
+    * readers handle without native libraries. Checked before handing the
+    * payload to ImageIO so arbitrary binary junk never spins up a reader. */
+  private def looksLikeImageIO(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 && (
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) || // JPEG
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||  // PNG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||          // GIF
+      (b(0) == 'B' && b(1) == 'M'))                                          // BMP
+
+  /** Per-pixel integer intensity of a decoded image, chosen for oracle
+    * exactness: single-band (gray) images read the raster sample directly —
+    * NOT `getRGB`, whose gray→sRGB conversion is gamma-corrected and would
+    * break bit-replay of a gray PNG roundtrip — and multi-band images take
+    * the integer mean of the three color bands (alpha band, always last,
+    * ignored). */
+  private def intensityHistogram(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val raster = img.getRaster
+    val colorBands = if (raster.getNumBands >= 3) 3 else 1
+    val hist = new Array[Float](dim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        var sum = 0
+        var b = 0
+        while (b < colorBands) { sum += raster.getSample(x, y, b); b += 1 }
+        val gray = sum / colorBands
+        hist(math.min(dim - 1, gray * dim / 256)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    hist
+  }
+
+  /** Real decoder: JPEG/PNG/GIF/BMP via the in-JDK `javax.imageio` —
+    * magic-sniffed first, then fully decoded. Returns
+    * `(width, height, intensity histogram)` shaped exactly like
+    * [[decodePgm]] (bins over `[0, 255]`), so the two image arms are
+    * interchangeable downstream. None on junk, truncated or unsupported
+    * payloads (ImageIO returns null or throws → stub fallback). */
+  def decodeImageIO(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] = {
+    if (!looksLikeImageIO(bytes)) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else Some((img.getWidth, img.getHeight, intensityHistogram(img, dim)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode an 8-bit grayscale raster as PNG (lossless — decode(encode(p))
+    * returns exactly `p`, which is what lets a SQL oracle replay the
+    * ImageIO path: it recomputes the histogram from the raster while the
+    * engine recovers it from the encoded PNG). `pixels` must be `w*h`
+    * gray bytes in row-major order. */
+  def encodeGrayPng(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h, s"raster must be w*h=${w * h} bytes, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, pixels)
+    val bos = new java.io.ByteArrayOutputStream(pixels.length / 2 + 64)
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real nearest-neighbor resample for ImageIO formats: decode, floor-NN
+    * (the [[resizePgm]] kernel), re-encode as PNG — lossless regardless of
+    * the input format, so resize(resize(x)) composes without generational
+    * quality loss. Gray stays single-band; everything else lands in RGB. */
+  def resizeImageIO(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+    if (!looksLikeImageIO(bytes)) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val isGray = img.getRaster.getNumBands == 1
+      val out = new java.awt.image.BufferedImage(targetW, targetH,
+        if (isGray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < targetH) {
+        val sy = (y.toLong * img.getHeight / targetH).toInt
+        var x = 0
+        while (x < targetW) {
+          val sx = (x.toLong * img.getWidth / targetW).toInt
+          if (isGray)
+            out.getRaster.setSample(x, y, 0, img.getRaster.getSample(sx, sy, 0))
+          else out.setRGB(x, y, img.getRGB(sx, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream(targetW * targetH / 2 + 64)
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Codec dispatch: real decode when the payload IS a supported public
-    * format (validated, not just sniffed), [[decodeStub]] otherwise. */
+    * format (validated, not just sniffed), [[decodeStub]] otherwise.
+    * Dispatch is gated on the declared `kind`: an 'audio' row whose
+    * payload happens to parse as an image keeps its audio feature shape
+    * (stub) instead of silently switching category — the declared type,
+    * not byte luck, decides which decoders are even attempted. */
   def decodeMedia(kind: String, content: Array[Byte], dim: Int): (Option[Int], Option[Int], Option[Double], Array[Float]) = {
-    val real: Option[(Option[Int], Option[Int], Option[Double], Array[Float])] =
-      decodePgm(content, dim).map { case (w, h, f) => (Some(w), Some(h), None, f) }
-        .orElse(decodeWav(content, dim).map { case (d, f) => (None, None, Some(d), f) })
+    val real: Option[(Option[Int], Option[Int], Option[Double], Array[Float])] = kind match {
+      case "image" =>
+        decodePgm(content, dim).map { case (w, h, f) => (Some(w), Some(h), None, f) }
+          .orElse(decodeImageIO(content, dim).map { case (w, h, f) => (Some(w), Some(h), None, f) })
+      case "audio" | "video" =>
+        decodeWav(content, dim).map { case (d, f) => (None, None, Some(d), f) }
+      case _ => None
+    }
     real.getOrElse(decodeStub(kind, content, dim))
   }
 
@@ -267,6 +379,7 @@ object Multimodal {
         if (kind != "image" || content == null) Row(id, kind, content, null, null)
         else Row(id, kind,
           resizePgm(content, targetW, targetH)
+            .orElse(resizeImageIO(content, targetW, targetH))
             .getOrElse(content.take(math.min(content.length, targetW * targetH))),
           targetW, targetH)
       }

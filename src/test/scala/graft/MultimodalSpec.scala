@@ -110,6 +110,75 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2).getAs[Int]("width") > 0 && f(2).getSeq[Float](6).length == 4)
   }
 
+  test("decodeImageIO: gray PNG roundtrip recovers the exact raster histogram") {
+    // one pixel per dim-4 bin; PNG is lossless so the histogram is exact
+    val pixels = Array(0, 64, 128, 255).map(_.toByte)
+    val png = Multimodal.encodeGrayPng(2, 2, pixels)
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P', 'N', 'G'))
+    val Some((w, h, hist)) = Multimodal.decodeImageIO(png, dim = 4)
+    assert((w, h) == (2, 2))
+    assert(hist.toSeq == Seq(1f, 1f, 1f, 1f))
+  }
+
+  test("decodeImageIO: real JPEG decode reads dimensions and pixels") {
+    // JPEG is lossy, so assert structure (dims, mass) not exact bins
+    val img = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 3; x <- 0 until 5)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    val Some((w, h, hist)) = Multimodal.decodeImageIO(jpeg, dim = 4)
+    assert((w, h) == (5, 3))
+    assert(hist.sum == 15f, "every pixel lands in exactly one bin")
+    // the checkerboard has mass at both intensity extremes even after
+    // JPEG's lossy roundtrip
+    assert(hist(0) > 0f && hist(3) > 0f)
+  }
+
+  test("decodeImageIO: junk, truncated and non-image payloads refuse") {
+    assert(Multimodal.decodeImageIO("definitely not an image".getBytes, 4).isEmpty)
+    assert(Multimodal.decodeImageIO(null, 4).isEmpty)
+    val png = Multimodal.encodeGrayPng(4, 4, Array.fill[Byte](16)(7))
+    assert(Multimodal.decodeImageIO(png.take(12), 4).isEmpty,
+      "truncated PNG must refuse, not throw")
+    val corrupt = png.clone()
+    java.util.Arrays.fill(corrupt, 16, corrupt.length, 0x5a.toByte)
+    assert(Multimodal.decodeImageIO(corrupt, 4).isEmpty,
+      "corrupt PNG body must refuse, not throw")
+  }
+
+  test("decodeMedia gates decoders on declared kind, not byte luck") {
+    // a PGM payload declared as audio keeps the audio stub shape
+    val img = pgm("P5\n2 2\n255\n", Array(0, 64, 128, 255))
+    val (w, h, d, _) = Multimodal.decodeMedia("audio", img, 4)
+    assert(w.isEmpty && h.isEmpty && d.isDefined, "audio row must not grow pixels")
+    // a WAV payload declared as image keeps the image stub shape
+    val w8 = wav(8, 1, 8000, Array(0, 100))
+    val (wi, hi, di, _) = Multimodal.decodeMedia("image", w8, 4)
+    assert(wi.isDefined && hi.isDefined && di.isEmpty, "image row must not grow a duration")
+    // and declared-kind payloads still get their real decoders
+    assert(Multimodal.decodeMedia("image", img, 4)._1.contains(2))
+    assert(Multimodal.decodeMedia("audio", w8, 4)._3.contains(2.0 / 8000))
+    val png = Multimodal.encodeGrayPng(3, 1, Array(0, 100, 200).map(_.toByte))
+    assert(Multimodal.decodeMedia("image", png, 4)._1.contains(3))
+  }
+
+  test("resizeImageIO: floor-NN on a gray PNG, exact pixels through the roundtrip") {
+    val png = Multimodal.encodeGrayPng(2, 2, Array(10, 20, 30, 40).map(_.toByte))
+    val Some(up) = Multimodal.resizeImageIO(png, 4, 4)
+    val Some((w, h, _)) = Multimodal.decodeImageIO(up, 4)
+    assert((w, h) == (4, 4))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+    val samples = for (y <- 0 until 4; x <- 0 until 4)
+      yield img.getRaster.getSample(x, y, 0)
+    assert(samples == Seq(10, 10, 20, 20, 10, 10, 20, 20,
+      30, 30, 40, 40, 30, 30, 40, 40))
+    assert(Multimodal.resizeImageIO("not an image".getBytes, 2, 2).isEmpty)
+  }
+
   test("resizePgm: real nearest-neighbor resample, exact pixels, format-preserving") {
     // 2x2 gray quadrants upsampled to 4x4: each source pixel becomes 2x2
     val img = pgm("P5\n2 2\n255\n", Array(10, 20, 30, 40))
