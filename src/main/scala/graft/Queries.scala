@@ -2179,6 +2179,79 @@ object Queries {
         SUM(CASE WHEN hit THEN 1 ELSE 0 END) = 0 AS survives
       FROM verdicts GROUP BY id ORDER BY id"""))
 
+  // The closed streaming+sweep loop (StreamingDedup.runNearSwept): q73's
+  // streaming pass, then the prescribed incrementalDedup sweep of the
+  // odd-epoch admissions against the settled even-epoch corpus at the
+  // identical config. The oracle replays BOTH halves — leadership across
+  // the micro-batch boundary, then the sweep's exact-fingerprint and
+  // banded-near removals — so a hash match proves the composition, not
+  // just the parts.
+  val q74_streaming_swept_dedup = Q("q74_streaming_swept_dedup",
+    (s, dir) => graft.streaming.StreamingDedup.runNearSwept(s, dir),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id AS id,
+          list_transform(
+            list_distinct([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                           FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]),
+            s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM documents),
+      sig AS (
+        SELECT id,
+          [list_min(list_transform(hs, h -> ((2*i+1) * h + (7919*i+1)) % 4294967311))
+           FOR i IN generate_series(0, 15)] AS sig
+        FROM sh),
+      banded AS (
+        SELECT id, id % 2 AS bt, b, sig,
+          array_to_string(sig[b*4+1:b*4+4], '-') AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+      ranked AS (
+        SELECT id, bt, b, band_key, sig,
+          row_number() OVER (PARTITION BY b, band_key ORDER BY bt, id) AS rnk
+        FROM banded),
+      leaders AS (
+        SELECT b, band_key, sig AS lsig FROM ranked WHERE rnk = 1),
+      verdicts AS (
+        SELECT r.id,
+          CASE WHEN r.rnk = 1 THEN FALSE
+               ELSE CAST(len(list_filter(
+                      [r.sig[i] = l.lsig[i] FOR i IN generate_series(1, 16)],
+                      x -> x)) AS DOUBLE) / 16 >= 0.5
+          END AS hit
+        FROM ranked r JOIN leaders l USING (b, band_key)),
+      stream AS (
+        SELECT id AS doc_id,
+          SUM(CASE WHEN hit THEN 1 ELSE 0 END) = 0 AS survives
+        FROM verdicts GROUP BY id),
+      surv AS (
+        SELECT s.doc_id, s.doc_id % 2 AS epoch,
+          md5(trim(regexp_replace(lower(d.text), ' +', ' ', 'g'))) AS fp
+        FROM stream s JOIN documents d ON d.doc_id = s.doc_id
+        WHERE s.survives),
+      exact_rm AS (
+        SELECT DISTINCT o.doc_id
+        FROM surv o JOIN surv e ON e.epoch = 0 AND o.fp = e.fp
+        WHERE o.epoch = 1),
+      near_rm AS (
+        SELECT DISTINCT ob.id AS doc_id
+        FROM banded ob
+        JOIN surv os ON os.doc_id = ob.id AND os.epoch = 1
+        JOIN banded eb ON eb.b = ob.b AND eb.band_key = ob.band_key
+        JOIN surv es ON es.doc_id = eb.id AND es.epoch = 0
+        WHERE CAST(len(list_filter(
+                [ob.sig[i] = eb.sig[i] FOR i IN generate_series(1, 16)],
+                x -> x)) AS DOUBLE) / 16 >= 0.5),
+      final AS (
+        SELECT doc_id FROM surv WHERE epoch = 0
+        UNION
+        SELECT doc_id FROM surv WHERE epoch = 1
+          AND doc_id NOT IN (SELECT doc_id FROM exact_rm)
+          AND doc_id NOT IN (SELECT doc_id FROM near_rm))
+      SELECT s.doc_id, s.survives AS survives_stream,
+        (f.doc_id IS NOT NULL) AS survives_final
+      FROM stream s LEFT JOIN final f ON f.doc_id = s.doc_id
+      ORDER BY s.doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2203,5 +2276,5 @@ object Queries {
     q63_unigram_entropy, q64_streaming_dedup, q65_doc_chunking,
     q66_cdc_segments, q67_verbatim_overlap, q68_kmeans, q69_semantic_dedup,
     q70_incremental_dedup, q71_boilerplate, q72_ppl_buckets,
-    q73_streaming_near_dedup)
+    q73_streaming_near_dedup, q74_streaming_swept_dedup)
 }

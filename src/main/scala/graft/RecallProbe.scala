@@ -219,9 +219,21 @@ object RecallProbe {
     * extras/removable; `lostClusters` = clusters with ZERO streaming
     * survivors (over-suppression — content lost, should be 0: a
     * cluster's first arrival hits no leader of its own cluster). */
-  def streamingDedupLeakage(spark: SparkSession, dir: String): (Long, Long, Double, Long) = {
-    val stream = graft.streaming.StreamingDedup.runNear(spark, dir)
-      .select(col("doc_id"), col("survives"))
+  def streamingDedupLeakage(spark: SparkSession, dir: String): (Long, Long, Double, Long) =
+    leakageVsBatch(spark, dir,
+      graft.streaming.StreamingDedup.runNear(spark, dir)
+        .select(col("doc_id"), col("survives")))
+
+  /** Same scoring for the CLOSED loop (q74, streaming + incrementalDedup
+    * sweep): post-sweep leakage should be at-or-below the raw streaming
+    * leakage, with cross-epoch admitted dups eliminated. */
+  def sweptDedupLeakage(spark: SparkSession, dir: String): (Long, Long, Double, Long) =
+    leakageVsBatch(spark, dir,
+      graft.streaming.StreamingDedup.runNearSwept(spark, dir)
+        .select(col("doc_id"), col("survives_final").as("survives")))
+
+  private def leakageVsBatch(spark: SparkSession, dir: String,
+      stream: org.apache.spark.sql.DataFrame): (Long, Long, Double, Long) = {
     val batch = graft.dedup.Dedup.dedupByMinhash(
       Tables.documents(spark, dir), "doc_id", "text",
       n = 3, numPerm = 16, bands = 4, threshold = 0.5)

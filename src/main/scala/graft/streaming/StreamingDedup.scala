@@ -304,4 +304,45 @@ object StreamingDedup {
         (col("n_hit_bands") === 0).as("survives"))
       .orderBy("doc_id")
   }
+
+  /** q74 — the CLOSED ingestion-dedup loop: [[runNear]]'s streaming pass
+    * admits survivors with leader-only leakage (a document near-dup of a
+    * non-leader survivor slips through — the class doc's documented
+    * approximation), and this op chains the prescribed periodic sweep:
+    * [[graft.dedup.Dedup.incrementalDedup]] of the recent epoch's
+    * admissions (micro-batch 2 = odd doc_ids) against the settled corpus
+    * (micro-batch 1's admissions), at the IDENTICAL minhash config
+    * (3-shingles, 16 perms × 4 bands, est-Jaccard 0.5), removing every
+    * leaked cross-epoch exact/near duplicate the stream admitted.
+    *
+    * Output: one row per document — its streaming verdict
+    * (`survives_stream`) and its post-sweep fate (`survives_final`).
+    * The DuckDB oracle replays the whole loop: q73's leadership replay,
+    * then the sweep's exact-fingerprint and banded-near hits of odd
+    * survivors against even survivors.
+    *
+    * Scale shape: the sweep inherits incrementalDedup's contract — the
+    * settled corpus NEVER shuffles; the recent epoch (small by
+    * definition of an increment) broadcasts against two corpus scans.
+    * At 100 TB the loop's steady-state cost is the streaming state plus
+    * two narrow corpus scans per sweep period. Intra-epoch leaks are out
+    * of the sweep's scope by design (a production epoch is one ingest
+    * window; its interior is the NEXT window's settled corpus). */
+  def runNearSwept(spark: SparkSession, dir: String): DataFrame = {
+    val stream = runNear(spark, dir).select(col("doc_id"), col("survives"))
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val surv = docs.join(stream.filter(col("survives")), Seq("doc_id"))
+      .select("doc_id", "text")
+    val settled = surv.filter(col("doc_id") % 2 === 0)
+    val recent = surv.filter(col("doc_id") % 2 === 1)
+    val kept = graft.dedup.Dedup.incrementalDedup(settled, recent,
+        "doc_id", "text", n = 3, numPerm = 16, bands = 4, threshold = 0.5)
+      .select(col("id").as("doc_id"))
+    val finalIds = settled.select("doc_id").unionByName(kept)
+      .withColumn("__final", lit(true))
+    stream.join(finalIds, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("survives").as("survives_stream"),
+        coalesce(col("__final"), lit(false)).as("survives_final"))
+      .orderBy("doc_id")
+  }
 }

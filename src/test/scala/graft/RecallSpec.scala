@@ -170,4 +170,16 @@ class RecallSpec extends SparkSpec {
     assert(extras == 0 && rate == 0.0,
       f"sf0.001 leaks nothing in the measured standard; got $extras/$removable ($rate%.3f)")
   }
+
+  test("streaming + sweep (q74): post-sweep leakage is zero, nothing over-suppressed") {
+    // The closed loop: q73's streaming pass + the incrementalDedup sweep
+    // of odd-epoch admissions against the settled even-epoch corpus. The
+    // sweep must drive cross-epoch leakage to zero without ever deleting
+    // a whole cluster's only survivor.
+    val (removable, extras, rate, lost) = RecallProbe.sweptDedupLeakage(spark, sf())
+    assert(lost == 0, s"sweep must never remove a cluster's only survivor ($lost lost)")
+    assert(removable >= 20, s"fixture should contain real dup families, got $removable")
+    assert(extras == 0 && rate == 0.0,
+      f"post-sweep leakage floor: got $extras/$removable ($rate%.3f)")
+  }
 }
