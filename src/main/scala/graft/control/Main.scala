@@ -73,14 +73,15 @@ object Main {
         spark.stop()
       case Some("status") =>
         // second-process status (cerebro/__main__.py:101-120): one line of
-        // JSON from the socket, rendered one source per line
+        // JSON from the socket, rendered one source per line — parsed
+        // with a real JSON reader so names with , : " survive
         val reply = StatusServer.request(socketPath, "status")
-        reply.stripPrefix("{").stripSuffix("}").split(",").filter(_.nonEmpty)
-          .foreach { kv =>
-            val Array(k, v) = kv.split(":", 2)
-            println(s"${k.stripPrefix("\"").stripSuffix("\"")}: " +
-              (if (v == "true") "OK" else "FAILED"))
-          }
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(reply)
+        val fields = root.fields()
+        while (fields.hasNext) {
+          val e = fields.next()
+          println(s"${e.getKey}: ${if (e.getValue.asBoolean) "OK" else "FAILED"}")
+        }
       case Some("restart") =>
         // second-process restart (cerebro/__main__.py:123-143)
         val name = positional(args)

@@ -53,9 +53,14 @@ final class StatusServer(engine: Engine, socketPath: Path) {
       while (open && line != null) {
         val cmd = line.trim
         if (cmd == "status") {
-          val body = engine.status.toSeq.sortBy(_._1)
-            .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-          out.write(body + "\n"); out.flush()
+          // real JSON writer, not string concat: source names are
+          // user-authored (config keys) and may contain quotes/commas/
+          // colons — the reply must stay parseable regardless
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val node = mapper.createObjectNode()
+          engine.status.toSeq.sortBy(_._1)
+            .foreach { case (k, v) => node.put(k, v) }
+          out.write(mapper.writeValueAsString(node) + "\n"); out.flush()
         } else if (cmd.startsWith("restart")) {
           val ok = cmd.split("\\s+").lift(1).exists(engine.restart)
           out.write(s"$ok\n"); out.flush()

@@ -269,8 +269,20 @@ object Dedup {
     * @return (id, cluster) where cluster = min doc id reachable
     */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
-      maxIterations: Int = 20, driverMaxEdges: Int = 2000000): DataFrame = {
+      maxIterations: Int = 20, driverMaxEdges: Int = 2000000,
+      checkpointDir: Option[String] = None): DataFrame = {
     val idCol = nodes.columns.head
+    // Plan-truncation mode for the iterative path: executor-local by
+    // default (fast, but a lost executor fails the job — acceptable for
+    // a deterministic batch pass); pass `checkpointDir` to switch every
+    // per-iteration truncation to RELIABLE `checkpoint` on that
+    // directory, the fault-tolerant swap the localCheckpoint note below
+    // names. Superseded iterates' checkpoint files are deleted as soon
+    // as they're dead, so disk stays one iterate wide, not maxIterations.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     // Materialize the edge list ONCE before branching: the candidate
     // pipeline feeding `pairs` (an LSH band join) is expensive, and both
     // the size probe and either path would re-run it otherwise
@@ -296,11 +308,10 @@ object Dedup {
     // the plan to a leaf. Measured on q44b (sf0.1): 12.2 s -> 2.4 s.
     // Tradeoff: localCheckpoint is executor-local (not fault-tolerant);
     // on a real cluster a lost executor fails the job instead of
-    // recomputing — acceptable for a deterministic batch pass, or swap
-    // for reliable `checkpoint` with a checkpoint dir when it isn't.
-    var ckpt = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
-      .localCheckpoint(true)
+    // recomputing — acceptable for a deterministic batch pass; pass
+    // `checkpointDir` to swap in reliable `checkpoint` when it isn't.
+    var ckpt = truncate(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")))
     var labels = ckpt
     var iter = 0
     var changed = 1L
@@ -312,11 +323,10 @@ object Dedup {
         .agg(min(col("cluster")).as("nbr_min"))
       // inner join: every subgraph node has >= 1 edge, so neighborMin
       // covers all of them
-      val next = labels.join(neighborMin, Seq("id"))
+      val next = truncate(labels.join(neighborMin, Seq("id"))
         .select(col("id"),
           least(col("cluster"), col("nbr_min")).as("cluster"),
-          col("cluster").as("old"))
-        .localCheckpoint(true)
+          col("cluster").as("old")))
       changed = next.filter(col("cluster") =!= col("old")).count()
       // the superseded iterate's blocks are dead the moment `changed`
       // materializes `next`; free them NOW — Dataset.unpersist goes
@@ -338,15 +348,23 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
-  /** Drop the executor blocks behind a `localCheckpoint(true)`ed frame.
-    * The checkpoint persists its internal RDD directly (LogicalRDD leaf),
-    * invisible to the CacheManager that `Dataset.unpersist` talks to —
-    * this reaches the leaf RDD and unpersists it. Only for frames that
-    * will never be read again (the lineage is truncated; recompute after
-    * this is impossible). */
+  /** Drop the storage behind a checkpointed frame — executor blocks for
+    * `localCheckpoint(true)` (the checkpoint persists its internal RDD
+    * directly as a LogicalRDD leaf, invisible to the CacheManager that
+    * `Dataset.unpersist` talks to), checkpoint FILES for reliable
+    * `checkpoint` (deleted via the frame's Hadoop FileSystem). Only for
+    * frames that will never be read again (the lineage is truncated;
+    * recompute after this is impossible). */
   private def freeLocalCheckpoint(ds: DataFrame): Unit =
     ds.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          try p.getFileSystem(
+            ds.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
+          catch { case _: java.io.IOException => () }
+        }
       case _ => ()
     }
 
@@ -394,10 +412,11 @@ object Dedup {
     * (id, cluster, is_survivor). */
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerm: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, driverMaxEdges: Int = 2000000): DataFrame = {
+      threshold: Double = 0.5, driverMaxEdges: Int = 2000000,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, n, numPerm, bands, threshold)
     val comp = connectedComponents(pairs, df.select(col(idCol)),
-      driverMaxEdges = driverMaxEdges)
+      driverMaxEdges = driverMaxEdges, checkpointDir = checkpointDir)
     comp.withColumn("is_survivor", col("id") === col("cluster"))
   }
 

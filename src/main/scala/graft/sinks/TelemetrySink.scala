@@ -171,6 +171,74 @@ object TelemetrySink {
     } finally deduped.unpersist()
   }
 
+  // -------------------------------------------------------------------
+  // InfluxDB line protocol (the reference observer's wire format)
+  // -------------------------------------------------------------------
+
+  private def escBackslash(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "\\\\", "\\\\\\\\")
+  /** Tag keys/values and field keys escape `,` `=` and space. */
+  private def escTag(c: org.apache.spark.sql.Column) =
+    regexp_replace(escBackslash(c), "([,= ])", "\\\\$1")
+  /** Measurements escape `,` and space (`=` is legal there). */
+  private def escMeasurement(c: org.apache.spark.sql.Column) =
+    regexp_replace(escBackslash(c), "([, ])", "\\\\$1")
+  /** String field values are double-quoted with `"` and `\` escaped. */
+  private def escStrField(c: org.apache.spark.sql.Column) =
+    regexp_replace(escBackslash(c), "\"", "\\\\\"")
+
+  /** Serialize point rows to InfluxDB line protocol — the public wire
+    * format behind the reference's InfluxDB writes
+    * (`ingest_dataframe_to_influxdb`, tools.py:345-411, and the K2
+    * observer): `measurement[,tag=v...] field=v[,...] <ns>`. One escaped
+    * line per point, plus the resolved bucket for transport routing.
+    * Entirely codegen'd column work (escape/sort/join per row — no UDF);
+    * tag and field sets are key-sorted so output is deterministic.
+    * Points with no fields at all are dropped (not a valid line).
+    * Timestamps prefer the ns-resolution column when present. */
+  def lineProtocol(points: DataFrame, defaultBucket: String = "default"): DataFrame = {
+    val tags = coalesce(col(Point.Tags), map())
+    val tagPart = concat_ws(",", array_sort(transform(map_entries(tags),
+      e => concat(escTag(e.getField("key")), lit("="), escTag(e.getField("value"))))))
+    val numFields = transform(map_entries(coalesce(col(Point.Fields), map())),
+      e => concat(escTag(e.getField("key")), lit("="),
+        e.getField("value").cast("string")))
+    val strFields = transform(map_entries(coalesce(col(Point.FieldsStr), map())),
+      e => concat(escTag(e.getField("key")), lit("=\""),
+        escStrField(e.getField("value")), lit("\"")))
+    val fieldPart = concat_ws(",", array_sort(concat(numFields, strFields)))
+    val ts = coalesce(col(Point.TimeNs), unix_micros(col(Point.Time)) * 1000)
+    points
+      .filter(size(map_entries(coalesce(col(Point.Fields), map()))) +
+        size(map_entries(coalesce(col(Point.FieldsStr), map()))) > 0)
+      .select(
+        coalesce(col(Point.Bucket), lit(defaultBucket)).as("bucket"),
+        concat(
+          escMeasurement(col(Point.Measurement)),
+          when(size(map_entries(tags)) > 0, concat(lit(","), tagPart))
+            .otherwise(lit("")),
+          lit(" "), fieldPart, lit(" "), ts.cast("string")).as("line"))
+  }
+
+  /** Group serialized lines into POST-ready payloads of ≤ `batchPoints`
+    * lines per bucket — the reference's 1000-point write batching
+    * (tools.py:393-403). Deterministic: lines order within their bucket,
+    * batches chunk that order. One shuffle keyed by bucket; a transport
+    * that doesn't need deterministic batch ids should instead batch
+    * per-partition inside `foreachPartition` (zero shuffle) — this shape
+    * exists for replayable/testable output. */
+  def lineProtocolBatches(points: DataFrame, batchPoints: Int = 1000,
+      defaultBucket: String = "default"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket").orderBy("line")
+    lineProtocol(points, defaultBucket)
+      .withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("batch_idx", (col("__rn") / batchPoints).cast("long"))
+      .groupBy("bucket", "batch_idx")
+      .agg(count(lit(1)).as("n_points"),
+        concat_ws("\n", array_sort(collect_list(col("line")))).as("payload"))
+  }
+
   /** Continuous sink: foreachBatch → [[writeBatch]], checkpointed. The
     * reference's 1000-point write batching (R18, tools.py:354) maps to the
     * micro-batch itself — trigger interval controls batch size. */

@@ -55,12 +55,28 @@ object ReplayScaffold {
   }
 
   /** Fresh per-run sink+checkpoint dir next to the (reused) spool;
-    * previous run dirs are swept first so tmp usage stays bounded. */
+    * previous run dirs are swept first so tmp usage stays bounded.
+    *
+    * Dirs are OWNED by the creating process (`run-<pid>-<nano>`) and the
+    * sweep only removes dirs whose owner is this process or is dead —
+    * two JVMs replaying the same corpus concurrently (a bench beside a
+    * test run) can no longer delete each other's live checkpoint/sink
+    * mid-stream. Legacy unowned `run-<nano>` dirs are swept
+    * unconditionally (pre-ownership leftovers, by definition not live). */
   def freshRunDir(spool: File): File = {
     val base = spool.getParentFile
+    val pid = ProcessHandle.current().pid()
+    def ownerGone(name: String): Boolean = name.split("-") match {
+      case Array(_, p, _) if p.nonEmpty && p.forall(_.isDigit) =>
+        val owner = p.toLong
+        owner == pid ||
+          !ProcessHandle.of(owner).map[Boolean](_.isAlive).orElse(false)
+      case _ => true // legacy unowned dir
+    }
     Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("run-")).foreach(rmTree)
-    val d = new File(base, s"run-${System.nanoTime()}")
+      .filter(f => f.getName.startsWith("run-") && ownerGone(f.getName))
+      .foreach(rmTree)
+    val d = new File(base, s"run-$pid-${System.nanoTime()}")
     d.mkdirs(); d
   }
 }

@@ -23,6 +23,11 @@ object Quality {
     * documents. */
   val HeadTokenFanIn: Long = 10_000_000L
 
+  /** [[perplexityBuckets]]' previously-persisted score frame, released
+    * when the next call persists a new one — see its scaladoc. */
+  private val lastPplScored =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Gopher-style repetition statistics per document (Rae et al. 2021,
     * "Scaling Language Models", table A1 repetition filters): the
     * fraction of word 2-grams occupied by the single most frequent
@@ -322,15 +327,26 @@ object Quality {
     * the cutoff job materializes the cache and the returned bucketing
     * plan reads it back (PlanShapeSpec asserts an InMemoryTableScan and
     * no token re-explode), so the scoring shuffles run exactly once.
-    * The cached frame is released by Spark's ContextCleaner once the
-    * returned DataFrame is dereferenced; eviction before then merely
-    * recomputes. */
+    * Cache lifetime: each call releases the PREVIOUS call's cached
+    * score frame (repeat invocation — e.g. bench reps — holds at most
+    * ONE InMemoryRelation instead of accumulating until the
+    * ContextCleaner GCs them); the current frame is released by the
+    * ContextCleaner once its DataFrame is dereferenced. If a caller
+    * somehow still holds the prior result when a new call lands, its
+    * next action recomputes — slower, never wrong. */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
       cuts: (Double, Double) = (1.0 / 3, 2.0 / 3),
       exact: Boolean = true, relativeError: Double = 0.01): DataFrame = {
     require(cuts._1 < cuts._2, s"cuts must be increasing, got $cuts")
     val scored = unigramCrossEntropy(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Skip the release when the plans are the same (repeat run over the
+    // SAME corpus): the CacheManager matches entries by logical plan, so
+    // the new persist reused the old entry and unpersisting the previous
+    // frame would un-cache the one just persisted.
+    Option(lastPplScored.getAndSet(scored))
+      .filterNot(_.queryExecution.analyzed.sameResult(scored.queryExecution.analyzed))
+      .foreach(_.unpersist(false))
     val (c1, c2) =
       if (exact) {
         val r = scored.agg(

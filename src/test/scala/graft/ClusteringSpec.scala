@@ -22,6 +22,19 @@ class ClusteringSpec extends SparkSpec {
     val iterative = Dedup.connectedComponents(pairs, nodes, driverMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(iterative == want)
+    // fault-tolerant mode: reliable per-iteration checkpoints on a dir,
+    // identical labels; superseded iterates' files are freed eagerly
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt-")
+    val reliable = Dedup.connectedComponents(pairs, nodes, driverMaxEdges = 0,
+        checkpointDir = Some(ckptDir.toString))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == want)
+    def rddDirs(p: java.io.File): Seq[java.io.File] =
+      Option(p.listFiles()).getOrElse(Array.empty)
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)).toSeq
+        .filter(_.getName.startsWith("rdd-"))
+    assert(rddDirs(ckptDir.toFile).size <= 1,
+      s"superseded checkpoints must be deleted, found ${rddDirs(ckptDir.toFile)}")
   }
 
   test("dedupByMinhash: survivors = one per cluster, all docs labeled") {

@@ -98,4 +98,41 @@ class SinkLayoutSpec extends SparkSpec {
       assert(rows(1).getAs[Double]("temp") == 21.0 && rows(1).isNullAt(2))
     } finally q.stop()
   }
+
+  test("lineProtocol: golden lines — escaping, sorted tags/fields, ns time") {
+    // golden strings per the public InfluxDB line-protocol spec:
+    // measurement escapes ', '/',', tags/field-keys also '=',
+    // string field values are quoted with \" and \\ escaped
+    val batch = Seq(
+      TelemetryPoint("weather station", Map("site" -> "A PO", "k,ey" -> "v=1"),
+        Map("temp c" -> 21.5, "rh" -> 40.0), null,
+        ts("2024-01-01 00:00:00"), None, Some("sensors")),
+      TelemetryPoint("status", Map.empty,
+        Map("ok" -> 1.0), Map("note" -> """said "hi" \ bye"""),
+        ts("2024-01-01 00:00:00"), Some(1704067200000000123L), None),
+      TelemetryPoint("empty", Map("a" -> "b"), Map.empty, null,
+        ts("2024-01-01 00:00:00"), None, Some("sensors"))).toDF()
+    val got = TelemetrySink.lineProtocol(batch).orderBy("line").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // the all-empty-fields point is dropped; timestamps are ns (session
+    // tz is UTC, so 2024-01-01 00:00:00 = 1704067200e9); time_ns wins
+    // over time when present
+    assert(got == Seq(
+      ("default",
+        "status note=\"said \\\"hi\\\" \\\\ bye\",ok=1.0 1704067200000000123"),
+      ("sensors",
+        """weather\ station,k\,ey=v\=1,site=A\ PO rh=40.0,temp\ c=21.5 1704067200000000000""")))
+  }
+
+  test("lineProtocolBatches chunks per bucket at batchPoints") {
+    val pts = (1 to 7).map(i =>
+      TelemetryPoint("m", Map("i" -> f"$i%02d"), Map("v" -> i.toDouble), null,
+        ts("2024-01-01 00:00:00"), None, Some(if (i <= 5) "b1" else "b2")))
+    val batches = TelemetrySink.lineProtocolBatches(pts.toDF(), batchPoints = 2)
+      .orderBy("bucket", "batch_idx").collect()
+    assert(batches.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("b1", 0L, 2L), ("b1", 1L, 2L), ("b1", 2L, 1L), ("b2", 0L, 2L)))
+    val payload = batches.head.getAs[String]("payload")
+    assert(payload == "m,i=01 v=1.0 1704067200000000000\nm,i=02 v=2.0 1704067200000000000")
+  }
 }
