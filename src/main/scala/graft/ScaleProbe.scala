@@ -41,12 +41,20 @@ object ScaleProbe {
     def time(f: => Unit): Double = {
       val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
     }
+    // `pairs [factors-csv]` — run ONLY the pair-operator probe at the
+    // given factors (default 1,4,16; the 64× probe runs `pairs 16,64`
+    // so the growth ratio is measured within one JVM/session)
+    val pairFactors: Seq[Int] =
+      if (args.headOption.contains("pairs"))
+        args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+      else Seq(1, 4, 16)
+    val pairsOnly = args.headOption.contains("pairs")
     val li = Tables.lineitem(spark, dir)
     val docs = Tables.documents(spark, dir)
     val ev = Tables.events(spark, dir)
     li.count(); docs.count(); ev.count() // warm
     println("factor,rows_lineitem,agg_join_s,rolling_s,minhash_s,topk_s")
-    for (n <- Seq(1, 4, 16)) {
+    for (n <- Seq(1, 4, 16) if !pairsOnly) {
       val liN = rep(li, n, "l_orderkey")
       val docsN = rep(docs, n, "doc_id")
       val evN = rep(ev, n, "event_id")
@@ -121,7 +129,7 @@ object ScaleProbe {
     ndpAdaptive(repMutatedEmb(1), 2000).count()
     println("factor,docs,jaccard_s,jaccard_pairs,simhash_s,simhash_pairs," +
       "neardup4_s,neardup4_pairs,adapt_planes,adapt_bands,adapt_s,adapt_pairs")
-    for (n <- Seq(1, 4, 16)) {
+    for (n <- pairFactors) {
       val docsN = repMutatedDocs(n)
       val embN = repMutatedEmb(n)
       val nVec = n * 2000L

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.yaml.snakeyaml.Yaml
 import graft.model.Point
-import graft.sources.{ReplaySource, SpoolSource, TelemetrySource}
+import graft.sources.{LiveSource, ReplaySource, SpoolSource, TelemetrySource}
 import graft.sinks.TelemetrySink
 import graft.streaming.StreamOps
 
@@ -131,12 +131,18 @@ final class Engine(spark: SparkSession) {
     *     (`path`, `parser` ∈ govee|sens4|ln2_scale|lvm_thermistors,
     *     plus per-parser options) — the config-driven form of the full
     *     poll → parse pipeline (etc/cerebro.yaml source entries)
+    *   - `tcp` / `udp`: LIVE device conversation ([[graft.sources.NetPoll]]
+    *     socket poll on a driver thread → spool → the same parsers) —
+    *     the reference's production source shape (`TCPSource(host, port,
+    *     delay)`, source.py:134-229) from YAML
     */
   val sourceRegistry: scala.collection.mutable.Map[String, SourceConf => TelemetrySource] =
     scala.collection.mutable.Map(
       "replay" -> (c => ReplaySource(c.name,
         c.options("path").toString, c.bucket, c.tags)),
-      "spool" -> (c => SpoolSource(c)))
+      "spool" -> (c => SpoolSource(c)),
+      "tcp" -> (c => LiveSource(c)),
+      "udp" -> (c => LiveSource(c)))
 
   private val queries = scala.collection.mutable.Map[String, StreamingQuery]()
   // Restart generation per memory observer: Spark's memory sink cannot
@@ -155,11 +161,22 @@ final class Engine(spark: SparkSession) {
       factory(sc)
     }
 
+  // Sources are built ONCE per engine config and shared across observers
+  // and restarts: stateful sources (a LiveSource owns a poll thread and a
+  // spool) must not be duplicated by each observer's unifiedStream call —
+  // two pollers on one spool collide on file names and double-poll the
+  // device.
+  private var built: Seq[TelemetrySource] = Nil
+  private def sharedSources(config: Config): Seq[TelemetrySource] = {
+    if (built.isEmpty) built = buildSources(config)
+    built
+  }
+
   /** Per-source tag merge (source-level tags + source name tag, mirroring
     * source.py:98-99) then global normalize (T11). */
   def unifiedStream(config: Config): DataFrame = {
     import org.apache.spark.sql.functions._
-    val streams = buildSources(config).map { s =>
+    val streams = sharedSources(config).map { s =>
       val base = s.stream(spark)
       val withSrcTags =
         if (s.tags.isEmpty) base
@@ -178,6 +195,7 @@ final class Engine(spark: SparkSession) {
   def start(config: Config, workDir: String): Unit = {
     conf = config
     this.workDir = workDir
+    built = Nil // new config -> new source instances
     config.observers.foreach(startObserver)
   }
 
@@ -226,7 +244,19 @@ final class Engine(spark: SparkSession) {
     }
 
   def stop(name: String): Unit = queries.get(name).foreach(_.stop())
-  def stopAll(): Unit = queries.values.foreach(_.stop())
+
+  /** Stop live sources' poll threads (spools stay readable) — call before
+    * draining with `processAllAvailable`, which can never settle while a
+    * poller keeps appending spool files. */
+  def stopPolling(): Unit = built.foreach {
+    case l: graft.sources.LiveSource => l.stopPolling()
+    case _ => ()
+  }
+
+  def stopAll(): Unit = {
+    stopPolling()
+    queries.values.foreach(_.stop())
+  }
   def awaitAnyTermination(timeoutMs: Long): Boolean =
     spark.streams.awaitAnyTermination(timeoutMs)
 }

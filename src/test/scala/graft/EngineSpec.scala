@@ -140,6 +140,53 @@ class EngineSpec extends SparkSpec {
     } finally engine.stopAll()
   }
 
+  test("config-driven LIVE tcp source: yaml host/port -> socket poll -> typed points") {
+    // the reference's production shape from YAML: a sens4 device behind a
+    // TCP socket, polled live, parsed, landed in a memory observer
+    val work = Files.createTempDirectory("graft-live-work-").toString
+    val spool = Files.createTempDirectory("graft-live-spool-").toString
+    val device = new LoopbackTcpDevice('\\'.toByte, _ =>
+      "@253ACKQ1.10E-04,2.00E-02,3.00E-03,25.40,x\\")
+    device.start()
+    val cfg = EngineConfig.parse(
+      s"""
+         |sources:
+         |  r1_sens:
+         |    type: tcp
+         |    host: 127.0.0.1
+         |    port: ${device.port}
+         |    parser: sens4
+         |    device_id: 253
+         |    ccd: r1
+         |    delay: 0.05
+         |    path: $spool
+         |observers:
+         |  meml: {type: memory}
+         |""".stripMargin)
+    val engine = new Engine(spark)
+    engine.start(cfg, work)
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (device.requests.get() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(25)
+      assert(device.requests.get() >= 3, "live poller should be conversing")
+      // freeze the spool first: processAllAvailable never settles while
+      // the poller keeps appending files
+      engine.stopPolling()
+      spark.streams.active.filter(_.name == "meml").foreach(_.processAllAvailable())
+      val rows = spark.sql("SELECT * FROM meml").collect()
+      assert(rows.nonEmpty, "live polls must land as points")
+      val r = rows(0)
+      assert(r.getAs[String]("measurement") == "pressure")
+      val f = r.getAs[Map[String, Double]]("fields")
+      assert(f("pz") == 1.1e-4 && f("temp") == 25.40)
+      assert(r.getAs[Map[String, String]]("tags")("ccd") == "r1")
+    } finally {
+      engine.stopAll() // also stops the live poll thread
+      device.stop()
+    }
+  }
+
   test("engine.restart resumes the named query from the SAME checkpoint") {
     import spark.implicits._
     import graft.model.TelemetryPoint
