@@ -129,6 +129,12 @@ object ScaleProbe {
     ndpAdaptive(repMutatedEmb(1), 2000).count()
     println("factor,docs,jaccard_s,jaccard_pairs,simhash_s,simhash_pairs," +
       "neardup4_s,neardup4_pairs,adapt_planes,adapt_bands,adapt_s,adapt_pairs")
+    // min of two timed runs per cell: a single cold shot folds codegen/
+    // JIT/first-shuffle costs into whichever factor runs first and can
+    // inflate a 5 s steady-state plan to 50 s (the BENCH_16x q26 rep
+    // arrays show the same 3x rep-1 band) — growth RATIOS need
+    // steady-state numbers on both sides.
+    def time2(f: => Unit): Double = math.min(time(f), time(f))
     for (n <- pairFactors) {
       val docsN = repMutatedDocs(n)
       val embN = repMutatedEmb(n)
@@ -136,14 +142,14 @@ object ScaleProbe {
       val bpA = graft.similarity.Similarity.adaptiveBandPlanes(nVec)
       val nbA = graft.similarity.Similarity.adaptiveNumBands(bpA, 0.4)
       var jp = 0L; var sp = 0L; var np = 0L; var npl = 0L
-      val jS = time { jp = jacc(docsN).count() }
-      val sS = time { sp = simh(docsN).count() }
+      val jS = time2 { jp = jacc(docsN).count() }
+      val sS = time2 { sp = simh(docsN).count() }
       // fixed-config capped at 4x: at 16x its ~N²/16 candidate set (tens
       // of billions of band pairs) exhausts local shuffle-spill disk —
       // the cliff the adaptive default exists to avoid; the 4x row plus
       // the candidate-count arithmetic already demonstrates it.
-      val nS = if (n <= 4) time { np = ndpFixed(embN, 4).count() } else Double.NaN
-      val nlS = time { npl = ndpAdaptive(embN, nVec).count() }
+      val nS = if (n <= 4) time2 { np = ndpFixed(embN, 4).count() } else Double.NaN
+      val nlS = time2 { npl = ndpAdaptive(embN, nVec).count() }
       println(f"$n,${n * 5000},$jS%.2f,$jp,$sS%.2f,$sp,$nS%.2f,$np,$bpA,$nbA,$nlS%.2f,$npl")
     }
     spark.stop()

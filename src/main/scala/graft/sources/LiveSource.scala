@@ -69,6 +69,8 @@ final case class LiveSource(conf: SourceConf) extends TelemetrySource {
           case (None, Some("sens4")) =>
             NetPoll.sens4Poll(host, port,
               opt("device_id").map(_.toInt).getOrElse(253), timeout)
+          case (None, Some("ln2_scale")) =>
+            NetPoll.ln2ScalePoll(host, port, timeout)
           case (None, p) => throw new IllegalArgumentException(
             s"$name: parser '${p.getOrElse("")}' has no built-in conversation; " +
               "set 'request' (and 'terminator') explicitly")

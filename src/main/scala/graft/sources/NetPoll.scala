@@ -106,6 +106,12 @@ object NetPoll {
       timeoutMs: Int = 5000): TcpPollFn =
     tcpPoll(host, port, s"@${deviceId}Q?\\", '\\', timeoutMs)
 
+  /** S5 — LN2 scale conversation (lvm.py:212-224): `"~*P*~\n"` → one
+    * line carrying `"... <weight> lb ..."`. Compose with
+    * [[Parsers.ln2Scale]]. */
+  def ln2ScalePoll(host: String, port: Int, timeoutMs: Int = 5000): TcpPollFn =
+    tcpPoll(host, port, "~*P*~\n", '\n', timeoutMs)
+
   /** One-shot UDP request/reply poll: fresh socket per tick (the
     * reference recreates the asyncudp socket every iteration,
     * lvm.py:383-389), send `request`, one datagram back within
