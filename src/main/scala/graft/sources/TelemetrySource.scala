@@ -88,6 +88,13 @@ final class PollingSource(
   private val running = new AtomicBoolean(false)
   private var thread: Thread = _
   @volatile private var seq = 0L
+  // Per-incarnation token in spool file names: a restarted poller on the
+  // SAME spool dir restarts seq at 0, and without the token its atomic
+  // publish (Files.move without REPLACE) would collide with the previous
+  // incarnation's files — every poll failing into backoff until seq
+  // passed the old count.
+  private val incarnation =
+    java.lang.Long.toHexString(System.nanoTime() ^ (Thread.currentThread().getId << 40))
 
   def start(): Unit = {
     Files.createDirectories(Paths.get(spoolDir))
@@ -125,8 +132,8 @@ final class PollingSource(
   private def writeSpool(replies: Seq[String]): Unit = {
     val ts = System.currentTimeMillis()
     val lines = replies.map(r => s"${r.replace("\n", "\\n")}\t$ts")
-    val tmp = Paths.get(spoolDir, s".$name-$seq.tmp")
-    val fin = Paths.get(spoolDir, s"$name-$seq.txt")
+    val tmp = Paths.get(spoolDir, s".$name-$incarnation-$seq.tmp")
+    val fin = Paths.get(spoolDir, s"$name-$incarnation-$seq.txt")
     seq += 1
     Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

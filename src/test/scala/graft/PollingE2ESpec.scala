@@ -120,6 +120,23 @@ class PollingE2ESpec extends SparkSpec {
     } finally src.stop()
   }
 
+  test("a restarted poller on the same spool never collides with its predecessor's files") {
+    // pre-fix: the second incarnation restarted seq at 0 and its atomic
+    // publish (Files.move without REPLACE) collided with the first's
+    // files — every poll failed into backoff and the spool froze
+    val spool = Files.createTempDirectory("graft-restart-spool-").toString
+    def txtCount = new java.io.File(spool).listFiles().count(_.getName.endsWith(".txt"))
+    val a = new PollingSource("dev", spool, () => Seq("x"), delayMs = 10)
+    a.start()
+    waitFor("first incarnation spools")(txtCount >= 2)
+    a.stop()
+    val frozen = txtCount
+    val b = new PollingSource("dev", spool, () => Seq("y"), delayMs = 10)
+    b.start()
+    try waitFor("second incarnation spools past the first")(txtCount >= frozen + 2)
+    finally b.stop()
+  }
+
   private def waitFor(what: String, timeoutMs: Long = 15000)(cond: => Boolean): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(25)
