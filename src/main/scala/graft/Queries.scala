@@ -1031,6 +1031,50 @@ object Queries {
         CAST(len(list_filter(bs, x -> x // 64 = 3)) AS BIGINT) AS h3
       FROM b ORDER BY media_id"""))
 
+  // The REAL audio decode path, q41b's pattern for RIFF/WAVE: each
+  // document's ASCII projection becomes the 8-bit unsigned mono PCM
+  // sample stream of a genuine WAV file (Multimodal.encodePcmWav), and
+  // Multimodal.decodeWav walks the chunk list, reads fmt/data, and
+  // recovers duration (frames/rate) and the per-quarter peak |amplitude|
+  // envelope FROM THE FRAMES. The oracle recomputes both directly from
+  // the sample derivation — a hash match proves the decoder read actual
+  // PCM frames through the container, not metadata.
+  val q41d_multimodal_wav = Q("q41d_multimodal_wav",
+    (s, dir) => {
+      val enc = udf((payload: Array[Byte]) =>
+        graft.multimodal.Multimodal.encodePcmWav(8000, payload))
+      val media = documents(s, dir)
+        .withColumn("a", regexp_replace(col("text"), "[^ -~]", ""))
+        .withColumn("a", when(length(col("a")) === 0, lit("x")).otherwise(col("a")))
+        .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+          enc(col("a").cast("binary")).as("content"),
+          map(lit("src"), lit("documents")).as("meta"))
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 4)
+        .select(col("media_id"), col("duration_s"),
+          element_at(col("features"), 1).cast("long").as("p0"),
+          element_at(col("features"), 2).cast("long").as("p1"),
+          element_at(col("features"), 3).cast("long").as("p2"),
+          element_at(col("features"), 4).cast("long").as("p3"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH d0 AS (
+        SELECT doc_id AS media_id,
+          CASE WHEN length(regexp_replace(text, '[^ -~]', '', 'g')) = 0 THEN 'x'
+               ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS a
+        FROM documents),
+      b AS (
+        SELECT media_id, length(a) AS l,
+          [abs(ord(substr(a, i, 1)) - 128) FOR i IN generate_series(1, CAST(length(a) AS INTEGER))] AS amps
+        FROM d0)
+      SELECT media_id,
+        CAST(l AS DOUBLE) / 8000.0 AS duration_s,
+        CAST(coalesce(list_max([amps[i] FOR i IN generate_series(1, CAST(l AS INTEGER)) IF ((i-1)*4)//l = 0]), 0) AS BIGINT) AS p0,
+        CAST(coalesce(list_max([amps[i] FOR i IN generate_series(1, CAST(l AS INTEGER)) IF ((i-1)*4)//l = 1]), 0) AS BIGINT) AS p1,
+        CAST(coalesce(list_max([amps[i] FOR i IN generate_series(1, CAST(l AS INTEGER)) IF ((i-1)*4)//l = 2]), 0) AS BIGINT) AS p2,
+        CAST(coalesce(list_max([amps[i] FOR i IN generate_series(1, CAST(l AS INTEGER)) IF ((i-1)*4)//l = 3]), 0) AS BIGINT) AS p3
+      FROM b ORDER BY media_id"""))
+
   val q42_set_ops = Q("q42_set_ops",
     (s, dir) => {
       val active = orders(s, dir).filter(col("o_orderdate") >= ntz("1997-01-01 00:00:00"))
@@ -2264,7 +2308,7 @@ object Queries {
     q32_simhash_pairs, q33_minhash_pairs, q34_stats_agg, q35_percentiles,
     q36_time_bucket, q37_conditional_agg, q38_string_ops, q39_array_agg,
     q40_dedup_survivors, q41_multimodal_features, q41b_multimodal_decode,
-    q41c_multimodal_imageio, q42_set_ops,
+    q41c_multimodal_imageio, q41d_multimodal_wav, q42_set_ops,
     q43_ann_topk_agg, q44_dedup_clusters, q44b_dedup_clusters_iterative,
     q45_embedding_centroid,
     q46_text_subwords, q47_corpus_filter, q48_range_join,

@@ -279,6 +279,31 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode 8-bit unsigned mono PCM samples as a minimal RIFF/WAVE file
+    * (PCM format tag 1, one channel, the exact container [[decodeWav]]
+    * parses). Deterministic byte-for-byte, so an oracle can replay the
+    * construction while the engine recovers duration and envelope
+    * through the real chunk-walking decode. */
+  def encodePcmWav(sampleRate: Int, samples: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(36 + samples.length)
+    bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate) // byte rate = rate * block(1)
+    bb.putShort(1) // block align
+    bb.putShort(8) // bits per sample
+    bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(samples.length)
+    bb.put(samples)
+    bb.array()
+  }
+
   /** Real nearest-neighbor resample for ImageIO formats: decode, floor-NN
     * (the [[resizePgm]] kernel), re-encode as PNG — lossless regardless of
     * the input format, so resize(resize(x)) composes without generational

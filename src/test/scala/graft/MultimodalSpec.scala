@@ -94,6 +94,16 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(w8.take(30), 2).isEmpty, "truncated chunk must refuse")
   }
 
+  test("encodePcmWav -> decodeWav roundtrip recovers duration and envelope") {
+    // 8 unsigned samples at 8 kHz: amplitudes |b-128| = 96,0,96,28 ... per pair
+    val samples = Array(32, 128, 224, 100, 128, 128, 200, 27).map(_.toByte)
+    val wavBytes = Multimodal.encodePcmWav(8000, samples)
+    assert(new String(wavBytes.take(4)) == "RIFF" && wavBytes.length == 52)
+    val Some((dur, peaks)) = Multimodal.decodeWav(wavBytes, dim = 4)
+    assert(dur == 8.0 / 8000)
+    assert(peaks.toSeq == Seq(96f, 96f, 0f, 101f))
+  }
+
   test("extractFeatures dispatches real decoders by content, stub otherwise") {
     val rows = new java.util.ArrayList[Row]()
     rows.add(Row(1L, "image", pgm("P5\n3 1\n255\n", Array(10, 70, 200)), Map.empty[String, String]))
