@@ -2296,6 +2296,127 @@ object Queries {
       FROM stream s LEFT JOIN final f ON f.doc_id = s.doc_id
       ORDER BY s.doc_id"""))
 
+  // DSIR importance weights toward the English slice (Selection
+  // .dsirWeights, Xie et al. 2023): add-one-smoothed unigram LMs over
+  // the target (lang = 'en') and the full corpus, per-doc summed
+  // log-likelihood ratio with the decimal-exact discipline, top-100
+  // selection flagged through the bounded-heap threshold.
+  val q75_dsir_weights = Q("q75_dsir_weights",
+    (s, dir) => graft.text.Selection.dsirWeights(documents(s, dir),
+        "doc_id", "text", col("lang") === "en", selectK = 100)
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      perdoc AS (
+        SELECT doc_id, token, COUNT(*) AS c,
+          MAX(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt
+        FROM toks GROUP BY doc_id, token),
+      tf AS (
+        SELECT token, CAST(SUM(c) AS BIGINT) AS cr,
+          CAST(SUM(CASE WHEN tgt = 1 THEN c ELSE 0 END) AS BIGINT) AS ct
+        FROM perdoc GROUP BY token),
+      sc AS (
+        SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt,
+          COUNT(*) AS v FROM tf),
+      delta AS (
+        SELECT token,
+          CAST(ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))
+            AS DECIMAL(27,12)) AS dl
+        FROM tf, sc),
+      w AS (
+        SELECT doc_id,
+          CAST(SUM(dl * CAST(c AS DECIMAL(10,0))) AS DOUBLE) AS lw,
+          CAST(SUM(c) AS BIGINT) AS n_tokens
+        FROM perdoc JOIN delta USING (token) GROUP BY doc_id)
+      SELECT doc_id, round(lw, 6) AS log_weight, n_tokens, rn <= 100 AS selected
+      FROM (SELECT *, row_number() OVER (ORDER BY lw DESC, doc_id) AS rn FROM w)
+      ORDER BY doc_id"""))
+
+  // Subword vocabulary induction + greedy longest-match encoding
+  // (Selection.subwordVocab/subwordStats): vocab = top-40 char n-grams
+  // (2..4, occurrence-weighted) + all corpus chars; per-doc piece counts
+  // through the scan-fused codegen subword_piece_count expression. The
+  // oracle replays the greedy recursion per distinct word with a
+  // recursive CTE and joins back through the token stream.
+  val q76_subword_encode = Q("q76_subword_encode",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val vocab = graft.text.Selection.subwordVocab(docs, "text",
+        topNGrams = 40, minN = 2, maxN = 4)
+      graft.text.Selection.subwordStats(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      wc AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY word),
+      ng AS (
+        SELECT g.gram, CAST(SUM(wc.c) AS BIGINT) AS f
+        FROM wc, (SELECT 2 AS n UNION ALL SELECT 3 UNION ALL SELECT 4) AS ns,
+        LATERAL (SELECT unnest([substr(wc.word, i, ns.n)
+                                FOR i IN generate_series(1, len(wc.word) - ns.n + 1)]) AS gram) g
+        GROUP BY g.gram),
+      topg AS (SELECT gram AS piece FROM ng ORDER BY f DESC, gram LIMIT 40),
+      chars AS (
+        SELECT DISTINCT unnest([substr(word, i, 1)
+                                FOR i IN generate_series(1, len(word))]) AS piece
+        FROM (SELECT DISTINCT word FROM toks)),
+      vocab AS (SELECT DISTINCT piece
+        FROM (SELECT piece FROM topg UNION ALL SELECT piece FROM chars)),
+      dw AS (SELECT DISTINCT word FROM toks),
+      st(word, pos, np) AS (
+        SELECT word, 1, 0 FROM dw
+        UNION ALL
+        SELECT word,
+          pos + (SELECT max(len(v.piece)) FROM vocab v
+                 WHERE substr(st.word, st.pos, len(v.piece)) = v.piece),
+          np + 1
+        FROM st WHERE pos <= len(word)),
+      wp AS (SELECT word, np FROM st WHERE pos = len(word) + 1),
+      per AS (
+        SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(wp.np) AS BIGINT) AS n_pieces
+        FROM toks t JOIN wp USING (word) GROUP BY t.doc_id)
+      SELECT doc_id, n_tokens, n_pieces,
+        round(CAST(n_pieces AS DOUBLE) / n_tokens, 6) AS pieces_per_token
+      FROM per ORDER BY doc_id"""))
+
+  // Cross-document duplicated-span removal (Selection.duplicatedSpans,
+  // Lee et al. 2022): word 6-grams shared by >= 2 distinct docs mark
+  // their covered tokens; stats + cleaned text per document. Span keys
+  // travel as md5-derived 60-bit hashes, replayed by the oracle.
+  val q77_span_dedup = Q("q77_span_dedup",
+    (s, dir) => graft.text.Selection.duplicatedSpans(documents(s, dir),
+        "doc_id", "text", k = 6, minDocs = 2)
+      .orderBy("doc_id"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+          len(string_split(text, ' ')) AS n FROM documents),
+      g AS (
+        SELECT doc_id, u.s AS start, u.g AS gh
+        FROM (SELECT doc_id,
+                unnest([{'s': i,
+                         'g': CAST(('0x' || substr(md5(array_to_string(ws[i+1 : i+6], ' ')), 1, 15)) AS BIGINT)}
+                        FOR i IN generate_series(0, n - 6)]) AS u
+              FROM w WHERE n >= 6)),
+      dupg AS (
+        SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+      cov AS (
+        SELECT DISTINCT g.doc_id, g.start + t.j AS pos
+        FROM g JOIN dupg USING (gh), generate_series(0, 5) AS t(j)),
+      pp AS (
+        SELECT doc_id, list(pos) AS poss, COUNT(*) AS n_dup
+        FROM cov GROUP BY doc_id)
+      SELECT w.doc_id, w.n AS n_tokens,
+        COALESCE(pp.n_dup, 0) AS n_dup_tokens,
+        round(CAST(COALESCE(pp.n_dup, 0) AS DOUBLE) / w.n, 6) AS dup_ratio,
+        COALESCE(array_to_string([w.ws[i] FOR i IN generate_series(1, w.n)
+                         IF NOT list_contains(COALESCE(pp.poss, []), i - 1)], ' '), '') AS clean_text
+      FROM w LEFT JOIN pp USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2320,5 +2441,6 @@ object Queries {
     q63_unigram_entropy, q64_streaming_dedup, q65_doc_chunking,
     q66_cdc_segments, q67_verbatim_overlap, q68_kmeans, q69_semantic_dedup,
     q70_incremental_dedup, q71_boilerplate, q72_ppl_buckets,
-    q73_streaming_near_dedup, q74_streaming_swept_dedup)
+    q73_streaming_near_dedup, q74_streaming_swept_dedup,
+    q75_dsir_weights, q76_subword_encode, q77_span_dedup)
 }

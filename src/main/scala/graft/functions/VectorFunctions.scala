@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PunctCount, QuantizeMse, SortedContainsLong, SubwordCount}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PunctCount, QuantizeMse, SortedContainsLong, SubwordCount, SubwordPieces}
 
 /** Public facade for the codegen'd vector/fingerprint expressions
   * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
@@ -45,6 +45,17 @@ object VectorFunctions {
     (FunctionIdentifier("subword_count"),
       new ExpressionInfo(classOf[SubwordCount].getName, "subword_count"),
       (children: Seq[Expression]) => SubwordCount(children(0))),
+    // subword_piece_count(text, vocab): vocab must be a foldable
+    // string-array literal — it is the tokenizer's piece table, a plan
+    // constant compiled into the matcher, not per-row data
+    (FunctionIdentifier("subword_piece_count"),
+      new ExpressionInfo(classOf[SubwordPieces].getName, "subword_piece_count"),
+      (children: Seq[Expression]) => {
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        SubwordPieces(children(0),
+          (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString))
+      }),
     (FunctionIdentifier("punct_count"),
       new ExpressionInfo(classOf[PunctCount].getName, "punct_count"),
       (children: Seq[Expression]) => PunctCount(children(0))),

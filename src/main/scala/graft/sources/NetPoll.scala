@@ -40,7 +40,7 @@ object NetPoll {
       request: Array[Byte],
       terminator: Byte,
       timeoutMs: Int,
-      connectTimeoutMs: Int) extends (() => Seq[String]) {
+      connectTimeoutMs: Int) extends (() => Seq[String]) with AutoCloseable {
 
     private var socket: Socket = null
 

@@ -127,6 +127,13 @@ final class PollingSource(
   def stop(): Unit = {
     running.set(false)
     if (thread != null) thread.interrupt()
+    // A connection-holding poll fn (NetPoll.TcpPollFn) would otherwise
+    // keep its socket open until GC; closing here also unblocks a poll
+    // mid-read (SocketException) so the thread exits promptly.
+    poll match {
+      case c: AutoCloseable => try c.close() catch { case _: Exception => () }
+      case _ => ()
+    }
   }
 
   private def writeSpool(replies: Seq[String]): Unit = {

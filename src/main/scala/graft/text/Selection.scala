@@ -1,0 +1,216 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DecimalType, IntegerType}
+import graft.dedup.Dedup
+import graft.operators.TopKByScore
+
+/** Data-selection operators for training-corpus curation — the steps
+  * between raw-quality filtering ([[Quality]]) and shard packing:
+  * importance-weighted selection toward a target distribution (DSIR,
+  * Xie et al. 2023), cross-document duplicated-span removal (the exact
+  * substring dedup of Lee et al. 2022, "Deduplicating Training Data
+  * Makes Language Models Better"), and subword vocabulary induction +
+  * greedy encoding (the WordPiece/BPE apply step that turns char counts
+  * into real token budgets).
+  *
+  * The reference (sdss/cerebro) has no corpus surface at all — these are
+  * parity-plus operators in the SURVEY §2.6 sense, built Spark-first.
+  */
+object Selection {
+
+  import Quality.HeadTokenFanIn
+
+  /** DSIR-style importance weights toward a target distribution
+    * (Xie et al. 2023 §3: importance resampling under bag-of-ngram
+    * feature LMs). `isTarget` marks the in-domain rows; each document's
+    * log importance weight is `Σ_tok c_tok · (ln p̂(tok) − ln q̂(tok))`
+    * with add-one-smoothed unigram LMs `p̂` over the target slice and
+    * `q̂` over the full corpus (shared vocabulary V, so unseen-in-target
+    * tokens get mass 1/(N_t+V)). The top `selectK` documents by
+    * (weight desc, id asc) are flagged `selected` — the deterministic
+    * argmax form of the paper's Gumbel-noised resample.
+    *
+    * Output: `(idCol, log_weight, n_tokens, selected)`.
+    *
+    * Scale shape (the q63 discipline): occurrence rows never shuffle on
+    * the bare token — per-(doc,token) counts partial-aggregate map-side,
+    * the token-stats join routes Zipf-head keys through the broadcast
+    * gate ([[graft.operators.SaltedJoin.headBroadcast]]), corpus scalars
+    * are a 1-row broadcast, and the per-token log-ratio scales by exact
+    * DECIMAL multiplication so the per-doc sum is bit-stable under any
+    * partial-aggregation order. The selection threshold is a bounded-heap
+    * [[TopKByScore]] aggregate (k rows per map task cross the wire, never
+    * a global sort), broadcast back as one row — the flag fuses into the
+    * weight frame's scan. The hashed-feature variant for corpora whose
+    * vocabulary outgrows the token join is [[hashedDsirWeights]]. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, selectK: Int): DataFrame =
+    dsirWeightsBy(docs, idCol, textCol, isTarget, selectK, identity)
+
+  /** [[dsirWeights]] with hashed n-gram features (the paper's actual
+    * feature space): tokens hash into `buckets` via xxhash64, so the
+    * feature-stats join key domain is FIXED at `buckets` regardless of
+    * corpus vocabulary — the 100 TB shape when the raw vocabulary is
+    * itself web-scale. Same math downstream; collisions merge feature
+    * counts exactly as in the paper. Not SQL-oracle-replayable (DuckDB
+    * has no xxhash64), so correctness is spec-pinned instead: identical
+    * output to [[dsirWeights]] on a corpus where the hash is
+    * collision-free at the chosen bucket count (SelectionSpec). */
+  def hashedDsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, selectK: Int, buckets: Int = 1 << 16): DataFrame =
+    dsirWeightsBy(docs, idCol, textCol, isTarget, selectK,
+      t => pmod(xxhash64(t), lit(buckets.toLong)))
+
+  private def dsirWeightsBy(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, selectK: Int,
+      tokenKey: Column => Column): DataFrame = {
+    require(selectK >= 1, s"selectK must be >= 1, got $selectK")
+    val toks = docs.select(col(idCol).as("id"),
+      isTarget.cast("int").as("tgt"),
+      explode(TextStats.tokens(col(textCol))).as("tok"))
+      .select(col("id"), col("tgt"), tokenKey(col("tok")).as("token"))
+    val perDoc = toks.groupBy("id", "token")
+      .agg(count(lit(1)).as("c"), max(col("tgt")).as("tgt"))
+    val tf = perDoc.groupBy("token").agg(
+      sum(col("c")).as("cr"),
+      sum(when(col("tgt") === 1, col("c")).otherwise(0L)).as("ct"))
+    val sc = tf.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val weighted = graft.operators.SaltedJoin
+      .headBroadcast(perDoc, tf, "token", "cr", HeadTokenFanIn)
+      .crossJoin(broadcast(sc))
+      .select(col("id"), col("c"),
+        ((log((col("ct") + lit(1.0)) / (col("nt") + col("v"))) -
+          log((col("cr") + lit(1.0)) / (col("nr") + col("v"))))
+          .cast(DecimalType(27, 12)) *
+          col("c").cast(DecimalType(10, 0))).as("dlc"))
+      .groupBy("id")
+      .agg(sum(col("dlc")).cast("double").as("lw"),
+        sum(col("c")).as("n_tokens"))
+    // Selection threshold: the k-th best (weight, id) via the bounded
+    // heap; when the corpus has fewer than k docs the heap's worst
+    // element is the global worst, so the flag is true everywhere.
+    val thr = weighted.agg(
+      TopKByScore.topK(selectK)(col("lw"), col("id")).as("tk"))
+      .select(element_at(col("tk"), least(size(col("tk")), lit(selectK)))
+        .as("thr"))
+    weighted.crossJoin(broadcast(thr))
+      .select(col("id").as(idCol), round(col("lw"), 6).as("log_weight"),
+        col("n_tokens"),
+        (col("lw") > col("thr.score") ||
+          (col("lw") === col("thr.score") && col("id") <= col("thr.id")))
+          .as("selected"))
+  }
+
+  /** Cross-document duplicated-span statistics and removal — the exact
+    * substring dedup of Lee et al. 2022 at word-`k`-gram granularity: a
+    * span of `k` consecutive words appearing in ≥ `minDocs` DISTINCT
+    * documents is duplicated text (license boilerplate, syndicated
+    * paragraphs, mirrored quotes), and every token any such span covers
+    * is dropped from the cleaned text. Unlike document-level dedup this
+    * removes the REGION, keeping the unique remainder of partially
+    * copied documents.
+    *
+    * Output: `(idCol, n_tokens, n_dup_tokens, dup_ratio, clean_text)`.
+    *
+    * Scale shape: spans key the duplicate-decision exchange as 60-bit
+    * md5 hashes ([[Dedup.h60]] — oracle-replayable), never span text;
+    * document frequency partial-aggregates on (hash, doc); the k× span→
+    * position fan-out is bounded and collapses by `distinct` on
+    * (doc, pos) riding the doc key; the per-doc covered-position set is
+    * bounded by document LENGTH, so the rebuild join carries one
+    * doc-sized array per dirty doc and clean docs stream through the
+    * left join untouched. No stage ever holds pairs of documents. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"span width must be >= 2 words, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = docs.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+    val grams = base.filter(col("n") >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), col("n") - k),
+        i => Dedup.h60(concat_ws(" ", slice(col("ws"), i + 1, lit(k))))))
+        .as(Seq("start", "gh")))
+    val dupg = grams.groupBy("gh").agg(countDistinct(col("id")).as("dfd"))
+      .filter(col("dfd") >= minDocs).select("gh")
+    val cov = grams.join(dupg, Seq("gh"))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val pp = cov.groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("poss"))
+    val poss = coalesce(col("poss"), lit(Array.empty[Int]))
+    base.join(pp, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n").cast("long").as("n_tokens"),
+        size(poss).cast("long").as("n_dup_tokens"),
+        round(size(poss).cast("double") / col("n"), 6).as("dup_ratio"),
+        concat_ws(" ",
+          filter(col("ws"), (w, i) => !array_contains(poss, i)))
+          .as("clean_text"))
+  }
+
+  /** Induce a subword piece vocabulary from the corpus: the `topNGrams`
+    * most frequent character n-grams (`minN..maxN`, occurrence-weighted
+    * by word frequency, ties broken lexicographically) plus every
+    * distinct character — so greedy encoding always terminates without
+    * UNKs. This is the vocabulary-learning half of subword tokenization
+    * (frequency-ranked pieces, the core signal BPE's merge loop also
+    * follows); [[subwordStats]] is the apply half.
+    *
+    * The returned array is a driver-side artifact by design — a
+    * tokenizer's piece table ships with the job like a model file; both
+    * aggregations that produce it are vocabulary-bounded (char-n-gram
+    * key space), and the top-N is a TakeOrdered (no global sort). */
+  def subwordVocab(docs: DataFrame, textCol: String,
+      topNGrams: Int = 40, minN: Int = 2, maxN: Int = 4): Array[String] = {
+    require(minN >= 2 && maxN >= minN, s"need 2 <= minN <= maxN, got $minN..$maxN")
+    val wc = docs.select(explode(TextStats.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val emptyInts = lit(Array.empty[Int])
+    val grams = wc.select(col("c"), explode(flatten(transform(
+        sequence(lit(minN), lit(maxN)),
+        n => transform(
+          when(length(col("word")) >= n,
+            sequence(lit(1), length(col("word")) - n + 1))
+            .otherwise(emptyInts),
+          i => col("word").substr(i, n))))).as("gram"))
+      .groupBy("gram").agg(sum(col("c")).as("f"))
+      .orderBy(desc("f"), asc("gram")).limit(topNGrams)
+      .select("gram").collect().map(_.getString(0))
+    val chars = wc.select(col("word")).distinct()
+      .select(explode(transform(
+        sequence(lit(1), greatest(length(col("word")), lit(1))),
+        i => col("word").substr(i, lit(1)))).as("ch"))
+      .filter(col("ch") =!= "").distinct()
+      .collect().map(_.getString(0))
+    (grams ++ chars).distinct
+  }
+
+  /** Apply-side of subword tokenization: per-document piece counts under
+    * greedy longest-match encoding against `vocab` (the
+    * [[org.apache.spark.sql.graft.SubwordEncoder]] contract). The real
+    * token budget of a training corpus is piece count, not whitespace
+    * count — shard packing and mixture math need this number.
+    *
+    * Output: `(idCol, n_tokens, n_pieces, pieces_per_token)`.
+    *
+    * Scale shape: ONE scan-fused codegen expression pass per document —
+    * no token explode, no join, zero exchanges beyond the caller's;
+    * re-encoding repeated words costs O(word length) each, strictly
+    * cheaper than shuffling the token stream to dedup them (the
+    * per-distinct-word join the SQL oracle uses). */
+  def subwordStats(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Array[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    docs.select(col(idCol),
+      size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"),
+      call_function("subword_piece_count", col(textCol),
+        typedlit(vocab.toSeq)).as("n_pieces"))
+      .withColumn("pieces_per_token",
+        round(col("n_pieces").cast("double") / col("n_tokens"), 6))
+  }
+}

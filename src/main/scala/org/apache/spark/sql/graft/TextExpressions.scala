@@ -203,6 +203,94 @@ object MinhashStatics {
   }
 }
 
+/** Greedy longest-match subword matcher over a fixed piece vocabulary —
+  * the apply half of WordPiece-style tokenization (Wu et al. 2016; the
+  * greedy encode of Sennrich et al. 2016's learned-subword scheme). One
+  * instance is built per plan from the (small) vocabulary and shipped to
+  * executors inside the expression, like a tokenizer file rides a model.
+  *
+  * Matching: within each space-split word, at each position take the
+  * LONGEST vocab piece that prefixes the remainder; a position no piece
+  * covers counts one UNK piece and advances one char (cannot happen when
+  * the vocab contains every corpus character, as
+  * [[graft.text.Selection.subwordVocab]] guarantees). Positions are
+  * UTF-16 code units; for BMP text this equals codepoints, which is what
+  * the DuckDB oracle's `substr`/`len` count. Pieces never span the space
+  * separator, matching the per-word oracle recursion. */
+final class SubwordEncoder(vocab: Seq[String]) extends Serializable {
+  private val pieces: Array[String] = vocab.toArray
+  @transient private lazy val maxLen: Int =
+    if (pieces.isEmpty) 0 else pieces.iterator.map(_.length).max
+  @transient private lazy val byLen: Array[java.util.HashSet[String]] = {
+    val sets = new Array[java.util.HashSet[String]](maxLen + 1)
+    pieces.foreach { p =>
+      if (p.nonEmpty) {
+        if (sets(p.length) == null) sets(p.length) = new java.util.HashSet[String]()
+        sets(p.length).add(p)
+      }
+    }
+    sets
+  }
+
+  /** Total greedy piece count over all space-split words of `text`.
+    * Empty words (consecutive spaces) contribute zero pieces. */
+  def pieceCount(text: UTF8String): Long = {
+    val s = text.toString
+    val n = s.length
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == ' ') i += 1
+      else {
+        var j = i
+        while (j < n && s.charAt(j) != ' ') j += 1
+        var p = i
+        while (p < j) {
+          var len = math.min(maxLen, j - p)
+          var matched = 0
+          while (len >= 1 && matched == 0) {
+            if (byLen(len) != null && byLen(len).contains(s.substring(p, p + len)))
+              matched = len
+            len -= 1
+          }
+          total += 1
+          p += (if (matched == 0) 1 else matched)
+        }
+        i = j
+      }
+    }
+    total
+  }
+}
+
+/** Codegen'd `subword_piece_count(text, vocab)` — total greedy
+  * longest-match pieces of all words of `text` under the piece
+  * `vocab` (a foldable string-array literal: the vocabulary is a plan
+  * constant, like a tokenizer file). One scan-fused pass per row — the
+  * per-doc piece count costs zero shuffles regardless of how often
+  * words repeat (the join-back-per-distinct-word shape the oracle uses
+  * would shuffle the corpus token stream). Null in → null out. */
+case class SubwordPieces(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "subword_piece_count"
+
+  @transient private lazy val encoder = new SubwordEncoder(vocab)
+
+  override protected def nullSafeEval(s: Any): Any =
+    encoder.pieceCount(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subwordEnc", encoder,
+      classOf[SubwordEncoder].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.pieceCount($s)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordPieces =
+    copy(child = newChild)
+}
+
 /** Codegen'd MinHash signature `minhash_sig(text, n, numPerm)` — the
   * hot-path form of the dedup family's signature for projections where
   * the aggregate shape cannot go (a streaming stateless projection before

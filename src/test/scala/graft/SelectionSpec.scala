@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Selection
+
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------------------------
+  // DSIR importance weights
+  // -------------------------------------------------------------------
+
+  test("dsirWeights: target-like docs outrank off-target docs; top-k flagged") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta gamma", "en"),
+      (2L, "alpha beta beta alpha alpha", "en"),
+      (3L, "delta epsilon zeta delta eta", "de"),
+      (4L, "alpha beta gamma alpha beta", "de"), // target-LIKE but off-target
+      (5L, "zeta eta epsilon delta zeta", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = Selection.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", selectK = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 5)
+    // target-vocab docs (1, 2, 4) must outweigh off-target-vocab (3, 5):
+    // doc 4 shares the target's tokens even though it isn't target itself
+    val w = out.view.mapValues(_.getDouble(1)).toMap
+    assert(Seq(1L, 2L, 4L).map(w).min > Seq(3L, 5L).map(w).max)
+    // exactly k=3 selected, and they are the 3 largest weights
+    val sel = out.values.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(sel == Set(1L, 2L, 4L))
+    // n_tokens carried through
+    assert(out(1L).getLong(2) == 5L)
+  }
+
+  test("dsirWeights: selectK >= corpus size flags every doc") {
+    val docs = Seq((1L, "a b", "en"), (2L, "c d", "fr")).toDF("doc_id", "text", "lang")
+    val out = Selection.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", selectK = 10).collect()
+    assert(out.forall(_.getBoolean(3)))
+  }
+
+  test("hashedDsirWeights: identical to token-level when buckets are collision-free") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    // verify the premise: no two distinct tokens share a bucket at 2^20
+    val buckets = 1 << 20
+    val coll = docs.select(explode(split(col("text"), " ")).as("t")).distinct()
+      .select(pmod(xxhash64(col("t")), lit(buckets.toLong)).as("b"))
+      .groupBy("b").count().filter(col("count") > 1).count()
+    assert(coll == 0, "fixture tokens collide; pick a larger bucket count")
+    val a = Selection.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", selectK = 20).orderBy("doc_id").collect()
+    val b = Selection.hashedDsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", selectK = 20, buckets = buckets)
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  // -------------------------------------------------------------------
+  // Duplicated-span removal
+  // -------------------------------------------------------------------
+
+  test("duplicatedSpans: shared 6-gram span removed, unique text kept") {
+    val span = "s1 s2 s3 s4 s5 s6"
+    val docs = Seq(
+      (1L, s"u1 u2 $span u3 u4"),      // span in the middle
+      (2L, s"$span v1 v2 v3 v4 v5"),   // span at the front
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"), // no duplicated span
+      (4L, "t1 t2 t3")                 // shorter than k: never spans
+    ).toDF("doc_id", "text")
+    val out = Selection.duplicatedSpans(docs, "doc_id", "text", k = 6)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(1L) == ((10L, 6L, "u1 u2 u3 u4")))
+    assert(out(2L) == ((11L, 6L, "v1 v2 v3 v4 v5")))
+    assert(out(3L) == ((8L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8")))
+    assert(out(4L) == ((3L, 0L, "t1 t2 t3")))
+  }
+
+  test("duplicatedSpans: overlapping duplicated spans cover the union of positions") {
+    // docs 1/2 share a 7-token run => two overlapping 6-gram spans in each;
+    // covered positions are the union (7 tokens), not 12
+    val run = "r1 r2 r3 r4 r5 r6 r7"
+    val docs = Seq(
+      (1L, s"$run x1 x2"),
+      (2L, s"y1 $run y2")
+    ).toDF("doc_id", "text")
+    val out = Selection.duplicatedSpans(docs, "doc_id", "text", k = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(4))).toMap
+    assert(out(1L) == ((7L, "x1 x2")))
+    assert(out(2L) == ((7L, "y1 y2")))
+  }
+
+  test("duplicatedSpans: a span repeated only WITHIN one doc is not cross-doc dup") {
+    val docs = Seq(
+      (1L, "p1 p2 p3 p4 p5 p6 z p1 p2 p3 p4 p5 p6"),
+      (2L, "q1 q2 q3 q4 q5 q6 q7")
+    ).toDF("doc_id", "text")
+    val out = Selection.duplicatedSpans(docs, "doc_id", "text", k = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L)
+  }
+
+  // -------------------------------------------------------------------
+  // Subword vocabulary + greedy encoding
+  // -------------------------------------------------------------------
+
+  test("subwordVocab: top n-grams by weighted frequency plus all chars") {
+    // "abab" x3, "cd" x1: weighted 2-grams ab=6 (2 per word x3), ba=3, cd=1;
+    // 3-grams aba=3, bab=3; 4-gram abab=3
+    val docs = Seq((1L, "abab abab abab cd")).toDF("doc_id", "text")
+    val vocab = Selection.subwordVocab(docs, "text", topNGrams = 2).toSet
+    // top-2 by (f desc, gram asc): ab(6) then aba(3) [aba < abab < ba < bab lexicographically]
+    assert(vocab == Set("ab", "aba", "a", "b", "c", "d"))
+  }
+
+  test("subwordStats: greedy longest-match piece counts; empty-word safe") {
+    val docs = Seq(
+      (1L, "abab cd"),   // greedy with {ab,aba,chars}: aba+b = 2, c+d = 2 -> 4
+      (2L, "xyz"),       // no vocab chars for x,y,z -> UNK per char -> 3
+      (3L, "ab  ab")     // double space: empty middle word contributes 0 -> 2
+    ).toDF("doc_id", "text")
+    val vocab = Array("ab", "aba", "a", "b", "c", "d")
+    val out = Selection.subwordStats(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 4L)))
+    assert(out(2L) == ((1L, 3L)))
+    assert(out(3L) == ((3L, 2L)))
+  }
+
+  test("subwordStats plan is scan-fused: no exchange, stays in codegen") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val vocab = Array("ab", "a", "b")
+    val p = Selection.subwordStats(docs, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"expected no shuffle, got:\n$p")
+    // "*(1)" prefixes = every operator inside whole-stage-codegen stage 1
+    assert(p.contains("*(1)"), s"expected codegen, got:\n$p")
+  }
+
+  test("subword_piece_count matches a reference greedy implementation on the corpus") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val vocab = Selection.subwordVocab(docs, "text")
+    // reference greedy re-implementation (independent of SubwordEncoder)
+    def refCount(text: String): Long = {
+      val byLen = vocab.groupBy(_.length).view.mapValues(_.toSet).toMap
+      val maxLen = vocab.map(_.length).max
+      text.split(" ", -1).map { w =>
+        var p = 0; var c = 0L
+        while (p < w.length) {
+          val m = (math.min(maxLen, w.length - p) to 1 by -1)
+            .find(l => byLen.get(l).exists(_.contains(w.substring(p, p + l))))
+          c += 1; p += m.getOrElse(1)
+        }
+        c
+      }.sum
+    }
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+    val got = Selection.subwordStats(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(got(r.getLong(0)) == refCount(r.getString(1)),
+        s"doc ${r.getLong(0)} piece count mismatch")
+    }
+  }
+}
