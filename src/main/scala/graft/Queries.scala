@@ -2417,6 +2417,88 @@ object Queries {
       FROM w LEFT JOIN pp USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** DuckDB replay of the full product-quantization pipeline
+    * ([[graft.similarity.ProductQuantizer]]): per-subspace k-means
+    * (macro-expanded Lloyd iterations, DECIMAL(27,12) means — the q68
+    * machinery per vector slice), nearest-centroid codes, and the ADC
+    * score as the LEFT-ASSOCIATIVE per-subspace dot chain
+    * `t0 + t1 + ... + t_{m-1}` — the same accumulation order as the
+    * codegen `pq_adc` loop, so scores are bit-identical and the top-k
+    * ranking (score desc, cand_id) can never diverge. */
+  private def pqOracleSql(m: Int, ksub: Int, iters: Int, dim: Int, k: Int): String = {
+    val sub = dim / m
+    def assign(cents: String, out: String, src: String): String =
+      s"""$out AS (
+        SELECT id, v, cid FROM (
+          SELECT e.id, e.v, c.cid,
+            row_number() OVER (PARTITION BY e.id ORDER BY
+              list_inner_product(e.v, c.cv) /
+                (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv))) DESC,
+              c.cid) AS rn
+          FROM $src e, $cents c) WHERE rn = 1)"""
+    def update(from: String, out: String): String =
+      s"""$out AS (
+        SELECT cid, list(mn ORDER BY dim) AS cv FROM (
+          SELECT cid, dim,
+            CAST(SUM(CAST(v[dim] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mn
+          FROM $from, generate_series(1, $sub) AS t(dim) GROUP BY cid, dim)
+        GROUP BY cid)"""
+    val perSub = (0 until m).map { s =>
+      val (a, b) = (s * sub + 1, (s + 1) * sub)
+      val steps = (0 until iters)
+        .map(it => assign(s"c${s}_$it", s"a${s}_$it", s"e$s") + ",\n" +
+          update(s"a${s}_$it", s"c${s}_${it + 1}"))
+        .mkString(",\n")
+      s"""e$s AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[])[$a:$b] AS v FROM embeddings),
+      c${s}_0 AS (
+        SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+        FROM (SELECT id, v FROM e$s ORDER BY id LIMIT $ksub)),
+      $steps,
+      ${assign(s"c${s}_$iters", s"code$s", s"e$s")},
+      t$s AS (
+        SELECT q.id AS query_id, x.id AS cand_id,
+          list_inner_product(q.v, c.cv) AS d
+        FROM (SELECT * FROM e$s WHERE id < 10) q, code$s x
+        JOIN c${s}_$iters c ON c.cid = x.cid)"""
+    }.mkString(",\n")
+    val scoreChain = (0 until m).map(s => s"t$s.d").mkString(" + ")
+    val joins = (1 until m).map(s => s"JOIN t$s USING (query_id, cand_id)").mkString("\n  ")
+    s"""
+      WITH $perSub,
+      scored AS (
+        SELECT t0.query_id, t0.cand_id, $scoreChain AS score
+        FROM t0
+        $joins
+        WHERE t0.query_id <> t0.cand_id),
+      ranked AS (
+        SELECT query_id, cand_id, score,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+        FROM scored)
+      SELECT query_id, cand_id, rank, round(score, 6) AS score
+      FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  // Product-quantized ANN (ProductQuantizer: m=4 subspaces, ksub=8,
+  // 1 Lloyd iteration per subspace codebook, ADC inner-product top-5).
+  // The corpus is scored from 4-byte code words against a broadcast
+  // per-query LUT through the codegen pq_adc loop — no vector payloads
+  // move at scan time.
+  val q78_ann_pq = Q("q78_ann_pq",
+    (s, dir) => {
+      import graft.similarity.ProductQuantizer
+      val vecs = embeddings(s, dir).select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vec"))
+      val books = ProductQuantizer.pqTrain(vecs, dim = 64, m = 4, ksub = 8, iters = 1)
+      val codes = ProductQuantizer.pqEncode(vecs, books, dim = 64, m = 4)
+      val queries = vecs.filter(col("id") < 10)
+        .select(col("id").as("query_id"), col("vec").as("query_vec"))
+      ProductQuantizer.pqTopK(queries, books, codes, dim = 64, m = 4, ksub = 8, k = 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+          round(col("score"), 6).as("score"))
+        .orderBy("query_id", "rank")
+    },
+    Some(pqOracleSql(m = 4, ksub = 8, iters = 1, dim = 64, k = 5)))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2442,5 +2524,5 @@ object Queries {
     q66_cdc_segments, q67_verbatim_overlap, q68_kmeans, q69_semantic_dedup,
     q70_incremental_dedup, q71_boilerplate, q72_ppl_buckets,
     q73_streaming_near_dedup, q74_streaming_swept_dedup,
-    q75_dsir_weights, q76_subword_encode, q77_span_dedup)
+    q75_dsir_weights, q76_subword_encode, q77_span_dedup, q78_ann_pq)
 }

@@ -41,14 +41,23 @@ object ScaleProbe {
     def time(f: => Unit): Double = {
       val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
     }
-    // `pairs [factors-csv]` — run ONLY the pair-operator probe at the
-    // given factors (default 1,4,16; the 64× probe runs `pairs 16,64`
-    // so the growth ratio is measured within one JVM/session)
+    // `pairs [factors-csv] [modulus]` — run ONLY the pair-operator probe
+    // at the given factors (default 1,4,16; the 64× probe runs
+    // `pairs 16,64` so the growth ratio is measured within one
+    // JVM/session). `modulus` scales the text-mutation denominator
+    // (default 16 — the historical corpus): copy i mutates ~i/modulus of
+    // token positions, so past i ≥ modulus every copy is a BIJECTIVE
+    // relabeling that re-expresses the base corpus's near-set structure
+    // under fresh hashes (the 64× simhash ×61-output artifact). A ≥256×
+    // probe passes 4·factor so mutation never saturates and family
+    // similarity keeps decaying across all copies.
     val pairFactors: Seq[Int] =
       if (args.headOption.contains("pairs"))
         args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
       else Seq(1, 4, 16)
     val pairsOnly = args.headOption.contains("pairs")
+    val mutModulus: Int =
+      if (pairsOnly) args.lift(2).map(_.trim.toInt).getOrElse(16) else 16
     val li = Tables.lineitem(spark, dir)
     val docs = Tables.documents(spark, dir)
     val ev = Tables.events(spark, dir)
@@ -86,7 +95,7 @@ object ScaleProbe {
     def mutateText(c: org.apache.spark.sql.Column, i: Int) =
       if (i == 0) c
       else array_join(transform(split(c, " "), (w, p) =>
-        when(pmod(p * 37 + 11, lit(16)) < i, concat(w, lit(s"_m$i"))).otherwise(w)), " ")
+        when(pmod(p * 37 + 11, lit(mutModulus)) < i, concat(w, lit(s"_m$i"))).otherwise(w)), " ")
     // perturbation must be pseudo-random per (VECTOR, copy, dim): a
     // per-copy or per-dim-only offset shifts every vector of a copy by
     // the SAME delta, collapsing the copy into one cluster whose mutual

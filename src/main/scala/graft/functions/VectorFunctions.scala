@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PunctCount, QuantizeMse, SortedContainsLong, SubwordCount, SubwordPieces}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PqAdc, PunctCount, QuantizeMse, SortedContainsLong, SubwordCount, SubwordPieces}
 
 /** Public facade for the codegen'd vector/fingerprint expressions
   * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
@@ -18,6 +18,8 @@ object VectorFunctions {
   def quantizeMse(v: Column, levels: Column): Column = call_function("quantize_mse", v, levels)
   def nfcNormalize(s: Column): Column = call_function("nfc_normalize", s)
   def sortedContains(arr: Column, key: Column): Column = call_function("sorted_contains", arr, key)
+  def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
+    call_function("pq_adc", codes, lut, org.apache.spark.sql.functions.lit(ksub))
 
   private[functions] def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -59,6 +61,12 @@ object VectorFunctions {
     (FunctionIdentifier("punct_count"),
       new ExpressionInfo(classOf[PunctCount].getName, "punct_count"),
       (children: Seq[Expression]) => PunctCount(children(0))),
+    // pq_adc(codes, lut, ksub): ksub must be a foldable int literal — it
+    // is the codebook geometry, compiled into the lookup stride
+    (FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (children: Seq[Expression]) => PqAdc(children(0), children(1),
+        children(2).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("sorted_contains"),
       new ExpressionInfo(classOf[SortedContainsLong].getName, "sorted_contains"),
       (children: Seq[Expression]) => SortedContainsLong(children(0), children(1))),

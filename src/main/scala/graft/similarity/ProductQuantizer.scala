@@ -1,0 +1,104 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search" — the FAISS `PQ` stage): split each vector
+  * into `m` subvectors, learn a `ksub`-centroid codebook per subspace
+  * ([[Similarity.kmeansFit]] — deterministic, DECIMAL-exact means), and
+  * store each vector as its `m` nearest-centroid codes. A corpus vector
+  * then costs `m` small ints instead of `dim` floats (e.g. 64 floats →
+  * 4 bytes at m=4: 64× smaller), and query scoring needs only the
+  * query's per-subspace dot table — the asymmetric distance computation
+  * (ADC) — looked up per code, never the original vectors.
+  *
+  * Scoring approximates the INNER PRODUCT: `<q, x> ≈ Σ_s <q_s,
+  * c_{s,code_s(x)}>` (IP is additive across subspaces, which is what
+  * makes the LUT decomposition exact-in-form; cosine is not). Codebook
+  * assignment reuses the spherical (cosine) objective of
+  * [[Similarity.kmeansFit]] for determinism with the rest of the
+  * k-means family; the oracle replays both halves bit-for-bit.
+  *
+  * Scale shape: training touches the corpus `m × iters` times with
+  * broadcast centroids (k·dim/m doubles each — driver-bounded);
+  * encoding is ONE pass (all m codebooks in a single broadcast, scored
+  * rows collapse map-side by the `max_by` partial agg, the shuffle
+  * carries N×m code rows keyed by id); ADC scoring is a scan of the
+  * CODES table against a broadcast per-query LUT through the codegen'd
+  * `pq_adc` loop, with per-query top-k as the bounded-heap
+  * [[graft.operators.TopKByScore]] — no score matrix ever shuffles, no
+  * join against the codebook at scan time. */
+object ProductQuantizer {
+
+  /** Learn per-subspace codebooks. `vectors` = `(id: long, vec:
+    * array<double>)`, `dim % m == 0`. Returns `(sub, cid, cvec)` with
+    * `sub` in `[0, m)`, `cid` in `[0, ksub)`, `cvec` of `dim/m`. */
+  def pqTrain(vectors: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      Similarity.kmeansFit(
+        vectors.select(col("id"), slice(col("vec"), s * sub + 1, sub).as("vec")),
+        ksub, iters)
+        .select(lit(s).as("sub"), col("cid"), col("centroid").as("cvec"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode every vector as its `m` nearest-centroid codes (cosine
+    * assignment, ties to the lower cid — the [[Similarity.kmeansAssign]]
+    * rule per subspace). One corpus pass: all `m` codebooks ride a
+    * single broadcast, scores collapse map-side, and the only shuffle
+    * carries `(id, sub, code)` rows. Returns `(id, codes: array<int>)`
+    * with `codes[s]` the subspace-`s` code. */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, dim: Int,
+      m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    vectors.crossJoin(broadcast(codebooks))
+      .select(col("id"), col("sub"), col("cid"),
+        VectorFunctions.cosineFast(
+          slice(col("vec"), col("sub") * sub + 1, lit(sub)), col("cvec"))
+          .as("sim"))
+      .groupBy("id", "sub")
+      .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("nid")))
+        .as("code"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        e => e.getField("code")).as("codes"))
+  }
+
+  /** ADC top-k: approximate `<q, x>` by the per-subspace LUT sum over
+    * `x`'s codes. `queries` = `(query_id, query_vec)`. Self-matches
+    * (`query_id == id`) are excluded, mirroring [[Similarity.ivfTopK]].
+    * Returns `(query_id, cand_id, rank, score)` with rank 1..k by
+    * (score desc, cand_id asc).
+    *
+    * The LUT build is queries × (m·ksub) broadcast rows — bounded by the
+    * query batch; the scan side touches only the codes table. */
+  def pqTopK(queries: DataFrame, codebooks: DataFrame, codes: DataFrame,
+      dim: Int, m: Int, ksub: Int, k: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    // flat LUT per query, subspace-major: lut[s*ksub + cid] = <q_s, c_{s,cid}>
+    val lut = queries.crossJoin(broadcast(codebooks))
+      .select(col("query_id"),
+        struct(col("sub"), col("cid"),
+          VectorFunctions.dotFast(
+            slice(col("query_vec"), col("sub") * sub + 1, lit(sub)),
+            col("cvec")).as("d")).as("e"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(col("e"))), e => e.getField("d"))
+        .as("lut"))
+    val scored = codes.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        VectorFunctions.pqAdc(col("codes"), col("lut"), ksub).as("score"))
+    graft.operators.TopKByScore.topKPerGroup(
+        scored, Seq("query_id"), "score", "id", k)
+      .select(col("query_id"), col("id").as("cand_id"), col("rank"),
+        col("score"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -541,6 +541,50 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     assigned.join(broadcast(probes), Seq("centroid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.VectorFunctions.cosineFast(col("query_vec"), col("cand_vec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Materialize an [[ivfIndex]] assignment as a centroid-partitioned
+    * parquet layout — the storage half of the "probes become
+    * partition-pruned scans" claim in [[ivfIndex]]'s scaladoc. Each
+    * inverted list is its own partition directory, so a probe of
+    * `nprobe` lists reads exactly those directories and the other
+    * `nlist − nprobe` never leave the file index. */
+  def writeIvfLayout(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+  /** [[ivfTopK]] against a [[writeIvfLayout]] directory: identical
+    * output (SimilaritySpec pins it), but the corpus side is a
+    * partition-PRUNED scan — the probed centroid ids become literal
+    * partition filters, so IO is `nprobe/nlist` of the corpus instead
+    * of all of it. The probed-id collect is bounded by `nlist` (the
+    * union of every query's probes), never by the corpus or query
+    * count: at 100 TB the layout is the difference between an ANN probe
+    * that reads 4/16ths of the embedding store and one that scans all
+    * of it to discard 75% after the fact. */
+  def ivfTopKPruned(
+      spark: SparkSession,
+      layoutPath: String,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", graft.functions.VectorFunctions.cosineFast(col("query_vec"), col("centroid_vec")))
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("centroid_id").as("centroid"))
+    val probedIds = probes.select("centroid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pruned = spark.read.parquet(layoutPath)
+      .filter(col("centroid").isin(probedIds: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    pruned.join(broadcast(probes), Seq("centroid"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         graft.functions.VectorFunctions.cosineFast(col("query_vec"), col("cand_vec")).as("cos"))

@@ -312,3 +312,71 @@ case class SortedContainsLong(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedContainsLong =
     copy(left = newLeft, right = newRight)
 }
+
+/** Codegen'd asymmetric-distance (ADC) lookup for product quantization:
+  * `pq_adc(codes, lut, ksub)` = `Σ_s lut[s·ksub + codes[s]]` — the
+  * inner-product approximation `<q, x> ≈ Σ_s <q_s, c_{s,codes[s]}>`
+  * where `lut` is the query's flattened per-subspace centroid dot table
+  * (m·ksub doubles, subspace-major) and `codes` is the corpus vector's
+  * m-byte code word. One primitive loop per (query, vector) pair — the
+  * whole ADC scan stays inside whole-stage codegen with no per-element
+  * boxing and no join against the codebook.
+  *
+  * Accumulation is left-to-right over subspaces (s ascending), so the
+  * result is bit-identical to the oracle's macro-expanded
+  * `t0 + t1 + ... + t_{m-1}` chain. Null if either input is null. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(ksub >= 1, s"ksub must be >= 1, got $ksub")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    require(lut.numElements() == m * ksub,
+      s"pq_adc: lut length ${lut.numElements()} != m*ksub = ${m * ksub}")
+    var s = 0; var sum = 0.0
+    while (s < m) {
+      val c = codes.getInt(s)
+      require(c >= 0 && c < ksub, s"pq_adc: code $c out of [0, $ksub)")
+      sum += lut.getDouble(s * ksub + c)
+      s += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val sum = ctx.freshName("sum")
+      s"""
+         |final int $m = $a.numElements();
+         |if ($b.numElements() != $m * $ksub) {
+         |  throw new IllegalArgumentException(
+         |    "requirement failed: pq_adc: lut length " + $b.numElements() +
+         |    " != m*ksub = " + ($m * $ksub));
+         |}
+         |double $sum = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  final int $c = $a.getInt($s);
+         |  if ($c < 0 || $c >= $ksub) {
+         |    throw new IllegalArgumentException(
+         |      "requirement failed: pq_adc: code " + $c + " out of [0, " + $ksub + ")");
+         |  }
+         |  $sum += $b.getDouble($s * $ksub + $c);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}

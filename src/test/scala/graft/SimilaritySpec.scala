@@ -185,4 +185,106 @@ class SimilaritySpec extends SparkSpec {
     val top = Similarity.ivfTopK(q, centroids, assigned, k = 2, nprobe = 2)
     assert(top.count() <= 2 && top.count() > 0)
   }
+
+  test("ivfTopKPruned: identical to ivfTopK and the scan is partition-pruned") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("cand_id"),
+        Similarity.asDouble(col("embedding")).as("cand_vec"))
+    val q = emb.filter(col("cand_id") < 5)
+      .select(col("cand_id").as("query_id"), col("cand_vec").as("query_vec"))
+    val (centroids, assigned) = Similarity.ivfIndex(emb, nlist = 8)
+    val layout = java.nio.file.Files.createTempDirectory("ivf-layout").toString
+    Similarity.writeIvfLayout(assigned, layout)
+    val full = Similarity.ivfTopK(q, centroids, assigned, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    val pruned = Similarity.ivfTopKPruned(spark, layout, centroids, q,
+      k = 5, nprobe = 2)
+    val prunedRows = pruned.orderBy("query_id", "rank").collect()
+    assert(full.map(_.toString).toSeq == prunedRows.map(_.toString).toSeq)
+    // the probed centroid ids must land in the scan's PARTITION filters
+    // (pruned at the file index), not the data filters
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid"),
+      s"expected centroid partition filter, got:\n$plan")
+  }
+
+  // -------------------------------------------------------------------
+  // Product quantization
+  // -------------------------------------------------------------------
+
+  test("pq: codes are m ints in [0, ksub); encoding is deterministic") {
+    import graft.similarity.ProductQuantizer
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val books = ProductQuantizer.pqTrain(emb, dim = 64, m = 4, ksub = 8, iters = 1)
+    assert(books.count() == 4 * 8)
+    val codes = ProductQuantizer.pqEncode(emb, books, dim = 64, m = 4)
+    val rows = codes.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 8))
+    }
+    val again = ProductQuantizer.pqEncode(emb.repartition(7), books, dim = 64, m = 4)
+      .orderBy("id").collect().map(_.toString)
+    assert(rows.sortBy(_.getLong(0)).map(_.toString).sameElements(again))
+  }
+
+  test("pq_adc equals the explicit per-subspace reconstruction score") {
+    import graft.similarity.ProductQuantizer
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val books = ProductQuantizer.pqTrain(emb, dim = 64, m = 4, ksub = 8, iters = 1)
+    val codes = ProductQuantizer.pqEncode(emb, books, dim = 64, m = 4)
+    val queries = emb.filter(col("id") < 3)
+      .select(col("id").as("query_id"), col("vec").as("query_vec"))
+    val top = ProductQuantizer.pqTopK(queries, books, codes,
+      dim = 64, m = 4, ksub = 8, k = 3).collect()
+    assert(top.length == 3 * 3)
+    // reconstruct independently: score = sum_s <q_s, centroid(s, code_s)>
+    val bookMap = books.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val codeMap = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val qMap = queries.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    top.foreach { r =>
+      val (qid, cid) = (r.getLong(0), r.getLong(1))
+      val expected = (0 until 4).map { s =>
+        val qs = qMap(qid).slice(s * 16, (s + 1) * 16)
+        val cv = bookMap((s, codeMap(cid)(s)))
+        qs.zip(cv).map { case (a, b) => a * b }.sum
+      }.foldLeft(0.0)(_ + _)
+      assert(math.abs(r.getDouble(3) - expected) < 1e-9,
+        s"ADC score mismatch for ($qid, $cid)")
+    }
+  }
+
+  test("pq compression recovers neighbor structure: recall@5 well above random") {
+    import graft.similarity.ProductQuantizer
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val n = emb.count()
+    val books = ProductQuantizer.pqTrain(emb, dim = 64, m = 8, ksub = 16, iters = 2)
+    val codes = ProductQuantizer.pqEncode(emb, books, dim = 64, m = 8)
+    val queries = emb.filter(col("id") < 20)
+      .select(col("id").as("query_id"), col("vec").as("query_vec"))
+    val approx = ProductQuantizer.pqTopK(queries, books, codes,
+      dim = 64, m = 8, ksub = 16, k = 5)
+      .select("query_id", "cand_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // exact top-5 by true inner product
+    val cands = emb.select(col("id").as("cand_id"), col("vec").as("cand_vec"))
+    val exact = queries.crossJoin(cands)
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.VectorFunctions.dotFast(col("query_vec"), col("cand_vec")).as("ip"))
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("ip").desc, col("cand_id"))))
+      .filter(col("r") <= 5).select("query_id", "cand_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.keys.toSeq.map(q =>
+      (approx(q) intersect exact(q)).size.toDouble / 5).sum / exact.size
+    // random top-5 of n-1 would recall ~5/(n-1) ~= 0.01; 8x16 codebooks
+    // at 4 bits/dim keep well above that
+    assert(recall > 0.2, s"PQ recall@5 $recall too low (n=$n)")
+  }
 }
