@@ -2499,6 +2499,24 @@ object Queries {
     },
     Some(pqOracleSql(m = 4, ksub = 8, iters = 1, dim = 64, k = 5)))
 
+  // The partition-pruned IVF serving path end to end: materialize the
+  // inverted-file layout (centroid-partitioned parquet), then probe it
+  // with literal partition filters. Output is pinned identical to q31's
+  // in-memory path (SimilaritySpec), so it shares q31's oracle — the
+  // hash match proves the pruned scan loses nothing.
+  val q79_ann_ivf_pruned = Q("q79_ann_ivf_pruned",
+    (s, dir) => {
+      val (centroids, assigned) = Similarity.ivfIndex(embCandidates(s, dir), nlist = 16)
+      val layout = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ivf-layout-${Integer.toHexString(dir.hashCode)}").toString
+      Similarity.writeIvfLayout(assigned, layout)
+      Similarity.ivfTopKPruned(s, layout, centroids, embQueries(s, dir),
+          k = 5, nprobe = 4)
+        .select(col("query_id"), col("cand_id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank")
+    },
+    q31_ann_ivf.oracle)
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2524,5 +2542,6 @@ object Queries {
     q66_cdc_segments, q67_verbatim_overlap, q68_kmeans, q69_semantic_dedup,
     q70_incremental_dedup, q71_boilerplate, q72_ppl_buckets,
     q73_streaming_near_dedup, q74_streaming_swept_dedup,
-    q75_dsir_weights, q76_subword_encode, q77_span_dedup, q78_ann_pq)
+    q75_dsir_weights, q76_subword_encode, q77_span_dedup, q78_ann_pq,
+    q79_ann_ivf_pruned)
 }
