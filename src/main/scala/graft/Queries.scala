@@ -2517,6 +2517,47 @@ object Queries {
     },
     q31_ann_ivf.oracle)
 
+  // Watermarked tumbling-window aggregation ACROSS micro-batches with
+  // late data (streaming/WindowedReplay): events replay as history +
+  // (newer half ∪ one-batch-late stragglers). The oracle replays the
+  // watermark algebra batch-by-batch: wm1 closes (and freezes) every
+  // window ending before it with batch-1-only counts; batch-2 rows
+  // whose window wm1 already closed are dropped (emit-once); rows in
+  // still-open windows count even when their raw ts < wm1 (the late
+  // filter evaluates the GROUP's window, not the row — the raw-ts
+  // reading hashes differently and fails); the final watermark flushes
+  // what it closes and windows past it never emit (append mode).
+  val q80_streaming_window = Q("q80_streaming_window",
+    (s, dir) => graft.streaming.WindowedReplay.run(s, dir),
+    Some("""
+      WITH ev AS (
+        SELECT event_id, ts, event_type, value FROM events),
+      wm AS (
+        SELECT (SELECT max(ts) FROM ev
+                WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+                  AND event_id % 97 <> 0) - INTERVAL 1 HOUR AS wma,
+               (SELECT max(ts) FROM ev) - INTERVAL 1 HOUR AS wmc),
+      -- batches 1-2 (history + middle week, stragglers held back) merge
+      -- while the effective watermark is still unset; batch 3 (the rest
+      -- plus all stragglers) runs against wma = max(batch-1) - delay:
+      -- rows whose WINDOW wma has passed are dropped (those windows
+      -- freeze at their batch-1 counts), rows in still-open windows
+      -- count even when ts < wma (the window-rule clause)
+      kept AS (
+        SELECT ts, event_type, value FROM ev
+        WHERE event_id % 97 <> 0 AND ts < TIMESTAMP '2024-01-23 00:00:00'
+        UNION ALL
+        SELECT ev.ts, ev.event_type, ev.value FROM ev, wm
+        WHERE (event_id % 97 = 0 OR ts >= TIMESTAMP '2024-01-23 00:00:00')
+          AND date_trunc('hour', ts) + INTERVAL 1 HOUR > wma),
+      g AS (
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+          COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax
+        FROM kept GROUP BY 1, 2)
+      SELECT ws, ws + INTERVAL 1 HOUR AS we, event_type, n, vmin, vmax
+      FROM g, wm WHERE ws + INTERVAL 1 HOUR <= wmc
+      ORDER BY ws, event_type"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2543,5 +2584,5 @@ object Queries {
     q70_incremental_dedup, q71_boilerplate, q72_ppl_buckets,
     q73_streaming_near_dedup, q74_streaming_swept_dedup,
     q75_dsir_weights, q76_subword_encode, q77_span_dedup, q78_ann_pq,
-    q79_ann_ivf_pruned)
+    q79_ann_ivf_pruned, q80_streaming_window)
 }

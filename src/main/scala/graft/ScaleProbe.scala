@@ -106,16 +106,40 @@ object ScaleProbe {
       if (i == 0) c
       else transform(c, (x, j) =>
         x + lit(0.15 * i) * (pmod(hash(idc, lit(i), j), lit(1000)).cast("double") / 500.0 - 1.0))
+    // Past ~64 copies a single union plan's generated code blows the
+    // Janino compiler (the 256× probe failed with an
+    // InternalCompilerException in the 256-branch generate_doConsume) —
+    // so large factors MATERIALIZE the mutated corpus per copy (n tiny
+    // append jobs, each a one-branch plan) and the probe reads a plain
+    // scan, which is also the realistic shape: a real corpus is files,
+    // not an n-way union.
+    val materializeAt = 64
+    def materialized(kind: String, n: Int, write: Int => DataFrame): DataFrame = {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-probe-$kind-${n}x-m$mutModulus")
+      val marker = new java.io.File(base, "_done")
+      if (!marker.exists()) {
+        graft.streaming.ReplayScaffold.rmTree(base)
+        (0 until n).foreach { i =>
+          write(i).write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(new java.io.File(base, "data").toString)
+        }
+        marker.createNewFile()
+      }
+      spark.read.parquet(new java.io.File(base, "data").toString)
+    }
+    def mutatedDocsCopy(i: Int): DataFrame = docs.select(
+      (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+      mutateText(col("text"), i).as("text"))
+    def mutatedEmbCopy(i: Int): DataFrame = Tables.embeddings(spark, dir).select(
+      (col("vec_id") + lit(i.toLong * 100000000L)).as("id"),
+      mutateVec(col("embedding").cast("array<double>"), col("vec_id"), i).as("vec"))
     def repMutatedDocs(n: Int): DataFrame =
-      (0 until n).map(i => docs.select(
-        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
-        mutateText(col("text"), i).as("text")))
-        .reduce(_ unionByName _)
+      if (n > materializeAt) materialized("docs", n, mutatedDocsCopy)
+      else (0 until n).map(mutatedDocsCopy).reduce(_ unionByName _)
     def repMutatedEmb(n: Int): DataFrame =
-      (0 until n).map(i => Tables.embeddings(spark, dir).select(
-        (col("vec_id") + lit(i.toLong * 100000000L)).as("id"),
-        mutateVec(col("embedding").cast("array<double>"), col("vec_id"), i).as("vec")))
-        .reduce(_ unionByName _)
+      if (n > materializeAt) materialized("emb", n, mutatedEmbCopy)
+      else (0 until n).map(mutatedEmbCopy).reduce(_ unionByName _)
 
     def jacc(d: DataFrame) = graft.dedup.Dedup
       .jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5, maxShingleFreq = 100)
