@@ -106,14 +106,15 @@ object ScaleProbe {
       if (i == 0) c
       else transform(c, (x, j) =>
         x + lit(0.15 * i) * (pmod(hash(idc, lit(i), j), lit(1000)).cast("double") / 500.0 - 1.0))
-    // Past ~64 copies a single union plan's generated code blows the
-    // Janino compiler (the 256× probe failed with an
-    // InternalCompilerException in the 256-branch generate_doConsume) —
-    // so large factors MATERIALIZE the mutated corpus per copy (n tiny
-    // append jobs, each a one-branch plan) and the probe reads a plain
-    // scan, which is also the realistic shape: a real corpus is files,
-    // not an n-way union.
-    val materializeAt = 64
+    // From ~64 copies a single union plan's generated code blows the
+    // Janino compiler (InternalCompilerException in the n-branch
+    // generate_doConsume; at 64 branches Spark falls back to INTERPRETED
+    // execution — silently 2-3× slower derivation — and at 256 the run
+    // died outright) — so large factors MATERIALIZE the mutated corpus
+    // per copy (n tiny append jobs, each a one-branch plan) and the
+    // probe reads a plain scan, which is also the realistic shape: a
+    // real corpus is files, not an n-way union.
+    val materializeAt = 32
     def materialized(kind: String, n: Int, write: Int => DataFrame): DataFrame = {
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-probe-$kind-${n}x-m$mutModulus")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PqAdc, PunctCount, QuantizeMse, SortedContainsLong, SubwordCount, SubwordPieces}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PqAdc, PunctCount, QuantizeMse, RandomProjBuckets, SortedContainsLong, SubwordCount, SubwordPieces}
 
 /** Public facade for the codegen'd vector/fingerprint expressions
   * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
@@ -20,6 +20,12 @@ object VectorFunctions {
   def sortedContains(arr: Column, key: Column): Column = call_function("sorted_contains", arr, key)
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
     call_function("pq_adc", codes, lut, org.apache.spark.sql.functions.lit(ksub))
+  def lshBandBuckets(v: Column, flatPlanes: Seq[Double], numBands: Int,
+      bandPlanes: Int): Column =
+    call_function("lsh_band_buckets", v,
+      org.apache.spark.sql.functions.typedlit(flatPlanes),
+      org.apache.spark.sql.functions.lit(numBands),
+      org.apache.spark.sql.functions.lit(bandPlanes))
 
   private[functions] def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -61,6 +67,18 @@ object VectorFunctions {
     (FunctionIdentifier("punct_count"),
       new ExpressionInfo(classOf[PunctCount].getName, "punct_count"),
       (children: Seq[Expression]) => PunctCount(children(0))),
+    // lsh_band_buckets(vec, flatPlanes, numBands, bandPlanes): the plane
+    // matrix and geometry must be foldable literals — they are the LSH
+    // index definition, compiled into one constant-size loop
+    (FunctionIdentifier("lsh_band_buckets"),
+      new ExpressionInfo(classOf[RandomProjBuckets].getName, "lsh_band_buckets"),
+      (children: Seq[Expression]) => {
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        RandomProjBuckets(children(0), arr.toDoubleArray().toSeq,
+          children(2).eval().asInstanceOf[Number].intValue(),
+          children(3).eval().asInstanceOf[Number].intValue())
+      }),
     // pq_adc(codes, lut, ksub): ksub must be a foldable int literal — it
     // is the codebook geometry, compiled into the lookup stride
     (FunctionIdentifier("pq_adc"),

@@ -173,15 +173,14 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(bandPlanes * numBands, dim, seed)
-    def bandCols(v: Column): Seq[Column] = (0 until numBands).map { t =>
-      struct(lit(t).as("band"),
-        lshBucket(v, planes.slice(t * bandPlanes, (t + 1) * bandPlanes)).as("bucket"))
-    }
-    val qb = queries.select(col("query_id"), explode(array(bandCols(col("query_vec")): _*)).as("bb"))
-      .select(col("query_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // same constant-code-size banding as nearDupPairsFixed (see there)
+    def buckets(v: Column): Column = graft.functions.VectorFunctions
+      .lshBandBuckets(v, planes.flatten, numBands, bandPlanes)
+    val qb = queries.select(col("query_id"),
+      posexplode(buckets(col("query_vec"))).as(Seq("band", "bucket")))
     val c = candidates.repartition(col("cand_id"))
-    val cb = c.select(col("cand_id"), explode(array(bandCols(col("cand_vec")): _*)).as("bb"))
-      .select(col("cand_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cb = c.select(col("cand_id"),
+      posexplode(buckets(col("cand_vec"))).as(Seq("band", "bucket")))
     val cand = cb.join(broadcast(qb), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
@@ -355,18 +354,21 @@ object Similarity {
       dedupBeforeVerify: Boolean = false,
       broadcastFetch: Boolean = false): DataFrame = {
     val planes = hyperplanes(bandPlanes * numBands, dim, seed)
-    val bucketCols = (0 until numBands).map { t =>
-      val bandPl = planes.slice(t * bandPlanes, (t + 1) * bandPlanes)
-      struct(lit(t).as("band"), lshBucket(col("vec"), bandPl).as("bucket"))
-    }
+    // ONE compiled loop for all bands (lsh_band_buckets): the per-band
+    // column formulation inlines a generated dot PER PLANE and crossed
+    // the JVM's 64 KB generated-method limit at the adaptive config of a
+    // 512 k corpus (~350 bands × 12 planes), killing the stage — the
+    // flat-plane expression is constant code size at any band count and
+    // bit-identical (SimilaritySpec pins it against lshBucket).
+    val buckets = graft.functions.VectorFunctions.lshBandBuckets(
+      col("vec"), planes.flatten, numBands, bandPlanes)
     // repartition(id) so the plane dots per vector run fanned across
     // shuffle partitions, not inside a near-serial scan stage (small
     // file counts = few input splits); the verification joins reuse the
     // same exchange
     val v = vectors.repartition(col("id"))
     val banded = v
-      .select(col("id"), explode(array(bucketCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), posexplode(buckets).as(Seq("band", "bucket")))
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))

@@ -380,3 +380,69 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
       newLeft: Expression, newRight: Expression): PqAdc =
     copy(left = newLeft, right = newRight)
 }
+
+/** Codegen'd banded random-hyperplane bucket ids:
+  * `lsh_band_buckets(vec, flatPlanes, numBands, bandPlanes)` returns the
+  * `numBands`-element array whose element `t` is the band-`t` bucket —
+  * bit `i` set iff `vec · plane_{t·bandPlanes+i} > 0`, each dot a
+  * left-to-right accumulation, bit-identical to the per-plane
+  * `dot_product`/`when` column formulation (`Similarity.lshBucket`).
+  *
+  * Exists because the column formulation inlines one generated dot loop
+  * PLUS a literal plane array PER PLANE: at the adaptive config a 512 k
+  * corpus derives (≈350 bands × 12 planes → >4000 inline dots), the
+  * generated `generate_doConsume` crosses the JVM's 64 KB method limit
+  * and the whole stage dies (measured — the 256× probe's failure). Here
+  * the planes ride along as ONE flat double-array plan constant and the
+  * bands compile to one triple loop, constant code size at any band
+  * count. */
+case class RandomProjBuckets(child: Expression, flatPlanes: Seq[Double],
+    numBands: Int, bandPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(numBands >= 1 && bandPlanes >= 1 && bandPlanes <= 63,
+    s"need 1 <= bandPlanes <= 63 and numBands >= 1, got $numBands x $bandPlanes")
+  require(flatPlanes.nonEmpty && flatPlanes.length % (numBands * bandPlanes) == 0,
+    s"flatPlanes length ${flatPlanes.length} must be numBands*bandPlanes*dim")
+
+  private val dim = flatPlanes.length / (numBands * bandPlanes)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_buckets"
+
+  @transient private lazy val planes: Array[Double] = flatPlanes.toArray
+
+  def buckets(v: ArrayData): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](numBands)
+    var t = 0
+    while (t < numBands) {
+      var bucket = 0L
+      var i = 0
+      while (i < bandPlanes) {
+        val base = ((t * bandPlanes) + i) * dim
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += v.getDouble(j) * planes(base + j); j += 1 }
+        if (dot > 0) bucket |= (1L << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    buckets(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBands", this,
+      classOf[RandomProjBuckets].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.buckets($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjBuckets =
+    copy(child = newChild)
+}

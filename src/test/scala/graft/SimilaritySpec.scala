@@ -186,6 +186,22 @@ class SimilaritySpec extends SparkSpec {
     assert(top.count() <= 2 && top.count() > 0)
   }
 
+  test("lsh_band_buckets is bit-identical to the per-band lshBucket formulation") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val (numBands, bandPlanes) = (8, 4)
+    val planes = Similarity.hyperplanes(numBands * bandPlanes, 64)
+    val old = (0 until numBands).map { t =>
+      Similarity.lshBucket(col("vec"),
+        planes.slice(t * bandPlanes, (t + 1) * bandPlanes))
+    }
+    val both = emb.select(col("id"),
+      array(old: _*).as("legacy"),
+      graft.functions.VectorFunctions.lshBandBuckets(
+        col("vec"), planes.flatten, numBands, bandPlanes).as("fused"))
+    assert(both.filter(col("legacy") =!= col("fused")).count() == 0)
+  }
+
   test("ivfTopKPruned: identical to ivfTopK and the scan is partition-pruned") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
       .select(col("vec_id").as("cand_id"),
