@@ -290,11 +290,22 @@ object Similarity {
     * (`2^bandPlanes` buckets per band). */
   /** Corpus sizes (in vectors) up to which the verification joins
     * BROADCAST the vector frame instead of shuffling the candidate
-    * stream: `n · dim · 8` bytes ≤ 64 MB of raw vector payload — small
-    * enough for every executor, far past Spark's 10 MB auto threshold
-    * (which would leave a 17 MB/32 k-vector corpus shuffling ~10⁸
-    * candidate rows through two sort-merge exchanges). */
-  def broadcastFetchMaxVectors(dim: Int): Long = (64L << 20) / (dim * 8L)
+    * stream: `n · dim · 8` bytes ≤ 512 MB of raw vector payload — a
+    * budget every production executor holds (Spark's hard broadcast cap
+    * is 8 GB; the auto threshold of 10 MB would leave a
+    * 17 MB/32 k-vector corpus shuffling ~10⁸ candidate rows through two
+    * sort-merge exchanges). The budget was 64 MB until the 256× probe
+    * MEASURED the fallback regime: at 512 k vectors the adaptive t=0.4
+    * config generates ~10¹⁰ candidates, and sort-merge verification
+    * moves them twice WITH their 512-byte vector payloads — terabytes
+    * of shuffle that exhausted an 80 GB local disk, where the broadcast
+    * path streams the same candidates through an exchange-free
+    * hash-join + codegen dot. Past this budget at LOW thresholds the
+    * answer is not a bigger shuffle but [[semanticDedup]]
+    * (cluster-scoped pairs, Σn_c² linear); at production thresholds
+    * (≥0.9) band counts stay small enough that the shuffle fallback is
+    * merely slow, not fatal. */
+  def broadcastFetchMaxVectors(dim: Int): Long = (512L << 20) / (dim * 8L)
 
   def nearDupPairs(
       vectors: DataFrame, // (id, vec: array<double>)

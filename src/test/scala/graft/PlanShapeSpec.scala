@@ -129,7 +129,8 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
       s"band join and query-side scoring join must both broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), "no sort-merge on the candidate path")
-    assert(p.contains("dot_product"), "bucket bits must use the codegen expression")
+    assert(p.contains("lsh_band_buckets"),
+      "bucket bits must use the fused constant-code-size banding expression")
     assert(p.contains("cosine_sim"), "verification uses the codegen expression")
   }
 
