@@ -2558,6 +2558,35 @@ object Queries {
       FROM g, wm WHERE ws + INTERVAL 1 HOUR <= wmc
       ORDER BY ws, event_type"""))
 
+  // Numeric-state flatMapGroupsWithState across a batch boundary
+  // (streaming/EwmaReplay): per-series EWMA + arrival-gap over events
+  // replayed in two parity batches. The oracle steps the identical
+  // recurrence (alpha*x + (1-alpha)*e, 1-alpha COMPUTED so both engines
+  // round it the same way) with a recursive CTE in the engine's exact
+  // processing order: (batch, ms-truncated ts, value) per series —
+  // a hash match proves per-key state survives the boundary.
+  val q81_streaming_ewma = Q("q81_streaming_ewma",
+    (s, dir) => graft.streaming.EwmaReplay.run(s, dir, alpha = 0.2),
+    Some("""
+      WITH RECURSIVE rows0 AS (
+        SELECT CAST(user_id AS VARCHAR) AS series, ts, value,
+          epoch_ms(ts) AS tms, event_id % 2 AS b
+        FROM events),
+      ordered AS (
+        SELECT series, ts, value, tms,
+          row_number() OVER (PARTITION BY series ORDER BY b, tms, value) AS rn,
+          tms - lag(tms) OVER (PARTITION BY series ORDER BY b, tms, value) AS gap
+        FROM rows0),
+      rec(series, rn, ewma) AS (
+        SELECT series, CAST(1 AS BIGINT), value FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.series, o.rn, 0.2 * o.value + (1 - 0.2) * r.ewma
+        FROM rec r JOIN ordered o ON o.series = r.series AND o.rn = r.rn + 1)
+      SELECT o.series, o.ts, o.value, round(r.ewma, 6) AS ewma,
+        o.rn AS n, COALESCE(o.gap, 0) AS gap_ms
+      FROM ordered o JOIN rec r ON r.series = o.series AND r.rn = o.rn
+      ORDER BY o.series, o.rn"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2584,5 +2613,5 @@ object Queries {
     q70_incremental_dedup, q71_boilerplate, q72_ppl_buckets,
     q73_streaming_near_dedup, q74_streaming_swept_dedup,
     q75_dsir_weights, q76_subword_encode, q77_span_dedup, q78_ann_pq,
-    q79_ann_ivf_pruned, q80_streaming_window)
+    q79_ann_ivf_pruned, q80_streaming_window, q81_streaming_ewma)
 }

@@ -159,7 +159,11 @@ object StatefulOps {
             Iterator.empty
           } else {
             var st = state.getOption.getOrElse(EwmaState(Double.NaN, 0L, Long.MinValue))
-            val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
+            // total per-batch order (ts is ms-truncated by getTime, so a
+            // same-millisecond pair needs the value tie-break): without
+            // it the recurrence's result depends on shuffle arrival
+            // order and no oracle can replay it
+            val out = rows.toSeq.sortBy(p => (p.ts.getTime, p.value)).map { p =>
               val gap = if (st.lastTs == Long.MinValue) 0L else p.ts.getTime - st.lastTs
               val e = if (st.n == 0) p.value else alpha * p.value + (1 - alpha) * st.ewma
               st = EwmaState(e, st.n + 1, p.ts.getTime)
