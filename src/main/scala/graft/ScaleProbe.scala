@@ -116,8 +116,11 @@ object ScaleProbe {
     // real corpus is files, not an n-way union.
     val materializeAt = 32
     def materialized(kind: String, n: Int, write: Int => DataFrame): DataFrame = {
+      // the input dir is part of the cache key — without it a probe over
+      // a different corpus silently reuses another run's materialization
+      val dirKey = java.lang.Integer.toHexString(dir.hashCode)
       val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-probe-$kind-${n}x-m$mutModulus")
+        s"graft-probe-$kind-${n}x-m$mutModulus-$dirKey")
       val marker = new java.io.File(base, "_done")
       if (!marker.exists()) {
         graft.streaming.ReplayScaffold.rmTree(base)

@@ -221,24 +221,35 @@ object Multimodal {
       (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||          // GIF
       (b(0) == 'B' && b(1) == 'M'))                                          // BMP
 
+  /** A single-band raster whose samples really ARE intensities — i.e.
+    * NOT palette-indexed: GIF always decodes to an IndexColorModel, as
+    * do 8-bit BMP and paletted PNG, and there `getSample` returns the
+    * color-table INDEX (index 0 can be white), not a gray level. */
+  private def isTrueGray(img: java.awt.image.BufferedImage): Boolean =
+    img.getRaster.getNumBands == 1 &&
+      !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+
   /** Per-pixel integer intensity of a decoded image, chosen for oracle
-    * exactness: single-band (gray) images read the raster sample directly —
-    * NOT `getRGB`, whose gray→sRGB conversion is gamma-corrected and would
-    * break bit-replay of a gray PNG roundtrip — and multi-band images take
-    * the integer mean of the three color bands (alpha band, always last,
-    * ignored). */
+    * exactness: TRUE single-band gray images ([[isTrueGray]]) read the
+    * raster sample directly — NOT `getRGB`, whose gray→sRGB conversion
+    * is gamma-corrected and would break bit-replay of a gray PNG
+    * roundtrip — while multi-band AND palette-indexed images go through
+    * the color model (`getRGB` resolves a palette index to its actual
+    * color) and take the integer mean of R, G, B (alpha ignored). */
   private def intensityHistogram(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
     val raster = img.getRaster
-    val colorBands = if (raster.getNumBands >= 3) 3 else 1
+    val trueGray = isTrueGray(img)
     val hist = new Array[Float](dim)
     var y = 0
     while (y < img.getHeight) {
       var x = 0
       while (x < img.getWidth) {
-        var sum = 0
-        var b = 0
-        while (b < colorBands) { sum += raster.getSample(x, y, b); b += 1 }
-        val gray = sum / colorBands
+        val gray =
+          if (trueGray) raster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          }
         hist(math.min(dim - 1, gray * dim / 256)) += 1f
         x += 1
       }
@@ -314,7 +325,10 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) return None
-      val isGray = img.getRaster.getNumBands == 1
+      // palette-indexed single-band images (GIF, 8-bit BMP, paletted
+      // PNG) must go through the RGB path — their samples are color
+      // table indices, not gray levels (see isTrueGray)
+      val isGray = isTrueGray(img)
       val out = new java.awt.image.BufferedImage(targetW, targetH,
         if (isGray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
         else java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -82,13 +82,23 @@ object ProductQuantizer {
       dim: Int, m: Int, ksub: Int, k: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
+    // The flat LUT's indexing assumes a DENSE (sub, cid) grid, but
+    // kmeansFit drops clusters that lose every member — a sparse
+    // codebook would shift every index after the gap. Densify against
+    // the full grid with 0.0 entries: a dropped centroid is never
+    // assigned, so its slot is never looked up and the filler is inert.
+    val spark = queries.sparkSession
+    val grid = spark.range(m).select(col("id").cast("int").as("sub"))
+      .crossJoin(spark.range(ksub).select(col("id").cast("int").as("cid")))
+    val dense = grid.join(codebooks, Seq("sub", "cid"), "left")
     // flat LUT per query, subspace-major: lut[s*ksub + cid] = <q_s, c_{s,cid}>
-    val lut = queries.crossJoin(broadcast(codebooks))
+    val lut = queries.crossJoin(broadcast(dense))
       .select(col("query_id"),
         struct(col("sub"), col("cid"),
-          VectorFunctions.dotFast(
-            slice(col("query_vec"), col("sub") * sub + 1, lit(sub)),
-            col("cvec")).as("d")).as("e"))
+          when(col("cvec").isNull, lit(0.0)).otherwise(
+            VectorFunctions.dotFast(
+              slice(col("query_vec"), col("sub") * sub + 1, lit(sub)),
+              col("cvec"))).as("d")).as("e"))
       .groupBy("query_id")
       .agg(transform(array_sort(collect_list(col("e"))), e => e.getField("d"))
         .as("lut"))

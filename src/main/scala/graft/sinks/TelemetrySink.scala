@@ -156,13 +156,21 @@ object TelemetrySink {
         val slice = deduped.filter(col(Point.Measurement) === m)
         // InfluxDB field-set merge: points on the same series+timestamp
         // carrying different fields (e.g. the 16 thermistor channel points
-        // of one poll) fold into ONE wide row, last-write-wins per field.
+        // of one poll) fold into ONE wide row. A batch has no arrival
+        // order, so "last write wins" must be DETERMINISTIC: per field,
+        // the carrying row with the greatest canonical field-set key wins
+        // (max_by skips rows whose ordering key is null, i.e. rows not
+        // carrying the field) — stable under any shuffle/partitioning,
+        // where a bare last(..., ignoreNulls) flips between conflicting
+        // values across re-runs.
         val wide = slice
           .groupBy(col(Point.Time), col("__tags_key"))
           .agg(
             first(col(Point.Tags)).as(Point.Tags),
-            fields.map(f =>
-              last(element_at(col(Point.Fields), f), ignoreNulls = true).as(f)): _*)
+            fields.map { f =>
+              val v = element_at(col(Point.Fields), f)
+              max_by(v, when(v.isNotNull, col("__fields_key"))).as(f)
+            }: _*)
           .select((Seq(col(Point.Time), col(Point.Tags)) ++ fields.map(col)): _*)
         wide.write.mode(SaveMode.Append)
           .option("mergeSchema", "true")

@@ -48,14 +48,19 @@ final case class LiveSource(conf: SourceConf) extends TelemetrySource {
   private def pollFn(): () => Seq[String] = {
     val host = req("host")
     conf.typ match {
-      case "udp" => opt("parser") match {
-        case Some("lvm_thermistors") | None =>
-          NetPoll.thermistorPoll(host, opt("port").map(_.toInt).getOrElse(1025),
-            opt("timeout_ms").map(_.toInt).getOrElse(10000))
-        case Some(_) =>
+      case "udp" => opt("request") match {
+        // an explicit request always wins, whatever parses the reply
+        case Some(r) =>
           NetPoll.udpPoll(host, req("port").toInt,
-            req("request").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            r.getBytes(java.nio.charset.StandardCharsets.UTF_8),
             opt("timeout_ms").map(_.toInt).getOrElse(10000))
+        case None => opt("parser") match {
+          case Some("lvm_thermistors") | None =>
+            NetPoll.thermistorPoll(host, opt("port").map(_.toInt).getOrElse(1025),
+              opt("timeout_ms").map(_.toInt).getOrElse(10000))
+          case Some(p) => throw new IllegalArgumentException(
+            s"$name: udp parser '$p' has no built-in conversation; set 'request'")
+        }
       }
       case _ =>
         val port = req("port").toInt
@@ -79,11 +84,18 @@ final case class LiveSource(conf: SourceConf) extends TelemetrySource {
   }
 
   def stream(spark: SparkSession): DataFrame = {
+    // Validate the WHOLE chain before any side effect: a config the
+    // downstream SpoolSource will reject (no 'parser' — nothing could
+    // turn replies into points) must fail here, NOT after the poll
+    // thread has started conversing with a live device it would then
+    // orphan (stopPolling is never reached on a failed start).
+    req("parser")
+    val fn = pollFn()
     // idempotent across engine restarts: restart() re-calls stream(),
     // which must not spawn a second poller onto the same spool
     if (started.compareAndSet(false, true)) {
       val delayMs = opt("delay").map(s => (s.toDouble * 1000).toLong).getOrElse(1000L)
-      poller = new PollingSource(name, spoolDir, pollFn(), delayMs,
+      poller = new PollingSource(name, spoolDir, fn, delayMs,
         bucket = bucket, tags = tags)
       poller.start()
     }

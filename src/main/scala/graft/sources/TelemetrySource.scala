@@ -134,6 +134,13 @@ final class PollingSource(
       case c: AutoCloseable => try c.close() catch { case _: Exception => () }
       case _ => ()
     }
+    // Join so "stopped" means the spool is FROZEN: an in-flight poll
+    // that already read its reply could otherwise writeSpool after
+    // stop() returns, and a caller counting spool files at the freeze
+    // point would see one more batch land mid-drain.
+    if (thread != null && thread != Thread.currentThread()) {
+      try thread.join(5000) catch { case _: InterruptedException => () }
+    }
   }
 
   private def writeSpool(replies: Seq[String]): Unit = {

@@ -187,6 +187,23 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("LiveSource with no parser fails fast, BEFORE starting the poll thread") {
+    import graft.control.EngineConfig.SourceConf
+    import graft.sources.LiveSource
+    // parser-less configs can't turn replies into points; the failure
+    // must land before any socket conversation (an orphaned poller would
+    // keep polling a live device after the failed engine start)
+    val src = LiveSource(SourceConf("bad", "udp",
+      Map("host" -> "127.0.0.1", "port" -> "1"), None, Map.empty))
+    val before = Thread.getAllStackTraces.keySet.toArray.map(_.asInstanceOf[Thread])
+      .count(_.getName.startsWith("graft-poller-"))
+    val e = intercept[IllegalArgumentException](src.stream(spark))
+    assert(e.getMessage.contains("parser"))
+    val after = Thread.getAllStackTraces.keySet.toArray.map(_.asInstanceOf[Thread])
+      .count(_.getName.startsWith("graft-poller-"))
+    assert(after == before, "no poll thread may be left running")
+  }
+
   test("engine.restart resumes the named query from the SAME checkpoint") {
     import spark.implicits._
     import graft.model.TelemetryPoint

@@ -247,4 +247,34 @@ class MultimodalSpec extends SparkSpec {
       targetBytesPerPartition = 1L << 30)
     assert(parts.rdd.getNumPartitions == 4)
   }
+
+  test("decodeImageIO resolves palette-indexed pixels through the color table") {
+    // 2x2 indexed image whose palette INVERTS the index order: index 0 is
+    // WHITE, index 1 is BLACK — binning raw samples would put the white
+    // pixels in the darkest bin
+    val cmap = Array(0xffffff, 0x000000).flatMap(rgb =>
+      Array(((rgb >> 16) & 0xff).toByte, ((rgb >> 8) & 0xff).toByte, (rgb & 0xff).toByte))
+    val icm = new java.awt.image.IndexColorModel(8, 2,
+      cmap.grouped(3).map(_(0)).toArray, cmap.grouped(3).map(_(1)).toArray,
+      cmap.grouped(3).map(_(2)).toArray)
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    img.getRaster.setSample(0, 0, 0, 0) // white via palette
+    img.getRaster.setSample(1, 0, 0, 0) // white
+    img.getRaster.setSample(0, 1, 0, 1) // black
+    img.getRaster.setSample(1, 1, 0, 1) // black
+    val bos = new java.io.ByteArrayOutputStream()
+    // paletted PNG (the JDK GIF *writer* mangles tiny images; the decode
+    // path under test — IndexColorModel resolution — is format-agnostic)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((w, h, hist)) = Multimodal.decodeImageIO(bos.toByteArray, 8)
+    assert((w, h) == ((2, 2)))
+    assert(hist(7) == 2f, s"white pixels must land in the TOP bin, got ${hist.toSeq}")
+    assert(hist(0) == 2f, s"black pixels in the bottom bin, got ${hist.toSeq}")
+    // resize must also go through the palette (an indexed image written
+    // as TYPE_BYTE_GRAY of raw indices would be near-black everywhere)
+    val resized = Multimodal.resizeImageIO(bos.toByteArray, 2, 2).get
+    val Some((_, _, rh)) = Multimodal.decodeImageIO(resized, 8)
+    assert(rh(7) == 2f && rh(0) == 2f, s"palette lost in resize: ${rh.toSeq}")
+  }
 }

@@ -274,6 +274,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq survives dropped/short codebooks: LUT densifies missing (sub,cid) slots") {
+    import graft.similarity.ProductQuantizer
+    // corpus smaller than ksub: every subspace codebook has < ksub
+    // centroids, which a dense-indexed LUT must pad (a sparse LUT either
+    // throws in pq_adc or silently shifts every index past the gap)
+    val tiny = (0L until 3L).map(i =>
+      (i, Seq.tabulate(64)(d => (d % 7) * 0.1 + i * 0.01))).toDF("id", "vec")
+    val books = ProductQuantizer.pqTrain(tiny, dim = 64, m = 4, ksub = 8, iters = 1)
+    assert(books.count() < 4 * 8)
+    val codes = ProductQuantizer.pqEncode(tiny, books, dim = 64, m = 4)
+    val queries = tiny.filter(col("id") === 0L)
+      .select(col("id").as("query_id"), col("vec").as("query_vec"))
+    val top = ProductQuantizer.pqTopK(queries, books, codes,
+      dim = 64, m = 4, ksub = 8, k = 2).collect()
+    assert(top.length == 2)
+  }
+
   test("pq compression recovers neighbor structure: recall@5 well above random") {
     import graft.similarity.ProductQuantizer
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
