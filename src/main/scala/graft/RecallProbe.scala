@@ -101,6 +101,43 @@ object RecallProbe {
       spark.stop()
       return
     }
+    // `runMain graft.RecallProbe pq [dir]` — product-quantization
+    // retrieval quality: recall@10 of the ADC scan vs the exact INNER
+    // PRODUCT top-k (PQ approximates IP — cosine truth would conflate
+    // the metric change with the quantization loss) across code budgets.
+    if (args.headOption.contains("pq")) {
+      val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val spark = GraftSession.get("local[32]", 32)
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("query_vec"))
+      val vecs = emb.select(col("vec_id").as("id"),
+        Similarity.asDouble(col("embedding")).as("vec"))
+      val cands = vecs.select(col("id").as("cand_id"), col("vec").as("cand_vec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("ip").desc, col("cand_id"))
+      val truth = queries.crossJoin(cands)
+        .filter(col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          graft.functions.VectorFunctions.dotFast(col("query_vec"), col("cand_vec")).as("ip"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+        .persist()
+      truth.count()
+      println("| PQ (ADC, IP truth) | m x ksub (bits/vec) | recall@10 |")
+      println("|---|---|---|")
+      for ((m, ksub) <- Seq((4, 16), (8, 16), (8, 64), (16, 16), (16, 256))) {
+        val books = graft.similarity.ProductQuantizer.pqTrain(vecs, 64, m, ksub, iters = 2)
+        val codes = graft.similarity.ProductQuantizer.pqEncode(vecs, books, 64, m)
+        val top = graft.similarity.ProductQuantizer.pqTopK(queries, books, codes,
+          64, m, ksub, 10)
+        val r = recallAtK(truth, top, 10)
+        val bits = m * (math.log(ksub) / math.log(2)).round
+        println(f"| PQ | $m x $ksub ($bits b/vec) | $r%.3f |")
+      }
+      spark.stop()
+      return
+    }
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val nQ = args.lift(1).map(_.toInt).getOrElse(200)
     val k = args.lift(2).map(_.toInt).getOrElse(10)
