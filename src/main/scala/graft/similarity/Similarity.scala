@@ -304,8 +304,34 @@ object Similarity {
     * answer is not a bigger shuffle but [[semanticDedup]]
     * (cluster-scoped pairs, Σn_c² linear); at production thresholds
     * (≥0.9) band counts stay small enough that the shuffle fallback is
-    * merely slow, not fatal. */
-  def broadcastFetchMaxVectors(dim: Int): Long = (512L << 20) / (dim * 8L)
+    * merely slow, not fatal.
+    *
+    * A BroadcastExchange collects the relation THROUGH THE DRIVER, so
+    * the budget is clamped at runtime against the active session's
+    * `spark.driver.maxResultSize` (half of it — UnsafeRow overhead
+    * roughly doubles the raw payload): a stock-configured cluster
+    * (1 GB maxResultSize) keeps the full 512 MB budget, while a
+    * tighter driver shrinks it instead of failing the collect.
+    * Override explicitly with session conf
+    * `graft.similarity.broadcastFetchBytes`. */
+  def broadcastFetchMaxVectors(dim: Int): Long =
+    broadcastFetchBudgetBytes() / (dim * 8L)
+
+  private[graft] def broadcastFetchBudgetBytes(): Long = {
+    val default = 512L << 20
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        s.conf.getOption("graft.similarity.broadcastFetchBytes") match {
+          case Some(v) => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+          case None =>
+            val maxResult = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+              s.conf.get("spark.driver.maxResultSize", "1g"))
+            // maxResultSize = 0 means unlimited — keep the default budget
+            if (maxResult <= 0) default else math.min(default, maxResult / 2)
+        }
+      case None => default
+    }
+  }
 
   def nearDupPairs(
       vectors: DataFrame, // (id, vec: array<double>)

@@ -55,11 +55,13 @@ final case class LiveSource(conf: SourceConf) extends TelemetrySource {
             r.getBytes(java.nio.charset.StandardCharsets.UTF_8),
             opt("timeout_ms").map(_.toInt).getOrElse(10000))
         case None => opt("parser") match {
-          case Some("lvm_thermistors") | None =>
+          // stream() fail-fasts on a missing 'parser' before calling
+          // here, so None is unreachable — match only reachable states
+          case Some("lvm_thermistors") =>
             NetPoll.thermistorPoll(host, opt("port").map(_.toInt).getOrElse(1025),
               opt("timeout_ms").map(_.toInt).getOrElse(10000))
-          case Some(p) => throw new IllegalArgumentException(
-            s"$name: udp parser '$p' has no built-in conversation; set 'request'")
+          case p => throw new IllegalArgumentException(
+            s"$name: udp parser '${p.getOrElse("")}' has no built-in conversation; set 'request'")
         }
       }
       case _ =>

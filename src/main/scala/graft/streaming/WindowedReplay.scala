@@ -27,8 +27,9 @@ import org.apache.spark.sql.types._
   * whose window the effective watermark has passed are dropped. Under
   * this model the three straggler legs prove:
   *
-  *  - stragglers whose window the batch-3 watermark (max of batches
-  *    1–2, minus delay) already passed: DROPPED — those windows were
+  *  - stragglers whose window the batch-3 watermark (max of batch 1,
+  *    minus delay — the one-batch lag above) already passed: DROPPED
+  *    — those windows were
   *    emitted with batch-1-only counts and must not change (emit-once);
   *  - stragglers in windows still open at batch 3: counted, even where
   *    the raw ts is older than the watermark (the window-rule clause);

@@ -414,7 +414,12 @@ case class RandomProjBuckets(child: Expression, flatPlanes: Seq[Double],
   @transient private lazy val planes: Array[Double] = flatPlanes.toArray
 
   def buckets(v: ArrayData): ArrayData = {
-    val n = math.min(v.numElements(), dim)
+    // Loud on malformed input like every other vector expression here
+    // (dot_product/cosine_sim throw on length mismatch): silently
+    // truncating would yield prefix-derived bucket ids and break the
+    // claimed bit-identity with the per-plane lshBucket formulation.
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"lsh_band_buckets: vector length ${v.numElements()} != plane dim $dim")
     val out = new Array[Long](numBands)
     var t = 0
     while (t < numBands) {
@@ -424,7 +429,7 @@ case class RandomProjBuckets(child: Expression, flatPlanes: Seq[Double],
         val base = ((t * bandPlanes) + i) * dim
         var dot = 0.0
         var j = 0
-        while (j < n) { dot += v.getDouble(j) * planes(base + j); j += 1 }
+        while (j < dim) { dot += v.getDouble(j) * planes(base + j); j += 1 }
         if (dot > 0) bucket |= (1L << i)
         i += 1
       }
