@@ -47,8 +47,20 @@ object Bench {
     // SCALE.md "Pair-operator scaling").
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet).getOrElse(Set.empty)
-    val suite = only.fold(Queries.all)(names => Queries.all.filter(q => names(q.name)))
+    // Streaming-family queries run as a contiguous block at the END of
+    // each pass: a micro-batch replay leaves background churn behind it
+    // (checkpoint fsyncs, state-store maintenance threads, file-source
+    // log compaction) that lands on whatever query runs next — r10's
+    // noisy set had rep-1 spikes scattered across the relational family
+    // right after streaming queries. Grouping pushes that churn onto
+    // the inter-pass settle window instead.
+    val streamingFamily = Set("q52_actor_stream", "q64_streaming_dedup",
+      "q73_streaming_near_dedup", "q74_streaming_swept_dedup",
+      "q80_streaming_window", "q81_streaming_ewma")
+    val suite0 = only.fold(Queries.all)(names => Queries.all.filter(q => names(q.name)))
       .filterNot(q => skip(q.name))
+    val suite = suite0.filterNot(q => streamingFamily(q.name)) ++
+      suite0.filter(q => streamingFamily(q.name))
     val spark = GraftSession.get(s"local[$cpus]", 32)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -70,6 +82,29 @@ object Bench {
     // one more pass so the C2 compile backlog drains before timing.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
     (1 to warmup).foreach(_ => suite.foreach(runOnce))
+    // JIT-quiescence settle, run after warmup and between timed passes:
+    // at 86 queries the C2 compile BACKLOG outgrew two warmup passes
+    // (r10's noisy set was dominated by rep-1 spikes on late-suite
+    // queries — compiles queued during warmup still draining a full
+    // pass later, stealing cores from timed reps). Rather than a third
+    // 65 s untimed pass, poll the JVM's cumulative JIT time and wait
+    // until it stops advancing (< settleDeltaMs growth across a 500 ms
+    // window), capped at 60 s — costs ~1 s when there is nothing to
+    // drain, and exactly the drain time when there is.
+    def settleJit(): Unit = {
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (jit != null && jit.isCompilationTimeMonitoringSupported) {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var prev = jit.getTotalCompilationTime
+        var quiet = false
+        while (!quiet && System.nanoTime() < deadline) {
+          Thread.sleep(500)
+          val cur = jit.getTotalCompilationTime
+          quiet = cur - prev < 100 // <100 ms of JIT work in 500 ms wall
+          prev = cur
+        }
+      }
+    }
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     // NO System.gc() between passes: a full GC unloads JIT'd codegen
@@ -78,6 +113,7 @@ object Bench {
     // ~7s steady-state). G1 self-regulates fine with the pinned heap;
     // the median across interleaved passes sheds any residual outlier.
     (1 to reps).foreach { _ =>
+      settleJit()
       suite.foreach(q => runOnce(q).foreach(t => times(q.name) :+= t))
     }
     // Queries with zero successful reps are published under "failed",
@@ -137,16 +173,20 @@ object Bench {
           val qNode = Option(root.get("queries"))
             .orElse(Option(root.get("parsed")).filter(_.isObject)
               .flatMap(p => Option(p.get("queries"))))
-          val prev: Map[String, Double] = qNode match {
+          // keys normalized to the short form (name up to the first
+          // underscore): old rounds' files carry full names, the compact
+          // stdout contract carries short ones — compare on the common key
+          def short(n: String): String = n.takeWhile(_ != '_')
+          val prev: Map[String, Double] = (qNode match {
             case Some(qs) if qs.isObject =>
               qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
             case _ =>
               val tail = Option(root.get("tail")).map(_.asText()).getOrElse("")
-              "\"(q[0-9]+_[A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(tail)
+              "\"(q[0-9]+[a-z]?(?:_[A-Za-z0-9_]+)?)\":([0-9.]+)".r.findAllMatchIn(tail)
                 .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
-          }
+          }).map { case (k, v) => short(k) -> v }
           results.toSeq.flatMap { case (name, now) =>
-            prev.get(name).filter(p =>
+            prev.get(short(name)).filter(p =>
               p > 0 && now > 0 && (now / p > 1.5 || p / now > 1.5))
               .map(p => name -> (p, now))
           }
@@ -183,24 +223,28 @@ object Bench {
       try w.println(s"""{"sf":"$sfDir","failed":$failedJson,"noisy":$noisyJson,"median":$medianJson,"min":$minJson,"reps":$repsJson,"moved_vs_prev":$movedJson}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] reps file: $e") }
-    // Medians at 3 decimals. The driver's log capture keeps only the LAST
-    // 2000 chars of this line (BENCH_r04-r06 lost their head and failed
-    // the driver's parse), so: (a) "queries" is the FINAL key — the tail
-    // window then preserves the most per-query medians possible and the
-    // driver's regex recovery never mixes in another map's numbers;
-    // (b) the per-query MIN map lives in the reps FILE, not inline — a
-    // second 78-entry map would push the medians out of the tail window
-    // entirely.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + j3(v) }
+    // The driver's log capture keeps only the LAST 2000 chars of this
+    // line, and at 86 queries a full-name medians map alone is ~2.6 KB —
+    // BENCH_r10.json captured a decapitated line and parsed null
+    // (VERDICT r10 #3). The stdout contract is therefore COMPACT
+    // (~1.4 KB): totals, failures, noisy count, the reps-file pointer,
+    // and a medians map under SHORT query keys (the name up to the first
+    // underscore — unique across the suite, asserted below so a future
+    // collision fails loudly rather than silently dropping a median).
+    // Full names, per-rep arrays, mins and the moved-vs-prev diagnostics
+    // all live in the reps FILE. "queries" stays the final key so a
+    // truncated capture still preserves the most medians possible.
+    def shortName(n: String): String = n.takeWhile(_ != '_')
+    val shortCollisions = results.keys.groupBy(shortName).filter(_._2.size > 1)
+    require(shortCollisions.isEmpty,
+      s"short-key collision in bench line: $shortCollisions")
+    val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + j3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val minTotal = if (mins.nonEmpty) mins.values.sum else 0.0
-    val movedInline = moved.map { case (n, (p, c)) =>
-      "\"" + n + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(c) + "}"
-    }.mkString("{", ",", "}")
     val totalStr = j3(total)
     val failedStr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","min_total":${j3(minTotal)},"failed":$failedStr,"moved_vs_prev":$movedInline,"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","min_total":${j3(minTotal)},"n_queries":${results.size},"failed":$failedStr,"noisy_count":${noisy.size},"moved_count":${moved.size},"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }
