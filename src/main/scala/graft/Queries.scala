@@ -733,6 +733,48 @@ object Queries {
       WHERE bit_count(xor(a.sh, b.sh)) <= 3
       ORDER BY id_a, id_b"""))
 
+  // Width-scalable simhash (the 256×-measured cure for the 15-bit-block
+  // candidate ceiling): 96-bit two-word fingerprint => 24-bit pigeonhole
+  // blocks, candidates ∝ N²/2²⁴. Word 0 is bit-identical to the 60-bit
+  // family (md5 hex 1-15); word 1 draws its 36 live bits from md5 hex
+  // 16-30 — both replayable in DuckDB from the same md5. The oracle
+  // brute-forces the pair join like q32; Spark-side the blocking join IS
+  // the scale path under test.
+  val q82_simhash_wide = Q("q82_simhash_wide",
+    (s, dir) => Dedup.simhashPairs(documents(s, dir), "doc_id", "text",
+        bits = 96, maxHamming = 3)
+      .orderBy("id_a", "id_b"),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      h AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS hv0,
+        CAST(('0x' || substr(md5(w), 16, 15)) AS BIGINT) AS hv1
+        FROM tok),
+      votes0 AS (
+        SELECT doc_id, j, SUM(((hv0 >> j) & 1) * 2 - 1) AS vote
+        FROM h, (SELECT unnest(generate_series(0, 59)) AS j)
+        GROUP BY doc_id, j),
+      votes1 AS (
+        SELECT doc_id, j, SUM(((hv1 >> j) & 1) * 2 - 1) AS vote
+        FROM h, (SELECT unnest(generate_series(0, 35)) AS j)
+        GROUP BY doc_id, j),
+      sigs AS (
+        SELECT v0.doc_id, v0.w0, v1.w1 FROM
+          (SELECT doc_id,
+            CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS w0
+           FROM votes0 GROUP BY doc_id) v0
+          JOIN
+          (SELECT doc_id,
+            CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS w1
+           FROM votes1 GROUP BY doc_id) v1
+          USING (doc_id))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+      ORDER BY id_a, id_b"""))
+
   val q33_minhash_pairs = Q("q33_minhash_pairs",
     (s, dir) => Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text",
         n = 3, numPerm = 16, bands = 4, threshold = 0.0)
@@ -2613,5 +2655,6 @@ object Queries {
     q70_incremental_dedup, q71_boilerplate, q72_ppl_buckets,
     q73_streaming_near_dedup, q74_streaming_swept_dedup,
     q75_dsir_weights, q76_subword_encode, q77_span_dedup, q78_ann_pq,
-    q79_ann_ivf_pruned, q80_streaming_window, q81_streaming_ewma)
+    q79_ann_ivf_pruned, q80_streaming_window, q81_streaming_ewma,
+    q82_simhash_wide)
 }

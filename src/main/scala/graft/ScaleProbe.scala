@@ -56,14 +56,16 @@ object ScaleProbe {
         args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
       else Seq(1, 4, 16)
     val pairsOnly = args.headOption.contains("pairs")
+    val widthOnly = args.headOption.contains("simhash-width")
     val mutModulus: Int =
       if (pairsOnly) args.lift(2).map(_.trim.toInt).getOrElse(16) else 16
     val li = Tables.lineitem(spark, dir)
     val docs = Tables.documents(spark, dir)
     val ev = Tables.events(spark, dir)
     li.count(); docs.count(); ev.count() // warm
-    println("factor,rows_lineitem,agg_join_s,rolling_s,minhash_s,topk_s")
-    for (n <- Seq(1, 4, 16) if !pairsOnly) {
+    if (!pairsOnly && !widthOnly)
+      println("factor,rows_lineitem,agg_join_s,rolling_s,minhash_s,topk_s")
+    for (n <- Seq(1, 4, 16) if !pairsOnly && !widthOnly) {
       val liN = rep(li, n, "l_orderkey")
       val docsN = rep(docs, n, "doc_id")
       val evN = rep(ev, n, "event_id")
@@ -149,6 +151,29 @@ object ScaleProbe {
       .jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5, maxShingleFreq = 100)
     def simh(d: DataFrame) = graft.dedup.Dedup
       .simhashPairs(d, "doc_id", "text", bits = 60, maxHamming = 3)
+    def simh96(d: DataFrame) = graft.dedup.Dedup
+      .simhashPairs(d, "doc_id", "text", bits = 96, maxHamming = 3)
+
+    // `simhash-width [factors-csv]` — the width-scaling probe alone:
+    // 60-bit (15-bit blocks) vs 96-bit (24-bit blocks) pair mining on
+    // the same mutated corpus, so the r10 256× ceiling (candidates ∝
+    // N²/2¹⁵ ⇒ 14.2× wall for 4× data) can be compared against the
+    // widened fingerprint without paying for the jaccard/neardup cells.
+    if (args.headOption.contains("simhash-width")) {
+      val factors = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(16, 64))
+      simh(repMutatedDocs(1)).count(); simh96(repMutatedDocs(1)).count() // warm
+      println("factor,docs,simhash60_s,simhash60_pairs,simhash96_s,simhash96_pairs")
+      def time2w(f: => Unit): Double = math.min(time(f), time(f))
+      for (n <- factors) {
+        val docsN = repMutatedDocs(n)
+        var sp = 0L; var sp96 = 0L
+        val sS = time2w { sp = simh(docsN).count() }
+        val s96 = time2w { sp96 = simh96(docsN).count() }
+        println(f"$n,${n * 5000},$sS%.2f,$sp,$s96%.2f,$sp96")
+      }
+      spark.stop(); return
+    }
     // nearDupPairs at a FIXED plane count degrades superlinearly by
     // construction: candidate volume is ~N²/2^bandPlanes per band, so
     // 2^bandPlanes (the bucket count) must track N. Since round 7 the

@@ -197,19 +197,81 @@ object Dedup {
       }.reduce(_ + _).as("sh"))
   }
 
+  /** Multi-word SimHash fingerprint for widths past the single-long
+    * ceiling: returns `(id, sh: array<bigint>)` where word `w` carries
+    * fingerprint bits `[60w, min(60(w+1), bits))` in its low bits. Token
+    * hashes draw 60 independent bits per word from disjoint md5 hex
+    * ranges (word 0 = hex chars 1-15 — exactly [[h60]], so word 0 of a
+    * wide fingerprint is bit-identical to [[withSimhash]] at the same
+    * width ≤ 60), giving up to 120 oracle-replicable bits per token
+    * from one md5. Same aggregate shape as [[withSimhash]]: explode
+    * distinct tokens, one md5 per token, per-bit vote sums in one
+    * map-side-partial hash aggregate — the extra words add buffer
+    * slots, not passes or shuffles.
+    *
+    * This is the cure for the fixed-width scale ceiling measured at
+    * 256× (SCALE.md): pigeonhole blocking over `bits` with
+    * `maxHamming + 1` blocks yields blocks of `bits/(maxHamming+1)`
+    * bits, and expected blocking collisions scale as N²/2^blockBits —
+    * so block width should track log₂N. Choose
+    * `bits ≈ (maxHamming + 1) · (log₂N + margin)`: 96 bits / 24-bit
+    * blocks holds candidate ≈ true-pair parity to N ~ 10⁹ docs where
+    * 60 bits / 15-bit blocks saturates near N ~ 10⁵·⁵. */
+  def withSimhashWide(df: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 120,
+      s"wide simhash supports 1..120 bits (two 60-bit md5-prefix words), got $bits")
+    val nWords = (bits + 59) / 60
+    val tok = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .select(col("id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .select(col("id") +: md5(col("w")).as("m") +: Nil: _*)
+      .select(col("id") +: (0 until nWords).map(wd =>
+        conv(substring(col("m"), 15 * wd + 1, 15), 16, 10).cast("long").as(s"h$wd")): _*)
+    val words = (0 until nWords).map { wd =>
+      val wBits = math.min(60, bits - 60 * wd)
+      (0 until wBits).map { j =>
+        when(sum(shiftright(col(s"h$wd"), j).bitwiseAND(1) * 2 - 1) > 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _).as(s"w$wd")
+    }
+    tok.groupBy("id").agg(words.head, words.tail: _*)
+      .select(col("id"), array((0 until nWords).map(wd => col(s"w$wd")): _*).as("sh"))
+  }
+
+  /** Bits `[start, start + len)` of a multi-word fingerprint as one long
+    * (`len <= 60`; straddles a 60-bit word boundary with a shift-or). */
+  private def extractBits(sh: Column, start: Int, len: Int): Column = {
+    val w0 = start / 60
+    val off = start % 60
+    val take0 = math.min(len, 60 - off)
+    val part0 = shiftright(element_at(sh, w0 + 1), off).bitwiseAND(lit((1L << take0) - 1))
+    if (take0 == len) part0
+    else part0.bitwiseOR(shiftleft(
+      element_at(sh, w0 + 2).bitwiseAND(lit((1L << (len - take0)) - 1)), take0))
+  }
+
   /** SimHash near-dup pairs with pigeonhole blocking: the fingerprint is
     * split into `maxHamming + 1` contiguous blocks — any pair within
     * `maxHamming` bit flips must agree on at least one block, so blocking
     * on (block index, block bits) has perfect recall. Candidates are then
     * verified with `bit_count(xor) <= maxHamming`. Each doc explodes to
     * only `maxHamming + 1` rows; the join shuffle is keyed on block bits,
-    * well-distributed as long as blocks are >= ~4 bits. */
+    * well-distributed as long as blocks are >= ~4 bits.
+    *
+    * `bits > 60` switches to the multi-word fingerprint
+    * ([[withSimhashWide]], up to 120 bits) with the same output schema
+    * `(id_a, id_b, hamming)` — the opt-in scale path; the 60-bit default
+    * family stays bit-identical for the standing oracles. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       bits: Int = 16,
       maxHamming: Int = 3): DataFrame = {
+    if (bits > 60) return simhashPairsWide(df, idCol, textCol, bits, maxHamming)
     val nBlocks = math.min(maxHamming + 1, bits)
     // distribute bits as evenly as possible: first (bits % nBlocks) blocks
     // get an extra bit
@@ -231,6 +293,43 @@ object Dedup {
       // [[minhashLshPairs]]): candidates that fail the hamming check are
       // the vast majority; dropping them per-row keeps the distinct()
       // shuffle proportional to true pairs, not candidates.
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** [[simhashPairs]] over a multi-word fingerprint (`60 < bits <= 120`):
+    * same pigeonhole construction — `maxHamming + 1` contiguous blocks,
+    * perfect recall — but blocks are `bits/(maxHamming+1)` wide (96 bits
+    * at maxHamming 3 ⇒ 24-bit blocks), so blocking collisions fall by
+    * 2^(widthGain) versus the 60-bit family: the candidate stream stays
+    * ≈ true pairs to corpus sizes where 15-bit blocks are saturated
+    * (candidates ∝ N²/2¹⁵ — the ceiling SCALE.md measured at 256×).
+    * Blocks may straddle the 60-bit word boundary ([[extractBits]]);
+    * hamming verification is a fixed per-word `bit_count(xor)` sum. */
+  def simhashPairsWide(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int,
+      maxHamming: Int = 3): DataFrame = {
+    val nWords = (bits + 59) / 60
+    val nBlocks = math.min(maxHamming + 1, bits)
+    val sizes = Array.tabulate(nBlocks)(j => bits / nBlocks + (if (j < bits % nBlocks) 1 else 0))
+    require(sizes.forall(_ <= 60), s"block width ${sizes.max} > 60; raise maxHamming")
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val sigs = withSimhashWide(df, idCol, textCol, bits).persist()
+    sigs.count() // materialize before the self-join
+    val blocked = sigs.withColumn("block", explode(array(
+      (0 until nBlocks).map { j =>
+        concat_ws(":", lit(j), extractBits(col("sh"), offsets(j), sizes(j)))
+      }: _*)))
+    val a = blocked.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = blocked.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val hamming = (0 until nWords).map(wd =>
+      bit_count(element_at(col("sh_a"), wd + 1)
+        .bitwiseXOR(element_at(col("sh_b"), wd + 1)))).reduce(_ + _)
+    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

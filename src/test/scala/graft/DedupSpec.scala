@@ -125,6 +125,43 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$plan")
   }
 
+  test("withSimhashWide word 0 is bit-identical to withSimhash at 60 bits, on real documents") {
+    // the 60-bit family is load-bearing for the q28/q32 oracles — the
+    // wide variant must be a strict extension, not a parallel hash
+    val d = Tables.documents(spark, sf())
+    val narrow = Dedup.withSimhash(d, "doc_id", "text", 60)
+      .as[(Long, Long)].collect().toMap
+    val wide = Dedup.withSimhashWide(d, "doc_id", "text", 96)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(wide.keySet == narrow.keySet)
+    assert(wide.forall { case (id, sh) => sh.length == 2 && sh.head == narrow(id) },
+      "word 0 of the 96-bit fingerprint must equal the 60-bit fingerprint")
+    // word 1 carries 36 live bits (96 - 60) and nothing above them
+    assert(wide.values.forall(sh => (sh(1) >> 36) == 0L))
+    // words must be genuinely independent hashes, not copies
+    assert(wide.values.count(sh => (sh.head & 0xFFFFFFFFFL) == sh(1)) < wide.size / 2)
+  }
+
+  test("simhashPairsWide at 96 bits: perfect recall vs brute-force hamming, straddling blocks included") {
+    // 96 bits / maxHamming 3 => four 24-bit blocks; block 2 spans bits
+    // 48..71 and STRADDLES the 60-bit word boundary — brute-force parity
+    // proves extractBits' shift-or across words. Real documents give
+    // planted pairs (the fixture has exact and near duplicates).
+    val d = Tables.documents(spark, sf())
+    val got = Dedup.simhashPairs(d, "doc_id", "text", bits = 96, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val sh = Dedup.withSimhashWide(d, "doc_id", "text", 96)
+      .as[(Long, Seq[Long])].collect()
+    val truth = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      h = sa.zip(sb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(truth.nonEmpty, "fixture should contain at least one near-dup pair")
+    assert(got == truth,
+      s"wide blocking lost ${(truth -- got).size} / invented ${(got -- truth).size} pairs")
+  }
+
   test("simhashPairs blocking finds all pairs within maxHamming") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", bits = 16, maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
