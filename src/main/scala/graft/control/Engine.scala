@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.yaml.snakeyaml.Yaml
 import graft.model.Point
-import graft.sources.{LiveSource, ReplaySource, SpoolSource, TelemetrySource}
+import graft.sources.{ActorPushSource, LiveSource, ReplaySource, SpoolSource, TelemetrySource}
 import graft.sinks.TelemetrySink
 import graft.streaming.StreamOps
 
@@ -142,7 +142,8 @@ final class Engine(spark: SparkSession) {
         c.options("path").toString, c.bucket, c.tags)),
       "spool" -> (c => SpoolSource(c)),
       "tcp" -> (c => LiveSource(c)),
-      "udp" -> (c => LiveSource(c)))
+      "udp" -> (c => LiveSource(c)),
+      "actor" -> (c => ActorPushSource(c)))
 
   private val queries = scala.collection.mutable.Map[String, StreamingQuery]()
   // Restart generation per memory observer: Spark's memory sink cannot

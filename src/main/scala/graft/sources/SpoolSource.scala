@@ -20,41 +20,10 @@ final case class SpoolSource(conf: SourceConf) extends TelemetrySource {
   private def req(key: String): String =
     opt(key).getOrElse(throw new IllegalArgumentException(s"$name: missing option '$key'"))
 
-  /** YAML keys dictionary → [[ActorReplies.KeysDictionary]] key defs:
-    * {{{
-    * dictionary:
-    *   exposureState:
-    *     - {name: state, type: string}
-    *     - {name: remaining, type: float, units: s}
-    *   motion:
-    *     - {name: pos, type: pvt, units: deg}
-    * }}} */
   private def dictionaryConf: Map[String, ActorReplies.KeyDef] =
-    conf.options.get("dictionary").map(_.asInstanceOf[Map[String, Any]].map {
-      case (kw, slots) => kw -> ActorReplies.KeyDef(
-        slots.asInstanceOf[List[Any]].map { s =>
-          val m = s.asInstanceOf[Map[String, Any]]
-          val nm = m.get("name").map(_.toString).getOrElse("")
-          val un = m.get("units").map(_.toString).getOrElse("")
-          m.get("type").map(_.toString).getOrElse("string") match {
-            case "float" => ActorReplies.FloatType(nm, un)
-            case "int" => ActorReplies.IntType(nm, un)
-            case "bool" => ActorReplies.BoolType(nm, un)
-            case "pvt" => ActorReplies.PvtType(nm, un)
-            case _ => ActorReplies.StringType(nm, un)
-          }
-        })
-    }).getOrElse(Map.empty)
-
-  /** `keyword_tags: {actor.keyword: {index: N, name: tag}}` (reference
-    * kwarg shape, tron.py:274-280). */
+    SpoolSource.dictionaryConf(conf.options)
   private def keywordTagsConf: Map[String, KeywordProcessor.KeywordTagConf] =
-    conf.options.get("keyword_tags").map(_.asInstanceOf[Map[String, Any]].map {
-      case (k, v) =>
-        val m = v.asInstanceOf[Map[String, Any]]
-        k -> KeywordProcessor.KeywordTagConf(
-          m("index").toString.toInt, m("name").toString)
-    }).getOrElse(Map.empty)
+    SpoolSource.keywordTagsConf(conf.options)
 
   def stream(spark: SparkSession): DataFrame = {
     val raw = spark.readStream
@@ -100,4 +69,48 @@ final case class SpoolSource(conf: SourceConf) extends TelemetrySource {
       case other => throw new IllegalArgumentException(s"$name: unknown parser '$other'")
     }
   }
+}
+
+object SpoolSource {
+  /** YAML keys dictionary → [[ActorReplies.KeysDictionary]] key defs
+    * (shared by the spool-replay and live-push actor arms):
+    * {{{
+    * dictionary:
+    *   exposureState:
+    *     - {name: state, type: string}
+    *     - {name: remaining, type: float, units: s}
+    *   motion:
+    *     - {name: pos, type: pvt, units: deg}
+    * }}} */
+  private[sources] def dictionaryConf(options: Map[String, Any]): Map[String, ActorReplies.KeyDef] =
+    options.get("dictionary").map(_.asInstanceOf[Map[String, Any]].map {
+      case (kw, slots) => kw -> ActorReplies.KeyDef(
+        slots.asInstanceOf[List[Any]].map { s =>
+          val m = s.asInstanceOf[Map[String, Any]]
+          val nm = m.get("name").map(_.toString).getOrElse("")
+          val un = m.get("units").map(_.toString).getOrElse("")
+          m.get("type").map(_.toString).getOrElse("string") match {
+            case "float" => ActorReplies.FloatType(nm, un)
+            case "int" => ActorReplies.IntType(nm, un)
+            case "bool" => ActorReplies.BoolType(nm, un)
+            case "pvt" => ActorReplies.PvtType(nm, un)
+            case _ => ActorReplies.StringType(nm, un)
+          }
+        })
+    }).getOrElse(Map.empty)
+
+  /** `keyword_tags: {actor.keyword: {index: N, name: tag}}` (reference
+    * kwarg shape, tron.py:274-280). */
+  private[sources] def keywordTagsConf(options: Map[String, Any]): Map[String, KeywordProcessor.KeywordTagConf] =
+    options.get("keyword_tags").map(_.asInstanceOf[Map[String, Any]].map {
+      case (k, v) =>
+        val m = v.asInstanceOf[Map[String, Any]]
+        k -> KeywordProcessor.KeywordTagConf(
+          m("index").toString.toInt, m("name").toString)
+    }).getOrElse(Map.empty)
+
+  private[sources] def castsConf(options: Map[String, Any]): Map[String, String] =
+    options.get("casts")
+      .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
+      .getOrElse(Map.empty)
 }

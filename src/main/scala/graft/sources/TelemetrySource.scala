@@ -83,7 +83,9 @@ final class PollingSource(
     delayMs: Long = 1000,
     backoff: Backoff = Backoff(),
     val bucket: Option[String] = None,
-    val tags: Map[String, String] = Map.empty) extends TelemetrySource {
+    val tags: Map[String, String] = Map.empty,
+    retentionMs: Long = 0L,
+    readOptions: Map[String, String] = Map.empty) extends TelemetrySource {
 
   private val running = new AtomicBoolean(false)
   private var thread: Thread = _
@@ -152,13 +154,25 @@ final class PollingSource(
     Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, fin) // atomic publish so the stream never sees partials
+    // Retention sweep (opt-in): without it a long-running poller grows
+    // the spool forever — a 1 Hz device is ~86k files/day in one
+    // directory, and the file source's seen-files log grows with it.
+    // The sweep deletes THIS source's published files older than the
+    // window; the reader's lag must stay inside it (see [[SpoolRetention]]).
+    if (retentionMs > 0) SpoolRetention.sweep(spoolDir, name, retentionMs)
   }
 
-  /** The executor-side half: stream of `(raw, recv_time)` rows. */
+  /** The executor-side half: stream of `(raw, recv_time)` rows.
+    * `readOptions` pass through to the file stream reader — pair a
+    * retention sweep with `maxFileAge` (ignore files older than the
+    * window, keeping the seen-files log bounded) and/or
+    * `cleanSource=delete` (Spark deletes files it has COMMITTED, the
+    * exactly-once-safe complement to the writer-side mtime sweep). */
   def rawStream(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
+      .options(readOptions)
       .text(spoolDir)
       .select(
         regexp_extract(col("value"), "^(.*)\\t([0-9]+)$", 1).as("raw"),

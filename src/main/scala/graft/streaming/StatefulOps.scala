@@ -43,6 +43,11 @@ object StatefulOps {
   final case class LineBuffer(nextSeq: Long, partial: String,
       pending: Map[Long, String], dropHead: Boolean)
 
+  /** [[Chunk]] with the chunk's receive timestamp — the live push
+    * transport's spool record ([[graft.sources.PushSource]]). */
+  final case class TsChunk(conn: String, seq: Long, data: String, ts: Timestamp)
+  final case class LineTsOut(conn: String, line: String, recv_time: Timestamp)
+
   private def timeoutConf(idleTimeoutMs: Long): GroupStateTimeout =
     if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
     else GroupStateTimeout.NoTimeout()
@@ -136,6 +141,66 @@ object StatefulOps {
           }
       }
   }
+
+  /** [[reassembleLines]] carrying receive timestamps — the live
+    * transport's variant: each emitted line is stamped with the receive
+    * time of the chunk that COMPLETED it (bore its newline), the
+    * closest streaming analogue of the reference's on-receipt
+    * processing time (tron.py:382-454 parses inside the data callback).
+    * Identical ordering/gap/eviction semantics to [[reassembleLines]]:
+    * seq-ordered replies across batches, `maxPending` gap escape with
+    * full-line discard, idle eviction dropping the carried partial.
+    * Kept as a sibling rather than a generalization so the q52 oracle's
+    * state encoding ([[LineBuffer]]) stays untouched. */
+  def reassembleTsLines(chunks: Dataset[TsChunk], firstSeq: Long = 0L,
+      maxPending: Int = 1024, idleTimeoutMs: Long = 0L): Dataset[LineTsOut] = {
+    implicit val outEnc = Encoders.product[LineTsOut]
+    implicit val stateEnc = Encoders.product[TsLineBuffer]
+    implicit val keyEnc = Encoders.STRING
+    chunks.groupByKey(_.conn)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(idleTimeoutMs)) {
+        (conn: String, rows: Iterator[TsChunk], state: GroupState[TsLineBuffer]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val st = state.getOption.getOrElse(
+              TsLineBuffer(firstSeq, "", Map.empty, dropHead = false))
+            var pending = st.pending ++
+              batch.filter(_.seq >= st.nextSeq).map(c => c.seq -> ((c.data, c.ts)))
+            var nextSeq = st.nextSeq
+            var partial = st.partial
+            var dropHead = st.dropHead
+            val out = scala.collection.mutable.ArrayBuffer[LineTsOut]()
+            def drain(): Unit = while (pending.contains(nextSeq)) {
+              val (data, ts) = pending(nextSeq)
+              val buf = partial + data
+              pending -= nextSeq
+              val parts = buf.split("\n", -1)
+              parts.dropRight(1).foreach { l =>
+                if (dropHead) dropHead = false
+                else out += LineTsOut(conn, l, ts)
+              }
+              partial = parts.last
+              nextSeq += 1
+            }
+            drain()
+            while (pending.size > maxPending) {
+              nextSeq = pending.keys.min
+              partial = ""
+              dropHead = true
+              drain()
+            }
+            state.update(TsLineBuffer(nextSeq, partial, pending, dropHead))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
+          }
+      }
+  }
+
+  final case class TsLineBuffer(nextSeq: Long, partial: String,
+      pending: Map[Long, (String, Timestamp)], dropHead: Boolean)
 
   /** Per-series EWMA with carry-over across micro-batches.
     * `alpha` is the smoothing factor; emits one row per input point with
