@@ -100,6 +100,135 @@ class IncrementalSourceSpec extends SparkSpec {
     assert(tracker.filesNewerThan(2000L).map(_.getName).toSet == Set("b.jsonl", "c.jsonl"))
   }
 
+  test("S15/S16 live HTTP poll: watermark-resumed GETs feed row-level offsets over a real socket") {
+    // loopback "LCO environment service" (lco.py:116-122 shape): GET
+    // ?start_ts=<ISO seconds> returns the in-memory rows with ts >=
+    // start_ts — INCLUSIVE, like an API that re-sends the boundary
+    // second the reference's truncated resume point re-requests; the
+    // poller must dedup client-side.
+    val store = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Double)]()
+    val requests = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/env/seeing", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      requests.add(q)
+      val startTs = q.split("&").collectFirst {
+        case kv if kv.startsWith("start_ts=") =>
+          java.time.LocalDateTime.parse(kv.stripPrefix("start_ts="))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }.getOrElse(0L)
+      val rows = store.toArray(Array.empty[(Long, String, Double)])
+        .filter(_._1 >= startTs).sortBy(_._1)
+        .map { case (ts, m, v) =>
+          val iso = java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochMilli(ts), java.time.ZoneOffset.UTC).toString
+          s"""{"ts":"$iso","measurement":"$m","value":$v}"""
+        }
+      val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    val dir = Files.createTempDirectory("graft-http-inc-").toString
+    val ckpt = Files.createTempDirectory("graft-http-inc-ckpt-").toString
+    store.add((1700000001500L, "seeing", 0.8)) // .5s fraction: exercises second-truncation
+    store.add((1700000002000L, "seeing", 0.9))
+    val poller = new graft.sources.HttpIncrementalPoller("dimm", dir,
+      s"http://127.0.0.1:$port/env/seeing", intervalMs = 50,
+      backoff = graft.sources.Backoff(initialDelayMs = 20, maxDelayMs = 200))
+    poller.start()
+    def waitFor(what: String, timeoutMs: Long = 20000)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(25)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    val outDir = Files.createTempDirectory("graft-http-inc-out-").toString
+    def sunk(): Seq[Double] =
+      try spark.read.parquet(outDir).orderBy("value")
+        .collect().map(_.getAs[Double]("value")).toSeq
+      catch { case _: Throwable => Seq.empty }
+    val q = spark.readStream.format("graft.sources.IncrementalSource")
+      .option("path", dir).load()
+      .writeStream.format("parquet").option("path", outDir)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      waitFor("first fetch")(poller.lastTsMs == 1700000002000L)
+      q.processAllAvailable()
+      assert(sunk().size == 2)
+
+      // watermark resume on the wire: the NEXT request must carry the
+      // last row's ts truncated to seconds (lco.py's isoformat resume)
+      waitFor("a resumed request")(
+        requests.toArray(Array.empty[String]).exists(_.contains("start_ts=2023-11-14T22:13:22")))
+
+      // new data on the server: fetched incrementally, boundary second
+      // re-sent by the server but deduped client-side
+      store.add((1700000003000L, "seeing", 1.1))
+      waitFor("incremental fetch")(poller.lastTsMs == 1700000003000L)
+      q.processAllAvailable()
+      val vals = sunk()
+      assert(vals == Seq(0.8, 0.9, 1.1), s"got $vals")
+
+      // outage: server dies, poller backs off from the SAME watermark;
+      // on rebind nothing is lost and nothing duplicates
+      server.stop(0)
+      store.add((1700000004000L, "seeing", 1.3))
+      Thread.sleep(300)
+      val server2 = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", port), 0)
+      server2.createContext("/env/seeing", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val q2 = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val startTs = q2.split("&").collectFirst {
+          case kv if kv.startsWith("start_ts=") =>
+            java.time.LocalDateTime.parse(kv.stripPrefix("start_ts="))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }.getOrElse(0L)
+        val rows = store.toArray(Array.empty[(Long, String, Double)])
+          .filter(_._1 >= startTs).sortBy(_._1)
+          .map { case (ts, m, v) =>
+            val iso = java.time.LocalDateTime.ofInstant(
+              java.time.Instant.ofEpochMilli(ts), java.time.ZoneOffset.UTC).toString
+            s"""{"ts":"$iso","measurement":"$m","value":$v}"""
+          }
+        val body = rows.mkString("[", ",", "]").getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+      server2.start()
+      try {
+        waitFor("post-outage fetch")(poller.lastTsMs == 1700000004000L)
+        q.processAllAvailable()
+        val after = sunk()
+        assert(after == Seq(0.8, 0.9, 1.1, 1.3), s"got $after")
+      } finally server2.stop(0)
+
+      // stream restart from the checkpoint: offsets resume, no replays
+      q.stop()
+      store.add((1700000005000L, "seeing", 1.5))
+      // server2 already stopped; poller can't fetch this one — write it
+      // through the spool path the poller would take, proving the STREAM
+      // side resumes purely from its checkpointed ts offset
+      Files.write(Paths.get(dir, "dimm.jsonl"),
+        "{\"ts\":1700000005000,\"measurement\":\"seeing\",\"value\":1.5}\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+      val q2 = spark.readStream.format("graft.sources.IncrementalSource")
+        .option("path", dir).load()
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        q2.processAllAvailable()
+        val resumed = sunk()
+        assert(resumed == Seq(0.8, 0.9, 1.1, 1.3, 1.5),
+          s"restart must deliver ONLY the new row on top of the sunk set, got $resumed")
+      } finally q2.stop()
+    } finally { poller.stop(); q.stop() }
+  }
+
   test("timestamps arrive as proper TimestampType") {
     val dir = Files.createTempDirectory("graft-inc2-").toString
     val ckpt = Files.createTempDirectory("graft-inc2-ckpt-").toString
