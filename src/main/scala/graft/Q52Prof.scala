@@ -17,6 +17,51 @@ object Q52Prof {
       println(s"[prof]   ${HotProf.jvmStats()}")
       spark.catalog.clearCache()
     }
+    // `stages` arg: attribute the STREAM phase — run the chain truncated
+    // after each stage (reassemble / +parse / +process), parquet sink.
+    if (args.headOption.contains("stages")) stageAttribution(spark, sfDir)
     spark.stop()
+  }
+
+  private def stageAttribution(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.streaming.StatefulOps
+    import graft.sources.ActorReplies
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val dict = ActorReplies.KeysDictionary("probe", Map(
+      "val" -> ActorReplies.KeyDef(Seq(ActorReplies.FloatType("id"), ActorReplies.FloatType("x", "V"))),
+      "status" -> ActorReplies.KeyDef(Seq(ActorReplies.StringType())),
+      "motion" -> ActorReplies.KeyDef(Seq(ActorReplies.PvtType()))))
+    // the q52 spool is already built (content-keyed reuse)
+    val conns = sys.env.get("SPARK_GRAFT_Q52_CONNS").map(_.toInt)
+      .getOrElse(math.max(32, Runtime.getRuntime.availableProcessors()))
+    val spool = graft.streaming.ReplayScaffold.spoolFor(spark, sfDir, "q52",
+      "events.parquet", s"conns=$conns",
+      (_, _, _) => throw new IllegalStateException("spool must already exist"))
+    val schema = StructType(Seq(StructField("conn", StringType),
+      StructField("seq", LongType), StructField("data", StringType)))
+    def chunks = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+      .as[StatefulOps.Chunk]
+    def runStream(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rd = java.nio.file.Files.createTempDirectory(s"q52prof-").toString
+      time(s"stream: $label") {
+        val q = df.writeStream.format("parquet")
+          .option("path", s"$rd/out").outputMode("append")
+          .option("checkpointLocation", s"$rd/ckpt").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      graft.streaming.ReplayScaffold.rmTree(new java.io.File(rd))
+    }
+    runStream("scan only")(chunks.toDF())
+    runStream("reassemble")(StatefulOps.reassembleLines(chunks).toDF())
+    def replies = StatefulOps.reassembleLines(chunks).map(lo => ActorReplies.ReplyLine(lo.line, t0))
+    runStream("reassemble+parse")(ActorReplies.parse(replies, dict).toDF())
+    runStream("reassemble+parse+process")(
+      graft.transforms.KeywordProcessor.process(
+        ActorReplies.parse(replies, dict).toDF(),
+        tags = Map("site" -> "lab"),
+        keywordTags = Map("probe.val" -> graft.transforms.KeywordProcessor.KeywordTagConf(0, "eid"))))
   }
 }

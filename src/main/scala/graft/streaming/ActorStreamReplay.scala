@@ -140,10 +140,20 @@ object ActorStreamReplay {
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // phase timing on stderr when SPARK_GRAFT_Q52_PROF is set (the 16×
+    // audit's instrument — negligible when unset)
+    val prof = sys.env.contains("SPARK_GRAFT_Q52_PROF")
+    def phase[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (prof) System.err.println(
+        f"[q52-phase] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     // spool reused across runs (content-keyed on events.parquet + conns);
     // checkpoint/sink always land in a fresh swept run dir
-    val spool = ReplayScaffold.spoolFor(spark, dir, "q52",
-      "events.parquet", s"conns=$connCount", writeSpool)
+    val spool = phase("spool")(ReplayScaffold.spoolFor(spark, dir, "q52",
+      "events.parquet", s"conns=$connCount", writeSpool))
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
@@ -152,8 +162,19 @@ object ActorStreamReplay {
       .as[StatefulOps.Chunk]
     val replies = StatefulOps.reassembleLines(chunks)
       .map(lo => ReplyLine(lo.line, t0))
+    // Round-robin repartition between the grammar and the keyword
+    // processor: everything after the state op inherits its
+    // 32-connection key partitioning, and 32 keys hashed into 32
+    // partitions leave ~1/3 of them EMPTY (collisions stack 2-3
+    // connections on one core while others idle) — the 16× audit
+    // measured the interpreted KeywordProcessor stage as the chain's
+    // floor (3.9 s of 8.2 s) running at that degraded width. One
+    // narrow exchange of (line, ts) rows buys full-width execution of
+    // the per-row HOF stage; output is row-local, so the hash is
+    // untouched.
     val points = KeywordProcessor.process(
-      ActorReplies.parse(replies, Dict).toDF(),
+      ActorReplies.parse(replies, Dict).toDF()
+        .repartition(spark.sparkContext.defaultParallelism),
       tags = Map("site" -> "lab"),
       keywordTags = Map("probe.val" -> KeywordTagConf(0, "eid")))
     // parquet sink, not memory: the memory sink collects every batch to
@@ -161,12 +182,14 @@ object ActorStreamReplay {
     // which made the readback+sort ~46 s at sf0.1; the parquet observer is
     // also the production path (sinks/TelemetrySink).
     val outDir = new File(runDir, "out")
-    val q = points.writeStream.format("parquet")
-      .option("path", outDir.toString)
-      .outputMode("append")
-      .option("checkpointLocation", new File(runDir, "ckpt").toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    phase("stream") {
+      val q = points.writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .outputMode("append")
+        .option("checkpointLocation", new File(runDir, "ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
 
     val t = spark.read.parquet(outDir.toString)
     val tagStr = concat_ws(",", array_sort(transform(map_entries(col("tags")),

@@ -104,17 +104,26 @@ object StatefulOps {
             state.remove()
             Iterator.empty
           } else {
-            val batch = rows.toSeq
+            // In-order fast path (the q52 16× audit): chunks arrive
+            // overwhelmingly in seq order, and the original
+            // put-everything-in-the-Map form built a batch-sized
+            // immutable Map per connection per batch (boxed keys, HAMT
+            // churn) just to drain it again. Sorting the batch by seq
+            // and emitting contiguous chunks DIRECTLY keeps `pending`
+            // for genuine gaps only — identical semantics (duplicates
+            // below the high-water mark drop, gaps wait, maxPending
+            // escape unchanged), allocation proportional to disorder
+            // instead of volume.
+            val batch = rows.toArray
+            java.util.Arrays.sort(batch, Ordering.by((c: Chunk) => c.seq))
             val st = state.getOption.getOrElse(LineBuffer(firstSeq, "", Map.empty, dropHead = false))
-            var pending = st.pending ++
-              batch.filter(_.seq >= st.nextSeq).map(c => c.seq -> c.data)
+            var pending = st.pending
             var nextSeq = st.nextSeq
             var partial = st.partial
             var dropHead = st.dropHead
             val out = scala.collection.mutable.ArrayBuffer[LineOut]()
-            def drain(): Unit = while (pending.contains(nextSeq)) {
-              val buf = partial + pending(nextSeq)
-              pending -= nextSeq
+            def emit(data: String): Unit = {
+              val buf = partial + data
               val parts = buf.split("\n", -1) // keep trailing empty = no partial
               parts.dropRight(1).foreach { l =>
                 if (dropHead) dropHead = false // tail of a gap-corrupt line
@@ -122,6 +131,16 @@ object StatefulOps {
               }
               partial = parts.last
               nextSeq += 1
+            }
+            def drain(): Unit = while (pending.contains(nextSeq)) {
+              val d = pending(nextSeq)
+              pending -= nextSeq
+              emit(d)
+            }
+            batch.foreach { c =>
+              if (c.seq == nextSeq) { emit(c.data); if (pending.nonEmpty) drain() }
+              else if (c.seq > nextSeq) pending += (c.seq -> c.data)
+              // else: replay below the high-water mark — dropped
             }
             drain()
             while (pending.size > maxPending) {
@@ -164,19 +183,19 @@ object StatefulOps {
             state.remove()
             Iterator.empty
           } else {
-            val batch = rows.toSeq
+            // same in-order fast path as [[reassembleLines]] (see the
+            // comment there)
+            val batch = rows.toArray
+            java.util.Arrays.sort(batch, Ordering.by((c: TsChunk) => c.seq))
             val st = state.getOption.getOrElse(
               TsLineBuffer(firstSeq, "", Map.empty, dropHead = false))
-            var pending = st.pending ++
-              batch.filter(_.seq >= st.nextSeq).map(c => c.seq -> ((c.data, c.ts)))
+            var pending = st.pending
             var nextSeq = st.nextSeq
             var partial = st.partial
             var dropHead = st.dropHead
             val out = scala.collection.mutable.ArrayBuffer[LineTsOut]()
-            def drain(): Unit = while (pending.contains(nextSeq)) {
-              val (data, ts) = pending(nextSeq)
+            def emit(data: String, ts: Timestamp): Unit = {
               val buf = partial + data
-              pending -= nextSeq
               val parts = buf.split("\n", -1)
               parts.dropRight(1).foreach { l =>
                 if (dropHead) dropHead = false
@@ -184,6 +203,15 @@ object StatefulOps {
               }
               partial = parts.last
               nextSeq += 1
+            }
+            def drain(): Unit = while (pending.contains(nextSeq)) {
+              val (data, ts) = pending(nextSeq)
+              pending -= nextSeq
+              emit(data, ts)
+            }
+            batch.foreach { c =>
+              if (c.seq == nextSeq) { emit(c.data, c.ts); if (pending.nonEmpty) drain() }
+              else if (c.seq > nextSeq) pending += (c.seq -> ((c.data, c.ts)))
             }
             drain()
             while (pending.size > maxPending) {

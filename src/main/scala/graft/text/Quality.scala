@@ -374,10 +374,13 @@ object Quality {
     *
     * Scale shape: term counts shuffle on (doc_id, token); document
     * frequencies aggregate map-side on token (bounded by vocabulary);
-    * the corpus size N is a 1-row broadcast. The final per-doc top-k
-    * window sorts only each document's own term list — same
-    * partition-by-entity argument as the ranking queries (q11/q49),
-    * never a global sort.
+    * the corpus size N is a 1-row broadcast. The per-doc top-k is the
+    * BOUNDED-HEAP aggregate ([[graft.operators.TopKByScoreStr]]), not a
+    * `row_number` window: the window form shuffled and SORTED every
+    * term row, and the 16× audit measured that stage as the whole
+    * growth of this query (3.1 s of a 4.4 s plan at 2.4 M term rows —
+    * SCALE.md "q58 audit"); the heap partial-aggregates map-side, so
+    * only k × docs × tasks rows cross the wire and nothing sorts.
     *
     * Skew note: the `tf ⋈ dfreq` join keys TERM rows (one per distinct
     * (doc, token) — already pre-aggregated, never occurrences) on the
@@ -388,8 +391,16 @@ object Quality {
     * [[HeadTokenFanIn]]) — same cure as [[unigramCrossEntropy]]. */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
+    // repartition(id) BEFORE the explode (the withSimhash pattern): one
+    // exchange of the small doc rows serves the whole plan — the
+    // (id, token) term aggregate is satisfied by HashPartitioning(id)
+    // (same-key rows co-located), the broadcast df join preserves it,
+    // and the final per-doc top-k aggregate then needs NO exchange of
+    // the 16×-grown term rows at all.
     val tf = docs
-      .select(col(idCol).as("id"), explode(TextStats.tokens(col(textCol))).as("token"))
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .select(col("id"), explode(TextStats.tokens(col("text"))).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
@@ -399,9 +410,11 @@ object Quality {
       .select(col("id").as(idCol), col("token"),
         (col("tf").cast("double") * (col("n_docs").cast("double") / col("df")))
           .as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("score").desc, col("token"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.groupBy(col(idCol))
+      .agg(graft.operators.TopKByScore.topKStr(k)(col("score"), col("token")).as("__topk"))
+      .select(col(idCol), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(idCol), col("__e.key").as("token"),
+        col("__e.score").as("score"), (col("__pos") + 1).cast("int").as("rank"))
   }
 
   /** Split documents into fixed-size overlapping token-window chunks —

@@ -79,19 +79,25 @@ object KeywordProcessor {
         .when(nValues === 1, lit(""))
         .otherwise(concat(lit("_"), ii))
       val fieldBase = concat(col("keyword"), keyName)
-      val castKey = concat(col("actor"), lit("."), fieldBase)
-      val cast = element_at(castsCol, castKey)
       val rawVal = kv.getField("value")
       // try_cast semantics: malformed numerics become null (routed to
       // fields_str) instead of failing the job under ANSI mode
       val numericVal = when(
         rawVal.rlike("^[+-]?([0-9]*\\.)?[0-9]+([eE][+-]?[0-9]+)?$"),
         rawVal.cast(DoubleType))
-      val castVal = when(cast === "int", numericVal.cast(IntegerType).cast(DoubleType))
-        .when(cast === "float", numericVal)
-        .when(cast === "bool",
-          when(lower(rawVal).isin("", "0", "false", "f"), 0.0).otherwise(1.0))
-        .otherwise(numericVal)
+      // this transform is INTERPRETED (higher-order function), so dead
+      // per-element work is paid per row at ingest volume: with no
+      // casts configured the lookup + three when-branches are pruned at
+      // PLAN BUILD time, not evaluated to null a billion times
+      val castVal = if (casts.isEmpty) numericVal else {
+        val castKey = concat(col("actor"), lit("."), fieldBase)
+        val cast = element_at(castsCol, castKey)
+        when(cast === "int", numericVal.cast(IntegerType).cast(DoubleType))
+          .when(cast === "float", numericVal)
+          .when(cast === "bool",
+            when(lower(rawVal).isin("", "0", "false", "f"), 0.0).otherwise(1.0))
+          .otherwise(numericVal)
+      }
       struct(
         i.as("idx"),
         parseableOf(kv).as("parseable"),
@@ -113,8 +119,12 @@ object KeywordProcessor {
 
     val exploded = df
       .withColumn("derived", derived)
-      .withColumn("kt_value", ktMatch.getField("ktv"))
-      .withColumn("kt_name", element_at(ktName, ktKey))
+      // same build-time pruning as casts: no keyword_tags configured =>
+      // the per-row filter/get lambda never exists in the plan
+      .withColumn("kt_value",
+        if (keywordTags.isEmpty) lit(null).cast(StringType) else ktMatch.getField("ktv"))
+      .withColumn("kt_name",
+        if (keywordTags.isEmpty) lit(null).cast(StringType) else element_at(ktName, ktKey))
       .select(col("actor"), col("keyword"), col("recv_time"),
         col("kt_value"), col("kt_name"),
         explode(filter(col("derived"), _.getField("parseable"))).as("d"))
