@@ -251,6 +251,7 @@ final class Engine(spark: SparkSession) {
     * poller keeps appending spool files. */
   def stopPolling(): Unit = built.foreach {
     case l: graft.sources.LiveSource => l.stopPolling()
+    case a: graft.sources.ActorPushSource => a.stopPush()
     case _ => ()
   }
 

@@ -98,7 +98,11 @@ final case class LiveSource(conf: SourceConf) extends TelemetrySource {
     if (started.compareAndSet(false, true)) {
       val delayMs = opt("delay").map(s => (s.toDouble * 1000).toLong).getOrElse(1000L)
       poller = new PollingSource(name, spoolDir, fn, delayMs,
-        bucket = bucket, tags = tags)
+        bucket = bucket, tags = tags,
+        // retention_ms bounds a long-running daemon's spool (the sweep
+        // contract is on SpoolRetention); pair with read-side
+        // max_file_age / clean_source for the exactly-once-safe half
+        retentionMs = opt("retention_ms").map(_.toLong).getOrElse(0L))
       poller.start()
     }
     SpoolSource(conf.copy(options = conf.options + ("path" -> spoolDir)))

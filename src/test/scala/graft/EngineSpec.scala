@@ -140,6 +140,46 @@ class EngineSpec extends SparkSpec {
     } finally engine.stopAll()
   }
 
+  test("config-driven LIVE actor source: yaml type actor -> push socket -> typed points") {
+    val spool = Files.createTempDirectory("graft-live-actor-spool-").toString
+    val work = Files.createTempDirectory("graft-live-actor-work-").toString
+    val server = new LoopbackPushServer(_ => Seq(
+      Seq("7 1 i ccdTemp=-10", "1.5\n"))) // split across TCP packets
+    server.start()
+    val cfg = EngineConfig.parse(
+      s"""
+         |sources:
+         |  boss_live:
+         |    type: actor
+         |    actor: boss
+         |    host: 127.0.0.1
+         |    port: ${server.port}
+         |    path: $spool
+         |    dictionary:
+         |      ccdTemp:
+         |        - {type: float, units: degC}
+         |observers:
+         |  memb: {type: memory}
+         |""".stripMargin)
+    val engine = new Engine(spark)
+    engine.start(cfg, work)
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      def count(): Long =
+        try spark.sql("SELECT count(*) FROM memb").head().getLong(0)
+        catch { case _: Throwable => 0L }
+      while (count() < 1 && System.currentTimeMillis() < deadline) {
+        spark.streams.active.filter(_.name == "memb").foreach(_.processAllAvailable())
+        Thread.sleep(100)
+      }
+      val rows = spark.sql("SELECT * FROM memb").collect()
+      assert(rows.length == 1, s"expected the reassembled push point, got ${rows.toSeq}")
+      assert(rows(0).getAs[String]("measurement") == "boss")
+      assert(rows(0).getAs[Map[String, Double]]("fields") == Map("ccdTemp" -> -101.5))
+      assert(rows(0).getAs[Map[String, String]]("tags") == Map("units" -> "degC"))
+    } finally { engine.stopAll(); server.stop() }
+  }
+
   test("config-driven LIVE tcp source: yaml host/port -> socket poll -> typed points") {
     // the reference's production shape from YAML: a sens4 device behind a
     // TCP socket, polled live, parsed, landed in a memory observer
