@@ -78,10 +78,26 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
+    // Streaming residue release, once per pass: every streaming rep
+    // leaves (a) its terminated StreamingQuery in the manager's
+    // terminated list — each retains lastExecution's physical plan
+    // INCLUDING broadcast relations — and (b) its state-store providers
+    // loaded in the executor with maxBatchesToRetainInMemory versions of
+    // 16×-sized state maps. Neither is reclaimed while referenced, so a
+    // multi-pass bench at 16× degraded MONOTONICALLY (q26's reps ran
+    // 6.3→12.7 s across five passes; with the streaming family excluded
+    // the same passes are flat at 3.7 s). Dropping the terminated list
+    // and unloading the providers between passes returns the JVM to its
+    // pass-1 state.
+    def releaseStreamingResidue(): Unit = {
+      spark.streams.resetTerminated()
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case e: Throwable => System.err.println(s"[bench] state-store unload: $e") }
+    }
     // Untimed full passes: codegen + JIT for every query's plan, plus
     // one more pass so the C2 compile backlog drains before timing.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
-    (1 to warmup).foreach(_ => suite.foreach(runOnce))
+    (1 to warmup).foreach { _ => suite.foreach(runOnce); releaseStreamingResidue() }
     // JIT-quiescence settle, run after warmup and between timed passes:
     // at 86 queries the C2 compile BACKLOG outgrew two warmup passes
     // (r10's noisy set was dominated by rep-1 spikes on late-suite
@@ -115,6 +131,7 @@ object Bench {
     (1 to reps).foreach { _ =>
       settleJit()
       suite.foreach(q => runOnce(q).foreach(t => times(q.name) :+= t))
+      releaseStreamingResidue()
     }
     // Queries with zero successful reps are published under "failed",
     // never under "queries" — absent/None, not a small number.

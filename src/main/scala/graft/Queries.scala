@@ -2629,6 +2629,17 @@ object Queries {
       FROM ordered o JOIN rec r ON r.series = o.series AND r.rn = o.rn
       ORDER BY o.series, o.rn"""))
 
+  // The typed (JVM-compiled) keyword processor driven through the IDENTICAL
+  // q52 replay chain against q52's byte-identical oracle SQL: a hash match
+  // here proves processTyped == process on the full production chain
+  // (grammar, dictionary typing, broadcast drop, keyword_tags, PVT
+  // explode, cross-batch reassembly), not just on spec fixtures. This is
+  // the cure for the q52 16× floor (interpreted HOF evaluation —
+  // SCALE.md "q52 audit").
+  val q83_actor_stream_typed: Q = Q("q83_actor_stream_typed",
+    (s, dir) => graft.streaming.ActorStreamReplay.run(s, dir, typed = true),
+    q52_actor_stream.oracle)
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2656,5 +2667,5 @@ object Queries {
     q73_streaming_near_dedup, q74_streaming_swept_dedup,
     q75_dsir_weights, q76_subword_encode, q77_span_dedup, q78_ann_pq,
     q79_ann_ivf_pruned, q80_streaming_window, q81_streaming_ewma,
-    q82_simhash_wide)
+    q82_simhash_wide, q83_actor_stream_typed)
 }

@@ -138,7 +138,12 @@ object ActorStreamReplay {
     StructField("conn", SqlString), StructField("seq", LongType),
     StructField("data", SqlString)))
 
-  def run(spark: SparkSession, dir: String): DataFrame = {
+  /** `typed = true` routes the keyword stage through
+    * [[KeywordProcessor.processTyped]] (the JVM-compiled hot-path twin)
+    * instead of the declarative form — q83 runs this against q52's
+    * byte-identical oracle SQL, so the two implementations' parity is
+    * proven at the hash level on the full chain, not just in specs. */
+  def run(spark: SparkSession, dir: String, typed: Boolean = false): DataFrame = {
     import spark.implicits._
     // phase timing on stderr when SPARK_GRAFT_Q52_PROF is set (the 16×
     // audit's instrument — negligible when unset)
@@ -172,11 +177,15 @@ object ActorStreamReplay {
     // narrow exchange of (line, ts) rows buys full-width execution of
     // the per-row HOF stage; output is row-local, so the hash is
     // untouched.
-    val points = KeywordProcessor.process(
-      ActorReplies.parse(replies, Dict).toDF()
-        .repartition(spark.sparkContext.defaultParallelism),
-      tags = Map("site" -> "lab"),
-      keywordTags = Map("probe.val" -> KeywordTagConf(0, "eid")))
+    val parsed = ActorReplies.parse(replies, Dict)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val points =
+      if (typed) KeywordProcessor.processTyped(parsed,
+        tags = Map("site" -> "lab"),
+        keywordTags = Map("probe.val" -> KeywordTagConf(0, "eid"))).toDF()
+      else KeywordProcessor.process(parsed.toDF(),
+        tags = Map("site" -> "lab"),
+        keywordTags = Map("probe.val" -> KeywordTagConf(0, "eid")))
     // parquet sink, not memory: the memory sink collects every batch to
     // the driver and its table executes as a SINGLE-partition local scan,
     // which made the readback+sort ~46 s at sf0.1; the parquet observer is

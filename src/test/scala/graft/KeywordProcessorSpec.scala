@@ -88,4 +88,59 @@ class KeywordProcessorSpec extends SparkSpec {
       assert(r.getAs[Map[String, String]]("tags")("ccd") == "b1")
     }
   }
+
+  test("processTyped == process: row-set parity over the edge-case fixtures") {
+    import graft.sources.ActorReplies.{KeywordRow, TypedValue}
+    // every semantic branch in one fixture set: named + positional slots,
+    // single unnamed value (bare field name), PVT triple, a non-PVT array
+    // (unparseable, skipped without consuming a position), malformed
+    // numeric (routed to fields_str), NULL raw, units tags, int/float/
+    // bool casts (incl. bool-of-null = 1.0, the three-valued-logic quirk),
+    // and keyword_tags on a mixed keyword.
+    val rows = Seq(
+      KeywordRow("boss", "val", t0, Seq(
+        TypedValue("id", "", "7.0", null),
+        TypedValue("x", "V", "1.25", null))),
+      KeywordRow("boss", "status", t0, Seq(
+        TypedValue("", "", "ok; fine", null))),
+      KeywordRow("boss", "motion", t0, Seq(
+        TypedValue("", "deg", null, Array(1.0, 2.0, 3.0)),
+        TypedValue("", "", "99", Array(4.0, 5.0)), // len-2 pvt: unparseable
+        TypedValue("", "", "tail", null))),        // positional _1 (prefix parseable = 1)
+      KeywordRow("boss", "flags", t0, Seq(
+        TypedValue("a", "", "0", null),
+        TypedValue("b", "", "false", null),
+        TypedValue("c", "", null, null),           // bool-of-null => 1.0
+        TypedValue("d", "", "3.9", null),          // int cast truncates
+        TypedValue("e", "", "bogus", null))),      // malformed numeric -> fields_str
+      KeywordRow("boss", "empty", t0, Seq.empty),
+      KeywordRow("other", "val", t0, Seq(
+        TypedValue("id", "", "1e3", null),
+        TypedValue("x", "", "-2.5e-2", null))))
+    val tags = Map("site" -> "lab")
+    val keywordTags = Map("boss.val" -> KeywordTagConf(0, "eid"),
+      "other.val" -> KeywordTagConf(1, "xv"))
+    val casts = Map("boss.flags_a" -> "bool", "boss.flags_b" -> "bool",
+      "boss.flags_c" -> "bool", "boss.flags_d" -> "int")
+    import spark.implicits._
+    val declarative = KeywordProcessor.process(
+      rows.toDS().toDF(), tags, keywordTags, casts)
+    val typed = KeywordProcessor.processTyped(
+      rows.toDS(), tags, keywordTags, casts)
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[String]("measurement"),
+      r.getAs[Map[String, String]]("tags"),
+      r.getAs[Map[String, Double]]("fields"),
+      r.getAs[Map[String, String]]("fields_str"),
+      r.getAs[Timestamp]("time"),
+      r.getAs[String]("bucket"))
+    // multiset compare (Map equality is order-independent; a toString
+    // sort could pair equal-content maps differently)
+    val a = declarative.collect().map(key).toSeq
+    val b = typed.toDF().collect().map(key).toSeq
+    assert(a.nonEmpty && a.size == b.size, s"row counts differ: ${a.size} vs ${b.size}")
+    val am = a.groupBy(identity).view.mapValues(_.size).toMap
+    val bm = b.groupBy(identity).view.mapValues(_.size).toMap
+    assert(am == bm, s"multisets differ:\n only-declarative: ${(am.keySet -- bm.keySet).take(3)}\n only-typed: ${(bm.keySet -- am.keySet).take(3)}")
+  }
 }

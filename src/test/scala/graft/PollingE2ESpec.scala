@@ -143,6 +143,59 @@ class PollingE2ESpec extends SparkSpec {
     assert(cond, s"timed out waiting for: $what")
   }
 
+  test("spool retention: a long-running poller's spool stays bounded and the live stream misses nothing") {
+    val spool = Files.createTempDirectory("graft-ret-spool-").toString
+    val out = Files.createTempDirectory("graft-ret-out-").toString
+    val n = new AtomicInteger(0)
+    // 1 Hz-style device at 25 ms: without retention this spool grows one
+    // file per poll forever (the VERDICT r10 defect); with it, files
+    // older than the window are swept ON PUBLISH while a concurrently
+    // RUNNING stream (lag << window) loses nothing.
+    val src = new PollingSource("ret-dev", spool, () => Seq(s"v${n.incrementAndGet()}"),
+      delayMs = 25, retentionMs = 1500)
+    src.start()
+    val q = src.rawStream(spark).writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append").start()
+    try {
+      // run for ~3 retention windows of continuous polling + streaming
+      val until = System.currentTimeMillis() + 4500
+      while (System.currentTimeMillis() < until) Thread.sleep(100)
+      def files = Option(new java.io.File(spool).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".txt"))
+      val midRun = n.get()
+      assert(midRun >= 60, s"expected a busy poller, got $midRun polls")
+      // bounded: ~window/delay files survive, not one per poll
+      val surviving = files.length
+      assert(surviving < midRun / 2,
+        s"retention never deleted: $surviving files for $midRun polls")
+      // the sweep only removes files older than the window
+      val mtimes = files.map(_.lastModified()).filter(_ > 0)
+      assert(mtimes.nonEmpty && System.currentTimeMillis() - mtimes.min < 4000,
+        "old files must be gone")
+      src.stop() // joins the poll thread, so the spool is frozen here
+      val polled = n.get()
+      q.processAllAvailable() // drain whatever is still spooled
+      // nothing lost: the sink holds a dup-free prefix v1..vM of the
+      // polled values. M may trail `polled` by exactly one — stop()'s
+      // interrupt can land between the final n.incrementAndGet() and its
+      // spool write (the NIO write throws ClosedByInterruptException and
+      // that value never publishes) — but a retention sweep deleting an
+      // uncommitted file would lose values from the MIDDLE, which the
+      // prefix check catches.
+      val vals = spark.read.parquet(s"$out/data")
+        .select("raw").collect().map(_.getString(0)).toSeq
+      assert(vals.size == vals.distinct.size,
+        s"duped ${vals.size - vals.distinct.size}")
+      assert(vals.size >= polled - 1,
+        s"lost ${polled - vals.size} of $polled polls")
+      val expected = (1 to vals.size).map(i => s"v$i")
+      assert(vals.sorted == expected.sorted,
+        s"not a prefix: missing ${(expected.toSet -- vals.toSet).take(3)}")
+    } finally { src.stop(); q.stop() }
+  }
+
   test("S2 live TCP govee: socket poll -> spool -> parser, surviving a device outage") {
     val spool = Files.createTempDirectory("graft-net-spool-").toString
     val out = Files.createTempDirectory("graft-net-out-").toString
