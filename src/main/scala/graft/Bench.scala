@@ -54,9 +54,11 @@ object Bench {
     // noisy set had rep-1 spikes scattered across the relational family
     // right after streaming queries. Grouping pushes that churn onto
     // the inter-pass settle window instead.
-    val streamingFamily = Set("q52_actor_stream", "q64_streaming_dedup",
+    val streamingFamily = Set("q52_actor_stream", "q83_actor_stream_typed",
+      "q64_streaming_dedup",
       "q73_streaming_near_dedup", "q74_streaming_swept_dedup",
-      "q80_streaming_window", "q81_streaming_ewma")
+      "q80_streaming_window", "q81_streaming_ewma",
+      "q84_streaming_sessions", "q85_stream_join")
     val suite0 = only.fold(Queries.all)(names => Queries.all.filter(q => names(q.name)))
       .filterNot(q => skip(q.name))
     val suite = suite0.filterNot(q => streamingFamily(q.name)) ++
@@ -214,7 +216,11 @@ object Bench {
     // stdout line: the driver's log capture truncates long lines
     // (VERDICT r6 saw the tail cut), so the one-line contract stays
     // compact and the full evidence lands next to it in the repo.
-    val repsOut = sys.env.getOrElse("SPARK_GRAFT_REPS_OUT", "BENCH_reps.json")
+    // A SPARK_GRAFT_ONLY subset run must not clobber the full-suite
+    // artifact the repo commits — default subset output to a sibling
+    // file; an explicit SPARK_GRAFT_REPS_OUT still wins.
+    val repsOut = sys.env.getOrElse("SPARK_GRAFT_REPS_OUT",
+      if (only.isDefined) "BENCH_reps_subset.json" else "BENCH_reps.json")
     // min-of-reps is the contention-robust statistic (a rep can only be
     // SLOWED by machine noise, never sped up) — published as a first-class
     // map next to the medians so a consumer can discount the `noisy`

@@ -2640,6 +2640,32 @@ object Queries {
     (s, dir) => graft.streaming.ActorStreamReplay.run(s, dir, typed = true),
     q52_actor_stream.oracle)
 
+  // Native streaming session_window across parity-split micro-batches,
+  // flush-sentinel-drained so EVERY session emits: the streaming result
+  // must equal batch sessionization exactly, so the oracle is q50's SQL
+  // byte-for-byte — a hash match proves partial sessions MERGED across
+  // the batch boundary in the session state store.
+  val q84_streaming_sessions: Q = Q("q84_streaming_sessions",
+    (s, dir) => graft.streaming.SessionReplay.run(s, dir),
+    q50_sessionize.oracle)
+
+  // Watermarked stream-stream interval join (same user, |Δts| ≤ 60 min)
+  // with each side's arrival split so half of every trigger's matches
+  // can only be satisfied from the OTHER side's buffered state; with
+  // the replay's out-spanning watermark the append sink must hold the
+  // batch join exactly.
+  val q85_stream_join: Q = Q("q85_stream_join",
+    (s, dir) => graft.streaming.JoinReplay.run(s, dir),
+    Some("""
+      SELECT a.event_id AS a_id, b.event_id AS b_id,
+        a.user_id AS user_id, a.ts AS ts_a, b.ts AS ts_b,
+        CAST(CAST(a.value AS DECIMAL(12,2)) + CAST(b.value AS DECIMAL(12,2)) AS DOUBLE) AS vsum
+      FROM events a JOIN events b ON a.user_id = b.user_id
+        AND a.event_id % 2 = 1 AND b.event_id % 2 = 0
+        AND b.ts >= a.ts - INTERVAL 60 MINUTE
+        AND b.ts <= a.ts + INTERVAL 60 MINUTE
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2667,5 +2693,6 @@ object Queries {
     q73_streaming_near_dedup, q74_streaming_swept_dedup,
     q75_dsir_weights, q76_subword_encode, q77_span_dedup, q78_ann_pq,
     q79_ann_ivf_pruned, q80_streaming_window, q81_streaming_ewma,
-    q82_simhash_wide, q83_actor_stream_typed)
+    q82_simhash_wide, q83_actor_stream_typed, q84_streaming_sessions,
+    q85_stream_join)
 }
