@@ -2666,6 +2666,22 @@ object Queries {
         AND b.ts <= a.ts + INTERVAL 60 MINUTE
       ORDER BY a_id, b_id"""))
 
+  // Spark 4 arbitrary-state API (transformWithState + ListState): per-key
+  // trailing-24h event-time window, state = only the window's rows,
+  // evicted as it slides. Four time-split batches mean straddling windows
+  // can only be completed from cross-batch ListState; oracle is the batch
+  // RANGE-window aggregate.
+  val q86_sliding_state: Q = Q("q86_sliding_state",
+    (s, dir) => graft.streaming.SlidingStateReplay.run(s, dir),
+    Some("""
+      SELECT user_id, ts, value,
+        COUNT(*) OVER w AS n_win,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_win
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2694,5 +2710,5 @@ object Queries {
     q75_dsir_weights, q76_subword_encode, q77_span_dedup, q78_ann_pq,
     q79_ann_ivf_pruned, q80_streaming_window, q81_streaming_ewma,
     q82_simhash_wide, q83_actor_stream_typed, q84_streaming_sessions,
-    q85_stream_join)
+    q85_stream_join, q86_sliding_state)
 }
