@@ -2682,6 +2682,31 @@ object Queries {
         RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
       ORDER BY user_id, ts"""))
 
+  // Initial-state leg of the Spark 4 state API: per-(lang, source)
+  // corpus counters bootstrapped from a batch aggregate, continued
+  // exactly by the stream. Integer arithmetic — hash match needs no
+  // float discipline; it proves bootstrap + cross-batch carry + clean
+  // zero-start for corpus-absent keys in one query.
+  val q87_bootstrap_counters: Q = Q("q87_bootstrap_counters",
+    (s, dir) => graft.streaming.BootstrapCounters.run(s, dir),
+    Some("""
+      WITH tagged AS (
+        SELECT doc_id, lang, source, n_chars,
+          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0 AS is_stream
+        FROM documents),
+      corpus AS (
+        SELECT lang, source, COUNT(*) AS c_docs, SUM(n_chars) AS c_chars
+        FROM tagged WHERE NOT is_stream GROUP BY 1, 2),
+      stream AS (
+        SELECT doc_id, lang, source, n_chars
+        FROM tagged WHERE is_stream)
+      SELECT s.doc_id, s.lang, s.source,
+        COALESCE(c.c_docs, 0) + ROW_NUMBER() OVER w AS run_docs,
+        COALESCE(c.c_chars, 0) + SUM(s.n_chars) OVER w AS run_chars
+      FROM stream s LEFT JOIN corpus c ON s.lang = c.lang AND s.source = c.source
+      WINDOW w AS (PARTITION BY s.lang, s.source ORDER BY s.doc_id)
+      ORDER BY s.doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2710,5 +2735,5 @@ object Queries {
     q75_dsir_weights, q76_subword_encode, q77_span_dedup, q78_ann_pq,
     q79_ann_ivf_pruned, q80_streaming_window, q81_streaming_ewma,
     q82_simhash_wide, q83_actor_stream_typed, q84_streaming_sessions,
-    q85_stream_join, q86_sliding_state)
+    q85_stream_join, q86_sliding_state, q87_bootstrap_counters)
 }
