@@ -2707,6 +2707,28 @@ object Queries {
       WINDOW w AS (PARTITION BY s.lang, s.source ORDER BY s.doc_id)
       ORDER BY s.doc_id"""))
 
+  // Event-time timers (TimeMode.EventTime + handleExpiredTimer): per-series
+  // gap rows from ValueState last-seen, plus the timer-only case — a tail
+  // row when the stream ends with no successor event. The 30-day watermark
+  // delay out-spans the month so no timer fires mid-stream; the flush
+  // sentinel's drain fires exactly the last armed timer per series.
+  val q88_gap_timers: Q = Q("q88_gap_timers",
+    (s, dir) => graft.streaming.GapTimerReplay.run(s, dir),
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        FROM events),
+      gaps AS (
+        SELECT user_id, 'gap' AS kind, pts AS gap_start, ts AS gap_end
+        FROM o WHERE pts IS NOT NULL AND ts - pts > INTERVAL 12 HOUR),
+      tails AS (
+        SELECT user_id, 'tail' AS kind, max(ts) AS gap_start,
+          max(ts) + INTERVAL 12 HOUR AS gap_end
+        FROM events GROUP BY user_id)
+      SELECT * FROM gaps UNION ALL SELECT * FROM tails
+      ORDER BY user_id, gap_start, kind"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2735,5 +2757,6 @@ object Queries {
     q75_dsir_weights, q76_subword_encode, q77_span_dedup, q78_ann_pq,
     q79_ann_ivf_pruned, q80_streaming_window, q81_streaming_ewma,
     q82_simhash_wide, q83_actor_stream_typed, q84_streaming_sessions,
-    q85_stream_join, q86_sliding_state, q87_bootstrap_counters)
+    q85_stream_join, q86_sliding_state, q87_bootstrap_counters,
+    q88_gap_timers)
 }
