@@ -2729,6 +2729,23 @@ object Queries {
       SELECT * FROM gaps UNION ALL SELECT * FROM tails
       ORDER BY user_id, gap_start, kind"""))
 
+  // MapState leg: running exact distinct-user count per event type —
+  // one state-store entry per (type, user), point lookups per row.
+  // Oracle: first-seen flag cumulative-summed in event-time order.
+  val q89_distinct_map: Q = Q("q89_distinct_map",
+    (s, dir) => graft.streaming.DistinctMapReplay.run(s, dir),
+    Some("""
+      WITH flagged AS (
+        SELECT event_type, ts, user_id,
+          CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                 ORDER BY ts) = 1 THEN 1 ELSE 0 END AS first_seen
+        FROM events)
+      SELECT event_type, ts, user_id,
+        SUM(first_seen) OVER (PARTITION BY event_type ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS distinct_users
+      FROM flagged
+      ORDER BY event_type, ts"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2758,5 +2775,5 @@ object Queries {
     q79_ann_ivf_pruned, q80_streaming_window, q81_streaming_ewma,
     q82_simhash_wide, q83_actor_stream_typed, q84_streaming_sessions,
     q85_stream_join, q86_sliding_state, q87_bootstrap_counters,
-    q88_gap_timers)
+    q88_gap_timers, q89_distinct_map)
 }

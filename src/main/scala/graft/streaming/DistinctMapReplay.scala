@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.types._
+
+/** q89 — `MapState` on the Spark 4 arbitrary-state API, completing the
+  * primitive matrix (q86 ListState, q87 initial-state ValueState, q88
+  * event-time timers). The use case: per-event-type RUNNING DISTINCT
+  * USER counts — audience accounting over a stream. A running distinct
+  * needs per-key membership, which is exactly what `MapState` models in
+  * the state store: one RocksDB entry per (type, user) pair, point
+  * `containsKey`/`updateValue` per row — NOT a serialized blob the way
+  * a set in `ValueState` would be, which is the difference between
+  * O(1) per-row state IO and rewriting an ever-growing set per row at
+  * scale. A `ValueState[Long]` carries the running count so emission
+  * doesn't iterate the map.
+  *
+  * Cross-batch proof: four time-split batches; the map must carry
+  * membership across every cut or re-seen users re-count and the
+  * running totals drift from the oracle. The DuckDB replay marks each
+  * row's first-seen flag (`row_number() = 1` per (type, user)) and
+  * cumulative-sums it in event-time order — exact because per-key
+  * processing order is event-time order ((type, ts) is duplicate-free)
+  * and the arithmetic is integer.
+  *
+  * Scale shape: state = one map entry per distinct (type, user) —
+  * linear in the distinct domain, the floor for EXACT distinct; the
+  * library's `approxDistinct` (HLL) is the sublinear alternative when
+  * exactness can be traded. */
+object DistinctMapReplay {
+
+  final case class TypedEvent(event_type: String, user_id: Long, ts_us: Long)
+  final case class DistinctStat(event_type: String, ts_us: Long,
+      user_id: Long, distinct_users: Long)
+
+  final class DistinctProcessor
+      extends StatefulProcessor[String, TypedEvent, DistinctStat] {
+    @transient private var seen: MapState[Long, Boolean] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean]("seen",
+        Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[TypedEvent],
+        timers: TimerValues): Iterator[DistinctStat] = {
+      var n = if (total.exists()) total.get() else 0L
+      val out = rows.toArray.sortBy(_.ts_us).map { r =>
+        if (!seen.containsKey(r.user_id)) {
+          seen.updateValue(r.user_id, true)
+          n += 1
+        }
+        DistinctStat(key, r.ts_us, r.user_id, n)
+      }
+      total.update(n)
+      out.iterator
+    }
+  }
+
+  /** The operator: running exact distinct-user count per event type. */
+  def runningDistinct(ds: Dataset[TypedEvent]): Dataset[DistinctStat] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.event_type)
+      .transformWithState(new DistinctProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  private val SpoolSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType)))
+
+  val Cuts: Seq[String] =
+    Seq("2024-01-08 00:00:00", "2024-01-16 00:00:00", "2024-01-23 00:00:00")
+
+  private def writeSpool(spark: SparkSession, dir: String, spool: File): Unit = {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+    def partFiles() = Option(spool.listFiles())
+      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
+    def writeBatch(df: DataFrame, mtime: Long): Unit = {
+      val seen0 = partFiles().map(_.getName).toSet
+      df.coalesce(1).write.mode("append").parquet(spool.toString)
+      partFiles().filterNot(f => seen0(f.getName)).foreach(_.setLastModified(mtime))
+    }
+    val cutCols = Cuts.map(c => expr(s"TIMESTAMP '$c'"))
+    val preds = (0 to Cuts.length).map { i =>
+      val lo = if (i == 0) lit(true) else col("ts") >= cutCols(i - 1)
+      val hi = if (i == Cuts.length) lit(true) else col("ts") < cutCols(i)
+      lo && hi
+    }
+    preds.zipWithIndex.foreach { case (p, i) =>
+      writeBatch(ev.filter(p), 1000000000000L + i * 100000L)
+    }
+  }
+
+  /** Run the replay; returns `(event_type, ts, user_id, distinct_users)`. */
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    StreamingDedup.configureStateStore(spark)
+    val spool = ReplayScaffold.spoolFor(spark, dir, "q89", "events.parquet",
+      s"cuts=${Cuts.mkString("|")}", writeSpool)
+    val runDir = ReplayScaffold.freshRunDir(spool)
+
+    import spark.implicits._
+    val in = spark.readStream.schema(SpoolSchema)
+      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+      .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[TypedEvent]
+    val out = runningDistinct(in)
+      .select(col("event_type"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("distinct_users"))
+    val outDir = new File(runDir, "out")
+    val q = out.writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .outputMode("append")
+      .option("checkpointLocation", new File(runDir, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    spark.read.parquet(outDir.toString).orderBy("event_type", "ts")
+  }
+}
