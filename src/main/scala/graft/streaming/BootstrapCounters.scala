@@ -92,15 +92,10 @@ object BootstrapCounters {
       .filter(isStream(col("doc_id")))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     val cut = stream.agg(max("doc_id")).head().getLong(0) / 2
-    def partFiles() = Option(spool.listFiles())
-      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
-    def writeBatch(df: DataFrame, mtime: Long): Unit = {
-      val seen = partFiles().map(_.getName).toSet
-      df.coalesce(1).write.mode("append").parquet(spool.toString)
-      partFiles().filterNot(f => seen(f.getName)).foreach(_.setLastModified(mtime))
-    }
-    writeBatch(stream.filter(col("doc_id") < cut), 1000000000000L)
-    writeBatch(stream.filter(col("doc_id") >= cut), 1000000100000L)
+    ReplayScaffold.writeStagedBatch(spool,
+      stream.filter(col("doc_id") < cut), 1000000000000L)
+    ReplayScaffold.writeStagedBatch(spool,
+      stream.filter(col("doc_id") >= cut), 1000000100000L)
   }
 
   /** Run the replay; returns `(doc_id, lang, source, run_docs, run_chars)`. */
@@ -120,14 +115,6 @@ object BootstrapCounters {
       .option("maxFilesPerTrigger", 1).parquet(spool.toString)
       .as[StreamDoc]
     val out = runningCounters(in, corpus)
-    val outDir = new File(runDir, "out")
-    val q = out.toDF().writeStream.format("parquet")
-      .option("path", outDir.toString)
-      .outputMode("append")
-      .option("checkpointLocation", new File(runDir, "ckpt").toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-
-    spark.read.parquet(outDir.toString).orderBy("doc_id")
+    ReplayScaffold.runToParquet(out.toDF(), runDir).orderBy("doc_id")
   }
 }

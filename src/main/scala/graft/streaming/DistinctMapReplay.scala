@@ -75,29 +75,13 @@ object DistinctMapReplay {
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType)))
 
-  val Cuts: Seq[String] =
-    Seq("2024-01-08 00:00:00", "2024-01-16 00:00:00", "2024-01-23 00:00:00")
+  val Cuts: Seq[String] = ReplayScaffold.DefaultCuts
 
   private def writeSpool(spark: SparkSession, dir: String, spool: File): Unit = {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"))
-    def partFiles() = Option(spool.listFiles())
-      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
-    def writeBatch(df: DataFrame, mtime: Long): Unit = {
-      val seen0 = partFiles().map(_.getName).toSet
-      df.coalesce(1).write.mode("append").parquet(spool.toString)
-      partFiles().filterNot(f => seen0(f.getName)).foreach(_.setLastModified(mtime))
-    }
-    val cutCols = Cuts.map(c => expr(s"TIMESTAMP '$c'"))
-    val preds = (0 to Cuts.length).map { i =>
-      val lo = if (i == 0) lit(true) else col("ts") >= cutCols(i - 1)
-      val hi = if (i == Cuts.length) lit(true) else col("ts") < cutCols(i)
-      lo && hi
-    }
-    preds.zipWithIndex.foreach { case (p, i) =>
-      writeBatch(ev.filter(p), 1000000000000L + i * 100000L)
-    }
+    ReplayScaffold.writeTimeSplit(spool, ev, "ts", Cuts)
   }
 
   /** Run the replay; returns `(event_type, ts, user_id, distinct_users)`. */
@@ -115,14 +99,6 @@ object DistinctMapReplay {
     val out = runningDistinct(in)
       .select(col("event_type"), timestamp_micros(col("ts_us")).as("ts"),
         col("user_id"), col("distinct_users"))
-    val outDir = new File(runDir, "out")
-    val q = out.writeStream.format("parquet")
-      .option("path", outDir.toString)
-      .outputMode("append")
-      .option("checkpointLocation", new File(runDir, "ckpt").toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-
-    spark.read.parquet(outDir.toString).orderBy("event_type", "ts")
+    ReplayScaffold.runToParquet(out.toDF(), runDir).orderBy("event_type", "ts")
   }
 }

@@ -77,41 +77,29 @@ object GapTimerReplay {
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("value", DoubleType)))
 
-  val Cuts: Seq[String] =
-    Seq("2024-01-08 00:00:00", "2024-01-16 00:00:00", "2024-01-23 00:00:00")
+  val Cuts: Seq[String] = ReplayScaffold.DefaultCuts
   private val FlushTs = "2030-01-01 00:00:00"
 
   private def writeSpool(spark: SparkSession, dir: String, spool: File): Unit = {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("value"))
-    def partFiles() = Option(spool.listFiles())
-      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
-    def writeBatch(df: DataFrame, mtime: Long): Unit = {
-      val seen = partFiles().map(_.getName).toSet
-      df.coalesce(1).write.mode("append").parquet(spool.toString)
-      partFiles().filterNot(f => seen(f.getName)).foreach(_.setLastModified(mtime))
-    }
-    val cutCols = Cuts.map(c => expr(s"TIMESTAMP '$c'"))
-    val preds = (0 to Cuts.length).map { i =>
-      val lo = if (i == 0) lit(true) else col("ts") >= cutCols(i - 1)
-      val hi = if (i == Cuts.length) lit(true) else col("ts") < cutCols(i)
-      lo && hi
-    }
-    preds.zipWithIndex.foreach { case (p, i) =>
-      writeBatch(ev.filter(p), 1000000000000L + i * 100000L)
-    }
+    ReplayScaffold.writeTimeSplit(spool, ev, "ts", Cuts)
     val flush = spark.range(1).select(lit(-1L).as("event_id"),
       expr(s"TIMESTAMP '$FlushTs'").as("ts"),
       lit(-1L).as("user_id"), lit(0.0).as("value"))
-    writeBatch(flush, 1000000000000L + (Cuts.length + 1) * 100000L)
+    ReplayScaffold.writeStagedBatch(spool, flush,
+      1000000000000L + (Cuts.length + 1) * 100000L)
   }
 
   /** Run the replay; returns `(user_id, kind, gap_start, gap_end)`. */
   def run(spark: SparkSession, dir: String, gapHours: Int = 12): DataFrame = {
     StreamingDedup.configureStateStore(spark)
+    // the spool does NOT depend on gapHours (the gap lives only in the
+    // processor), so the stamp must not include it — a gap sweep reuses
+    // one spool instead of rebuilding per value
     val spool = ReplayScaffold.spoolFor(spark, dir, "q88", "events.parquet",
-      s"cuts=${Cuts.mkString("|")};gap=${gapHours}h;flush=$FlushTs", writeSpool)
+      s"cuts=${Cuts.mkString("|")};flush=$FlushTs", writeSpool)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._
@@ -126,14 +114,7 @@ object GapTimerReplay {
       .select(col("user_id"), col("kind"),
         timestamp_micros(col("gap_start_us")).as("gap_start"),
         timestamp_micros(col("gap_end_us")).as("gap_end"))
-    val outDir = new File(runDir, "out")
-    val q = out.writeStream.format("parquet")
-      .option("path", outDir.toString)
-      .outputMode("append")
-      .option("checkpointLocation", new File(runDir, "ckpt").toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-
-    spark.read.parquet(outDir.toString).orderBy("user_id", "gap_start", "kind")
+    ReplayScaffold.runToParquet(out.toDF(), runDir)
+      .orderBy("user_id", "gap_start", "kind")
   }
 }

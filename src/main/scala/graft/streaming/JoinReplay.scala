@@ -9,14 +9,14 @@ import org.apache.spark.sql.types._
   * micro-batch boundaries, proven equal to the batch interval join.
   *
   * Two live streams from one `events` month: side A = odd `event_id`s,
-  * side B = even. Each side spools as two files; A splits
-  * chronologically (first half of the month, then the rest) while B
-  * splits by `event_id/2` parity (half of B's EARLY rows arrive in the
-  * SECOND trigger). With `maxFilesPerTrigger=1` each trigger reads one
-  * file per side, so trigger 2 delivers early-B rows whose A partners
-  * arrived a batch ago — those matches can only come out of the join
-  * STATE STORE, which is what the hash proves (plus the symmetric
-  * direction: late-half A rows matching batch-1 B rows).
+  * side B = even. A splits chronologically into two files; B into
+  * three — a month-spanning half, then the late remainder, then the
+  * EARLY remainder last. With `maxFilesPerTrigger=1` each trigger
+  * reads one file per side, so triggers 2–3 deliver B rows whose A
+  * partners arrived one or two batches ago — those matches can only
+  * come out of the join STATE STORE, which is what the hash proves
+  * (plus the symmetric direction: late-half A rows matching batch-1 B
+  * rows).
   *
   * Join: same user, |ts_b − ts_a| ≤ 60 min, inner. Inner stream-stream
   * joins emit a match as soon as both rows have arrived — emission does
@@ -46,19 +46,24 @@ object JoinReplay {
         col("user_id"), col("value"))
     val a = ev.filter(col("event_id") % 2 === 1)
     val b = ev.filter(col("event_id") % 2 === 0)
-    def writeBatch(df: DataFrame, sub: String, mtime: Long): Unit = {
-      val d = new File(spool, sub)
-      def partFiles() = Option(d.listFiles())
-        .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
-      val seen = partFiles().map(_.getName).toSet
-      df.coalesce(1).write.mode("append").parquet(d.toString)
-      partFiles().filterNot(f => seen(f.getName)).foreach(_.setLastModified(mtime))
-    }
+    def writeBatch(df: DataFrame, sub: String, mtime: Long): Unit =
+      ReplayScaffold.writeStagedBatch(new File(spool, sub), df, mtime)
     val early = col("ts") < expr(s"TIMESTAMP '$Split'")
     writeBatch(a.filter(early), "a", 1000000000000L)
     writeBatch(a.filter(!early), "a", 1000000100000L)
+    // B's third file holds EARLY rows arriving at trigger 3 — two
+    // triggers after their A partners. Under the replay's 60-day delay
+    // the watermark is still below Jan 1 there (one-batch lag), so they
+    // join losslessly out of A's state; under a production-sized delay
+    // the trigger-3 watermark has passed them and they are provably
+    // dropped (JoinReplaySpec's eviction case needs ≥3 triggers — with
+    // two, the lagged watermark is still empty at the last data batch
+    // and a tight delay cannot drop anything).
     writeBatch(b.filter(expr("(event_id DIV 2) % 2 = 0")), "b", 1000000000000L)
-    writeBatch(b.filter(expr("(event_id DIV 2) % 2 = 1")), "b", 1000000100000L)
+    writeBatch(b.filter(expr("(event_id DIV 2) % 2 = 1")).filter(!early),
+      "b", 1000000100000L)
+    writeBatch(b.filter(expr("(event_id DIV 2) % 2 = 1")).filter(early),
+      "b", 1000000200000L)
   }
 
   /** Run the replay; returns one row per matched (A, B) pair:
@@ -69,7 +74,7 @@ object JoinReplay {
   def run(spark: SparkSession, dir: String, delay: String = "60 days"): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q85", "events.parquet",
-      s"split=$Split;range=60m;delay-independent-spool", writeSpool)
+      s"split=$Split;range=60m;b3-early;delay-independent-spool", writeSpool)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     def side(sub: String, suffix: String): DataFrame =
@@ -87,14 +92,6 @@ object JoinReplay {
         col("ts_a"), col("ts_b"),
         (col("value_a").cast(DecimalType(12, 2)) +
           col("value_b").cast(DecimalType(12, 2))).cast("double").as("vsum"))
-    val outDir = new File(runDir, "out")
-    val q = joined.writeStream.format("parquet")
-      .option("path", outDir.toString)
-      .outputMode("append")
-      .option("checkpointLocation", new File(runDir, "ckpt").toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-
-    spark.read.parquet(outDir.toString).orderBy("a_id", "b_id")
+    ReplayScaffold.runToParquet(joined, runDir).orderBy("a_id", "b_id")
   }
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import java.io.File
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Shared scaffold for the streaming replay harnesses (q52/q64/q73):
   * spool reuse + fresh per-run sink/checkpoint dirs.
@@ -19,6 +20,56 @@ import org.apache.spark.sql.SparkSession
   * resume stale (a resumed checkpoint would emit nothing; a stale sink
   * would double rows). */
 object ReplayScaffold {
+
+  /** Publish `df` into `dir` as ONE new part file with a pinned mtime —
+    * the file source orders batches by modification time, so each
+    * staged write becomes one deterministic micro-batch. The new-file
+    * diff is by name against a pre-write snapshot, so concurrent stale
+    * parts are never re-stamped. */
+  def writeStagedBatch(dir: File, df: DataFrame, mtime: Long): Unit = {
+    def partFiles() = Option(dir.listFiles())
+      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
+    val seen = partFiles().map(_.getName).toSet
+    df.coalesce(1).write.mode("append").parquet(dir.toString)
+    partFiles().filterNot(f => seen(f.getName)).foreach(_.setLastModified(mtime))
+  }
+
+  /** The shared time-split instants for the cross-batch state replays
+    * (q86/q88/q89) — one source of truth so tuning batch sizes cannot
+    * silently desync the three spools from their specs' straddle checks. */
+  val DefaultCuts: Seq[String] =
+    Seq("2024-01-08 00:00:00", "2024-01-16 00:00:00", "2024-01-23 00:00:00")
+
+  /** Split `ev` into `cuts.length + 1` staged batches on a timestamp
+    * column: batch i = rows in `[cut(i-1), cut(i))`, first open-below,
+    * last open-above — the shared time-split arrival used by the
+    * cross-batch state replays (q86/q88/q89). */
+  def writeTimeSplit(spool: File, ev: DataFrame, tsCol: String,
+      cuts: Seq[String], baseMtime: Long = 1000000000000L): Unit = {
+    val cutCols = cuts.map(c => expr(s"TIMESTAMP '$c'"))
+    val preds = (0 to cuts.length).map { i =>
+      val lo = if (i == 0) lit(true) else col(tsCol) >= cutCols(i - 1)
+      val hi = if (i == cuts.length) lit(true) else col(tsCol) < cutCols(i)
+      lo && hi
+    }
+    preds.zipWithIndex.foreach { case (p, i) =>
+      writeStagedBatch(spool, ev.filter(p), baseMtime + i * 100000L)
+    }
+  }
+
+  /** The shared sink contract: append `streaming` to a parquet sink
+    * under `runDir`, drain it (`processAllAvailable`), stop, and hand
+    * back the materialized result for the caller to filter/order. */
+  def runToParquet(streaming: DataFrame, runDir: File): DataFrame = {
+    val outDir = new File(runDir, "out")
+    val q = streaming.writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .outputMode("append")
+      .option("checkpointLocation", new File(runDir, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    streaming.sparkSession.read.parquet(outDir.toString)
+  }
 
   def rmTree(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)

@@ -44,19 +44,14 @@ object SessionReplay {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("value"))
-    def partFiles() = Option(spool.listFiles())
-      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
-    def writeBatch(df: DataFrame, mtime: Long): Unit = {
-      val seen = partFiles().map(_.getName).toSet
-      df.coalesce(1).write.mode("append").parquet(spool.toString)
-      partFiles().filterNot(f => seen(f.getName)).foreach(_.setLastModified(mtime))
-    }
-    writeBatch(ev.filter(col("event_id") % 2 === 0), 1000000000000L)
-    writeBatch(ev.filter(col("event_id") % 2 === 1), 1000000100000L)
+    ReplayScaffold.writeStagedBatch(spool,
+      ev.filter(col("event_id") % 2 === 0), 1000000000000L)
+    ReplayScaffold.writeStagedBatch(spool,
+      ev.filter(col("event_id") % 2 === 1), 1000000100000L)
     val flush = spark.range(1).select(lit(-1L).as("event_id"),
       expr(s"TIMESTAMP '$FlushTs'").as("ts"),
       lit(-1L).as("user_id"), lit(0.0).as("value"))
-    writeBatch(flush, 1000000200000L)
+    ReplayScaffold.writeStagedBatch(spool, flush, 1000000200000L)
   }
 
   /** Run the replay; returns `(user_id, session_start, n_events, total)`
@@ -75,15 +70,7 @@ object SessionReplay {
         sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total"))
-    val outDir = new File(runDir, "out")
-    val q = agg.writeStream.format("parquet")
-      .option("path", outDir.toString)
-      .outputMode("append")
-      .option("checkpointLocation", new File(runDir, "ckpt").toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-
-    spark.read.parquet(outDir.toString)
+    ReplayScaffold.runToParquet(agg, runDir)
       .filter(col("user_id") >= 0)
       .orderBy("user_id", "session_start")
   }

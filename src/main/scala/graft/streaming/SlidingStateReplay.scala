@@ -34,7 +34,7 @@ import org.apache.spark.sql.types._
   * `CAST(SUM(DECIMAL(12,2)) AS DOUBLE)` bit-for-bit, independent of
   * accumulation order.
   *
-  * Scale shape: state per key = the trailing hour's rows (bounded by
+  * Scale shape: state per key = the trailing window's rows (bounded by
   * per-key event rate × window, NOT stream length), stored row-wise in
   * RocksDB `ListState`; the only exchange is the hash partition on the
   * key. TTLConfig is deliberately NONE — eviction is event-time-driven
@@ -85,30 +85,13 @@ object SlidingStateReplay {
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("value", DoubleType)))
 
-  val Cuts: Seq[String] =
-    Seq("2024-01-08 00:00:00", "2024-01-16 00:00:00", "2024-01-23 00:00:00")
+  val Cuts: Seq[String] = ReplayScaffold.DefaultCuts
 
   private def writeSpool(spark: SparkSession, dir: String, spool: File): Unit = {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("value"))
-    def partFiles() = Option(spool.listFiles())
-      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
-    def writeBatch(df: DataFrame, mtime: Long): Unit = {
-      val seen = partFiles().map(_.getName).toSet
-      df.coalesce(1).write.mode("append").parquet(spool.toString)
-      partFiles().filterNot(f => seen(f.getName)).foreach(_.setLastModified(mtime))
-    }
-    // batch i = rows in [cut(i-1), cut(i)); first batch open-below, last open-above
-    val cutCols = Cuts.map(c => expr(s"TIMESTAMP '$c'"))
-    val preds = (0 to Cuts.length).map { i =>
-      val lo = if (i == 0) lit(true) else col("ts") >= cutCols(i - 1)
-      val hi = if (i == Cuts.length) lit(true) else col("ts") < cutCols(i)
-      lo && hi
-    }
-    preds.zipWithIndex.foreach { case (p, i) =>
-      writeBatch(ev.filter(p), 1000000000000L + i * 100000L)
-    }
+    ReplayScaffold.writeTimeSplit(spool, ev, "ts", Cuts)
   }
 
   /** Run the replay; returns `(user_id, ts, value, n_win, sum_win)`. */
@@ -126,14 +109,6 @@ object SlidingStateReplay {
     val out = slidingStats(in, windowUs = 24L * 3600 * 1000 * 1000)
       .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
         col("value"), col("n_win"), col("sum_win"))
-    val outDir = new File(runDir, "out")
-    val q = out.writeStream.format("parquet")
-      .option("path", outDir.toString)
-      .outputMode("append")
-      .option("checkpointLocation", new File(runDir, "ckpt").toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-
-    spark.read.parquet(outDir.toString).orderBy("user_id", "ts")
+    ReplayScaffold.runToParquet(out.toDF(), runDir).orderBy("user_id", "ts")
   }
 }

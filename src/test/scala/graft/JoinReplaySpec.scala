@@ -52,14 +52,18 @@ class JoinReplaySpec extends SparkSpec {
   }
 
   test("a tight watermark evicts state (and only drops what it promises)") {
-    // delay 2h << month span: cross-batch matches whose partner arrived
-    // a trigger earlier MAY be lost to eviction, but within-trigger
-    // matches survive; the run must complete with bounded state and the
-    // output must stay a subset of the batch join.
+    // delay 2h << month span: after trigger 1 the global watermark sits
+    // ~2h below A's split instant, so B's trigger-2 rows older than that
+    // are dropped/evicted and their cross-batch matches MUST be missing
+    // — if the tight run still equals the full join, the watermark did
+    // nothing and the eviction claim is unverified. Within-trigger
+    // matches survive, so the output stays a dup-free subset.
     val tight = JoinReplay.run(spark, sf(), delay = "2 hours").collect()
     val full = batchJoin.map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = tight.map(r => (r.getLong(0), r.getLong(1)))
     assert(got.distinct.length == got.length, "tight run duplicated a match")
     assert(got.forall(full), "tight run emitted a pair the batch join lacks")
+    assert(got.length < full.size,
+      s"tight watermark dropped nothing (${got.length} of ${full.size}) — eviction unverified")
   }
 }
