@@ -2746,6 +2746,42 @@ object Queries {
       FROM flagged
       ORDER BY event_type, ts"""))
 
+  // Temperature-flattened domain mixing (UniMax, Xue et al. 2021): keep
+  // thresholds ∝ n_d^(1/τ)/n_d at τ=2, materialized per-mille and applied
+  // with the md5-mod hash-keep rule. Integer-exact end to end: the weight
+  // is floor(sqrt(n_d·10⁶)) — IEEE sqrt is correctly rounded, so the
+  // floor is engine-independent — and everything after is DECIMAL(38,0)/
+  // HUGEINT integer arithmetic, so thresholds AND membership replay
+  // bit-for-bit. The output keeps keep_permille so the mixing math
+  // itself is under the hash, not just the sampled ids.
+  val q90_temperature_mix: Q = Q("q90_temperature_mix",
+    (s, dir) => graft.text.Selection.temperatureSample(
+        documents(s, dir), "lang", "doc_id", budgetPermille = 300)
+      .select(col("doc_id"), col("lang"), col("keep_permille"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH d AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      w AS (
+        SELECT lang, n_docs,
+          CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000.0)) AS HUGEINT) AS w
+        FROM d),
+      t AS (
+        SELECT lang, n_docs, w,
+          SUM(w) OVER () AS s,
+          CAST(SUM(n_docs) OVER () AS HUGEINT) AS n_total
+        FROM w),
+      r AS (
+        SELECT lang,
+          CAST(LEAST(1000, (n_total * 300 * w) // (s * CAST(n_docs AS HUGEINT))) AS BIGINT)
+            AS keep_permille
+        FROM t)
+      SELECT doc_id, lang, keep_permille
+      FROM documents JOIN r USING (lang)
+      WHERE CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+        < keep_permille
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2775,5 +2811,5 @@ object Queries {
     q79_ann_ivf_pruned, q80_streaming_window, q81_streaming_ewma,
     q82_simhash_wide, q83_actor_stream_typed, q84_streaming_sessions,
     q85_stream_join, q86_sliding_state, q87_bootstrap_counters,
-    q88_gap_timers, q89_distinct_map)
+    q88_gap_timers, q89_distinct_map, q90_temperature_mix)
 }

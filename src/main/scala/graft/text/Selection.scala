@@ -213,4 +213,70 @@ object Selection {
       .withColumn("pieces_per_token",
         round(col("n_pieces").cast("double") / col("n_tokens"), 6))
   }
+
+  /** Per-domain keep thresholds for temperature-flattened corpus mixing
+    * (the UniMax / multilingual-T5 sampling step, Xue et al. 2021 §3.2:
+    * sample domain d with probability ∝ n_d^(1/τ), so high-resource
+    * domains are down-weighted and the tail is boosted). Given a domain
+    * column and a total budget of `budgetPermille`‰ of the corpus, the
+    * per-domain acceptance rate is
+    *
+    *   rate_d = min(1, budget · (n_d^(1/τ) / Σ_e n_e^(1/τ)) / n_d)
+    *
+    * materialized as an integer per-mille threshold for the
+    * deterministic hash-keep rule ([[Quality.hashKeep]]'s md5-mod-1000
+    * discipline), so the sample is reproducible and
+    * partitioning-independent.
+    *
+    * Exactness: at the default τ = 2 the weight is
+    * `floor(sqrt(n_d · 10⁶))` — an integer-exact milli-sqrt (IEEE sqrt
+    * is correctly rounded, so floor is engine-independent) — and every
+    * step after it is integer arithmetic in DECIMAL(38,0), so the
+    * thresholds replay bit-for-bit in any SQL engine (q90's oracle).
+    * Other temperatures go through `pow`, whose last-ulp behavior is
+    * libm-specific — spec-pinned rather than oracle-replayable, same
+    * trade as [[hashedDsirWeights]].
+    *
+    * Scale shape: one map-side-partial COUNT per domain (domains are a
+    * vocabulary — languages × sources — not data-scale), a 1-row totals
+    * broadcast crossJoin, and pure per-row arithmetic. Output:
+    * `(domainCol, n_docs, keep_permille)`. */
+  def temperatureMixThresholds(docs: DataFrame, domainCol: String,
+      budgetPermille: Int, temperature: Double = 2.0): DataFrame = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000,
+      s"budgetPermille must be in [0, 1000], got $budgetPermille")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
+    val wRaw =
+      if (temperature == 2.0) sqrt(col("n_docs").cast("double") * lit(1000000.0))
+      else pow(col("n_docs").cast("double"), lit(1.0 / temperature)) * lit(1000.0)
+    val weighted = counts.withColumn("w", floor(wRaw).cast(DecimalType(38, 0)))
+    val totals = weighted.agg(
+      sum(col("w")).cast(DecimalType(38, 0)).as("s"),
+      sum(col("n_docs")).cast(DecimalType(38, 0)).as("n_total"))
+    weighted.crossJoin(broadcast(totals))
+      .withColumn("keep_permille",
+        least(lit(1000L),
+          expr(s"(n_total * $budgetPermille * w) div (s * cast(n_docs as decimal(38,0)))"))
+          .cast("bigint"))
+      .select(col(domainCol), col("n_docs"), col("keep_permille"))
+  }
+
+  /** Apply [[temperatureMixThresholds]]: keep each row iff its key's
+    * deterministic hash lands under its domain's per-mille threshold
+    * (identical rule to [[Quality.stratifiedSample]], so mixed and
+    * stratified samples compose and stay reproducible across runs and
+    * partitionings). The thresholds side is domain-cardinality rows —
+    * always broadcast — so the corpus never shuffles. Keeps the
+    * `keep_permille` column so downstream can reweight if needed. */
+  def temperatureSample(docs: DataFrame, domainCol: String, keyCol: String,
+      budgetPermille: Int, temperature: Double = 2.0,
+      salt: String = "graft"): DataFrame = {
+    val thresholds = temperatureMixThresholds(docs, domainCol, budgetPermille,
+      temperature).drop("n_docs")
+    docs.join(broadcast(thresholds), domainCol)
+      .filter(
+        Dedup.h32(concat(lit(salt), lit(":"), col(keyCol).cast("string"))) % 1000 <
+          col("keep_permille"))
+  }
 }

@@ -162,4 +162,70 @@ class SelectionSpec extends SparkSpec {
         s"doc ${r.getLong(0)} piece count mismatch")
     }
   }
+
+  // -------------------------------------------------------------------
+  // Temperature-flattened domain mixing
+  // -------------------------------------------------------------------
+
+  private def mixDocs = {
+    // skewed domains: 400 "en", 90 "de", 10 "zh"
+    val rows = (0 until 400).map(i => (i.toLong, "en")) ++
+      (400 until 490).map(i => (i.toLong, "de")) ++
+      (490 until 500).map(i => (i.toLong, "zh"))
+    rows.toDF("doc_id", "lang")
+  }
+
+  test("temperatureMixThresholds: tau=1 reduces to proportional sampling") {
+    // w_d = 1000*n_d exactly, so every domain's threshold is the budget
+    val thr = Selection.temperatureMixThresholds(mixDocs, "lang",
+      budgetPermille = 250, temperature = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(thr == Map("en" -> 250L, "de" -> 250L, "zh" -> 250L))
+  }
+
+  test("temperatureMixThresholds: tau=2 boosts the tail, damps the head") {
+    val thr = Selection.temperatureMixThresholds(mixDocs, "lang",
+      budgetPermille = 150)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(thr("zh") > thr("de") && thr("de") > thr("en"),
+      s"thresholds not flattening-ordered: $thr")
+    // replay the integer math exactly
+    val n = Map("en" -> 400L, "de" -> 90L, "zh" -> 10L)
+    val w = n.view.mapValues(c => math.floor(math.sqrt(c.toDouble * 1e6)).toLong).toMap
+    val s0 = w.values.sum; val nTot = n.values.sum
+    n.keys.foreach { d =>
+      val expect = math.min(1000L, nTot * 150L * w(d) / (s0 * n(d)))
+      assert(thr(d) == expect, s"$d: got ${thr(d)}, expect $expect")
+    }
+    // budget conservation within per-domain floor rounding (no clamps at 150)
+    assert(thr.values.forall(_ < 1000))
+    val kept = n.map { case (d, c) => c * thr(d) }.sum / 1000.0
+    val budget = nTot * 150L / 1000.0
+    assert(math.abs(kept - budget) <= n.size,
+      s"expected-kept $kept vs budget $budget drifts past rounding slack")
+  }
+
+  test("temperatureMixThresholds: extreme flattening clamps rare domains at 1000") {
+    val thr = Selection.temperatureMixThresholds(mixDocs, "lang",
+      budgetPermille = 900)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(thr("zh") == 1000L, s"rare domain should saturate: $thr")
+  }
+
+  test("temperatureSample: membership is exactly the hash rule, repartition-stable") {
+    val docs = mixDocs
+    val thr = Selection.temperatureMixThresholds(docs, "lang", 300)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val got = Selection.temperatureSample(docs, "lang", "doc_id", 300)
+      .select("doc_id").as[Long].collect().sorted
+    val expect = docs.select(col("doc_id"), col("lang"),
+        graft.dedup.Dedup.h32(concat(lit("graft:"), col("doc_id").cast("string"))).as("h"))
+      .collect()
+      .filter(r => r.getLong(2) % 1000 < thr(r.getString(1)))
+      .map(_.getLong(0)).sorted
+    assert(got.sameElements(expect))
+    val again = Selection.temperatureSample(docs.repartition(7), "lang", "doc_id", 300)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.sameElements(again), "sample changed under repartition")
+  }
 }
