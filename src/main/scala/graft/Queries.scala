@@ -2782,6 +2782,56 @@ object Queries {
         < keep_permille
       ORDER BY doc_id"""))
 
+  // Regular-grid resampling with linear interpolation (Flux
+  // aggregateWindow + interpolate.linear, the dashboard-series shape):
+  // per-user 6-hour ticks across each series' observed range, value
+  // interpolated between bracketing raw points. The bracketing window,
+  // tick arithmetic (integer µs), and the fixed-order IEEE interpolation
+  // replay identically in DuckDB, so the hash match covers tick
+  // placement, exact-hit semantics, and the float math itself.
+  val q91_resample_interpolate: Q = Q("q91_resample_interpolate",
+    (s, dir) => Rolling.resampleLinear(events(s, dir), "ts", "value",
+        Seq("user_id"), stepSeconds = 21600)
+      .withColumn("value", round(col("value"), 6))
+      .orderBy("user_id", "ts"),
+    Some("""
+      WITH raw AS (
+        SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+        FROM events GROUP BY 1, 2),
+      b AS (
+        SELECT user_id,
+          ((min(t) + 21600000000 - 1) // 21600000000) * 21600000000 AS gmin,
+          (max(t) // 21600000000) * 21600000000 AS gmax
+        FROM raw GROUP BY 1),
+      g AS (
+        SELECT user_id, unnest(generate_series(gmin, gmax, 21600000000)) AS t
+        FROM b WHERE gmin <= gmax),
+      u AS (
+        SELECT user_id, t, v, 1 AS is_raw FROM raw
+        UNION ALL
+        SELECT user_id, t, NULL, 0 FROM g),
+      w AS (
+        SELECT user_id, t, is_raw,
+          last_value(CASE WHEN is_raw = 1 THEN v END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY t, is_raw DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN is_raw = 1 THEN t END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY t, is_raw DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+          first_value(CASE WHEN is_raw = 1 THEN v END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY t, is_raw DESC
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN is_raw = 1 THEN t END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY t, is_raw DESC
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM u)
+      SELECT user_id, make_timestamp(t) AS ts,
+        round(CASE WHEN pt = t THEN pv
+              ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END,
+          6) AS value
+      FROM w WHERE is_raw = 0
+      ORDER BY user_id, ts"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2811,5 +2861,6 @@ object Queries {
     q79_ann_ivf_pruned, q80_streaming_window, q81_streaming_ewma,
     q82_simhash_wide, q83_actor_stream_typed, q84_streaming_sessions,
     q85_stream_join, q86_sliding_state, q87_bootstrap_counters,
-    q88_gap_timers, q89_distinct_map, q90_temperature_mix)
+    q88_gap_timers, q89_distinct_map, q90_temperature_mix,
+    q91_resample_interpolate)
 }

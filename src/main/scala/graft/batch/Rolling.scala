@@ -62,4 +62,67 @@ object Rolling {
       }
     }
   }
+
+  /** Regular-grid resampling with linear interpolation — the batch form
+    * of InfluxDB Flux's `aggregateWindow`/`interpolate.linear` that the
+    * reference's dashboards lean on: per key, emit one row at every
+    * `stepSeconds` tick between the series' first and last observation,
+    * with the value linearly interpolated between the bracketing raw
+    * points (`v = v₋ + (v₊ − v₋)·(t − t₋)/(t₊ − t₋)`; an exact tick hit
+    * returns the raw value). Duplicate timestamps within a key collapse
+    * via `max` first (deterministic, order-free); null values are
+    * treated as missing.
+    *
+    * Implementation is declarative (no per-partition imperative loop):
+    * raw points and generated ticks union into one frame, and a single
+    * per-key ordered window finds each tick's bracketing observations
+    * with `last(..., ignoreNulls)` over the preceding frame and
+    * `first(..., ignoreNulls)` over the following frame — raw rows sort
+    * before a tick at the same instant, so the preceding frame resolves
+    * exact hits. Timestamps order in integer microseconds
+    * ([[timeWindow]]'s discipline) so tick arithmetic is exact; the
+    * interpolation itself is fixed-order IEEE double math, replayable
+    * bit-for-bit by any engine (q91's oracle).
+    *
+    * Scale shape: two keyed exchanges (the (key, ts) collapse aggregate,
+    * then the per-key window) plus a per-key bounds aggregate that emits
+    * one tiny row per series before ticks explode from `sequence` — the
+    * grid is never materialized on the driver. Like every per-entity
+    * window here, one KEY's series must fit a task; keys are required
+    * ([[Rolling]] scaladoc — a global resample collapses to one
+    * partition and is wrong at scale). */
+  def resampleLinear(df: DataFrame, tsCol: String, valueCol: String,
+      keys: Seq[String], stepSeconds: Long): DataFrame = {
+    require(keys.nonEmpty, "resampleLinear requires partition keys (see Rolling scaladoc)")
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val step = stepSeconds * 1000000L
+    val keyCols = keys.map(col)
+    val raw = df
+      .select(keyCols :+ unix_micros(col(tsCol).cast("timestamp")).as("t") :+ col(valueCol).cast("double").as("v"): _*)
+      .groupBy(keyCols :+ col("t"): _*).agg(max("v").as("v"))
+    val ticks = raw.groupBy(keyCols: _*)
+      .agg(min("t").as("tmin"), max("t").as("tmax"))
+      .withColumn("gmin", expr(s"((tmin + $step - 1) div $step) * $step"))
+      .withColumn("gmax", expr(s"(tmax div $step) * $step"))
+      .filter(col("gmin") <= col("gmax"))
+      .select(keyCols :+ explode(sequence(col("gmin"), col("gmax"), lit(step))).as("t"): _*)
+    val unioned = raw.withColumn("is_raw", lit(1))
+      .unionByName(ticks.withColumn("v", lit(null).cast("double")).withColumn("is_raw", lit(0)))
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("t").asc, col("is_raw").desc)
+    val before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rawV = when(col("is_raw") === 1, col("v"))
+    val rawT = when(col("is_raw") === 1, col("t"))
+    unioned
+      .withColumn("pv", last(rawV, ignoreNulls = true).over(before))
+      .withColumn("pt", last(rawT, ignoreNulls = true).over(before))
+      .withColumn("nv", first(rawV, ignoreNulls = true).over(after))
+      .withColumn("nt", first(rawT, ignoreNulls = true).over(after))
+      .filter(col("is_raw") === 0)
+      .withColumn(valueCol,
+        when(col("pt") === col("t"), col("pv")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            ((col("t") - col("pt")).cast("double") / (col("nt") - col("pt")).cast("double"))))
+      .select(keyCols :+ timestamp_micros(col("t")).cast("timestamp_ntz").as(tsCol) :+ col(valueCol): _*)
+  }
 }

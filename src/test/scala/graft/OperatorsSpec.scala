@@ -111,4 +111,46 @@ class OperatorsSpec extends SparkSpec {
         s"punct('${r.getString(0)}'): ${r.getDouble(1)} vs regex ${r.getDouble(2)}")
     }
   }
+
+  test("resampleLinear: tick placement, interpolation, exact hits, dup collapse") {
+    val df = Seq(
+      // key a: interior ticks only (range 10s..70s, step 30 => ticks 30, 60)
+      ("a", 10L, 1.0), ("a", 70L, 7.0),
+      // key b: exact hits at both ends plus an interior tick
+      ("b", 30L, 5.0), ("b", 90L, 11.0),
+      // key c: duplicate timestamp collapses via max before interpolation
+      ("c", 0L, 2.0), ("c", 0L, 4.0), ("c", 60L, 8.0)
+    ).toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val out = Rolling.resampleLinear(df, "ts", "v", Seq("k"), stepSeconds = 30)
+      .select(col("k"), unix_micros(col("ts").cast("timestamp")).as("t"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 1000000L) -> r.getDouble(2)).toMap
+    assert(out == Map(
+      ("a", 30L) -> 3.0, ("a", 60L) -> 6.0,           // 1 + 6*(20/60), 1 + 6*(50/60)
+      ("b", 30L) -> 5.0, ("b", 60L) -> 8.0, ("b", 90L) -> 11.0,
+      ("c", 0L) -> 4.0, ("c", 30L) -> 6.0, ("c", 60L) -> 8.0), s"got $out")
+  }
+
+  test("resampleLinear: sub-step series emits nothing; tick-aligned singleton emits itself") {
+    val df = Seq(
+      ("short", 31L, 1.0), ("short", 49L, 2.0), // range inside one step: no tick
+      ("one", 60L, 9.0)                          // single point on a tick
+    ).toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val out = Rolling.resampleLinear(df, "ts", "v", Seq("k"), stepSeconds = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(2))
+    assert(out.toSeq == Seq("one" -> 9.0), s"got ${out.toSeq}")
+  }
+
+  test("resampleLinear is partitioning-independent") {
+    val df = Seq.tabulate(200)(i =>
+      ((i % 3).toString, i.toLong * 37 % 997, (i * 13 % 101).toDouble))
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Rolling.resampleLinear(d, "ts", "v", Seq("k"), stepSeconds = 60)
+        .collect().map(r => (r.getString(0), r.get(1).toString, r.getDouble(2)))
+        .toSet
+    assert(run(df) == run(df.repartition(13)))
+  }
 }
