@@ -2832,6 +2832,55 @@ object Queries {
       FROM w WHERE is_raw = 0
       ORDER BY user_id, ts"""))
 
+  // Image near-duplicate pairs through the REAL decode path: each doc's
+  // ASCII projection becomes a fixed 22×12 P5 raster (q41b's fixture
+  // discipline), Multimodal.dHash60 genuinely parses the header and
+  // NN-samples actual pixels onto the 11×6 gradient grid (integer index
+  // map 2x/2y at this size), and the pairs come from the SAME pigeonhole
+  // Hamming blocking as text simhash (Dedup.hammingPairs). The oracle
+  // recomputes every pixel read, every gradient bit, and brute-forces
+  // the pair join — a hash match proves decode, NN sampling, fingerprint
+  // and blocking recall end to end.
+  val q92_image_dhash_pairs: Q = Q("q92_image_dhash_pairs",
+    (s, dir) => {
+      val media = documents(s, dir)
+        .withColumn("a", regexp_replace(col("text"), "[^ -~]", ""))
+        .withColumn("a", when(length(col("a")) === 0, lit("x")).otherwise(col("a")))
+        .withColumn("payload",
+          expr("substring(repeat(a, int(ceil(264.0d / double(length(a))))), 1, 264)"))
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          concat(lit("P5\n22 12\n255\n").cast("binary"),
+            col("payload").cast("binary")).as("content"))
+      graft.multimodal.Multimodal.dHashPairs(media, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH d0 AS (
+        SELECT doc_id,
+          CASE WHEN length(regexp_replace(text, '[^ -~]', '', 'g')) = 0 THEN 'x'
+               ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS a
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+          substr(repeat(a, CAST(ceil(264.0 / length(a)) AS INTEGER)), 1, 264) AS payload
+        FROM d0),
+      b AS (
+        SELECT doc_id,
+          [ord(substr(payload, i, 1)) FOR i IN generate_series(1, 264)] AS bs
+        FROM p),
+      sigs AS (
+        SELECT doc_id,
+          CAST(list_sum([CASE WHEN bs[((j // 10) * 12 // 6) * 22 + (((j % 10) + 1) * 22 // 11) + 1]
+                              > bs[((j // 10) * 12 // 6) * 22 + ((j % 10) * 22 // 11) + 1]
+                         THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END
+                         FOR j IN generate_series(0, 59)]) AS BIGINT) AS sh
+        FROM b)
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        CAST(bit_count(xor(a.sh, b2.sh)) AS INTEGER) AS hamming
+      FROM sigs a JOIN sigs b2 ON a.doc_id < b2.doc_id
+      WHERE bit_count(xor(a.sh, b2.sh)) <= 6
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2862,5 +2911,5 @@ object Queries {
     q82_simhash_wide, q83_actor_stream_typed, q84_streaming_sessions,
     q85_stream_join, q86_sliding_state, q87_bootstrap_counters,
     q88_gap_timers, q89_distinct_map, q90_temperature_mix,
-    q91_resample_interpolate)
+    q91_resample_interpolate, q92_image_dhash_pairs)
 }

@@ -272,12 +272,28 @@ object Dedup {
       bits: Int = 16,
       maxHamming: Int = 3): DataFrame = {
     if (bits > 60) return simhashPairsWide(df, idCol, textCol, bits, maxHamming)
+    hammingPairs(withSimhash(df, idCol, textCol, bits), bits, maxHamming)
+  }
+
+  /** Pigeonhole-blocked Hamming near-dup pairs over PRECOMPUTED
+    * single-word signatures `(id, sh)` — the blocking core behind
+    * [[simhashPairs]], shared by any fingerprint family that lands in
+    * one long: text simhash, image dHash
+    * ([[graft.multimodal.Multimodal.dHashPairs]]), or a caller's own
+    * bit signature. Same construction and guarantees as
+    * [[simhashPairs]]: `maxHamming + 1` contiguous blocks give perfect
+    * recall, candidates verify per-row before the distinct shuffle. */
+  def hammingPairs(
+      sigsIn: DataFrame,
+      bits: Int,
+      maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"hammingPairs supports 1..60 bits, got $bits")
     val nBlocks = math.min(maxHamming + 1, bits)
     // distribute bits as evenly as possible: first (bits % nBlocks) blocks
     // get an extra bit
     val sizes = Array.tabulate(nBlocks)(j => bits / nBlocks + (if (j < bits % nBlocks) 1 else 0))
     val offsets = sizes.scanLeft(0)(_ + _)
-    val sigs = withSimhash(df, idCol, textCol, bits).persist()
+    val sigs = sigsIn.select(col("id"), col("sh")).persist()
     sigs.count() // materialize before the self-join
     val blocked = sigs.withColumn("block", explode(array(
       (0 until nBlocks).map { j =>

@@ -425,6 +425,99 @@ object Multimodal {
     }(encoder)
   }
 
+  /** dHash core: NN-sample the intensity plane onto an 11×6 grid and
+    * emit the 60-bit horizontal-gradient fingerprint — bit `y·10 + x`
+    * set iff I(x+1, y) > I(x, y) on the grid (`x < 10`). The NN kernel
+    * is exactly [[resizePgm]]'s (`src = ⌊target·size/targetSize⌋`), so
+    * hashing the original equals hashing its 11×6 resize. */
+  private def dHashFromIntensity(w: Int, h: Int, intensity: (Int, Int) => Int): Long = {
+    var sh = 0L
+    var y = 0
+    while (y < 6) {
+      val sy = (y.toLong * h / 6).toInt
+      var x = 0
+      while (x < 10) {
+        val sxa = (x.toLong * w / 11).toInt
+        val sxb = ((x + 1).toLong * w / 11).toInt
+        if (intensity(sxb, sy) > intensity(sxa, sy)) sh |= 1L << (y * 10 + x)
+        x += 1
+      }
+      y += 1
+    }
+    sh
+  }
+
+  /** 60-bit perceptual difference hash (dHash) of an image payload via
+    * the REAL decode paths: binary netpbm (P5 intensities directly; P6
+    * integer-mean RGB — [[intensityHistogram]]'s rule) or any
+    * `javax.imageio` container (true-gray rasters read the band sample,
+    * palette/color images take the integer RGB mean). None for payloads
+    * neither decoder accepts — dHash is a CONTENT hash, so there is
+    * deliberately no stub fallback (a byte-hash of an opaque payload
+    * would alias unrelated media into Hamming-0 pairs). Gradient bits
+    * survive brightness shifts and re-encoding; 60 bits feed the
+    * [[graft.dedup.Dedup.hammingPairs]] pigeonhole family directly. */
+  def dHash60(bytes: Array[Byte]): Option[java.lang.Long] = {
+    parseNetpbm(bytes) match {
+      case Some((channels, w, h, _, off)) =>
+        val intensity: (Int, Int) => Int =
+          if (channels == 1) (x, y) => bytes(off + y * w + x) & 0xff
+          else (x, y) => {
+            val p = off + (y * w + x) * 3
+            ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)) / 3
+          }
+        return Some(dHashFromIntensity(w, h, intensity))
+      case None =>
+    }
+    if (!looksLikeImageIO(bytes)) return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val raster = img.getRaster
+      val intensity: (Int, Int) => Int =
+        if (isTrueGray(img)) (x, y) => raster.getSample(x, y, 0)
+        else (x, y) => {
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        }
+      Some(dHashFromIntensity(img.getWidth, img.getHeight, intensity))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed dHash pass: `(media_id, dhash)`, null for rows whose
+    * payload no real image decoder accepts (non-image kinds, junk
+    * bytes). Streamed per partition like [[extractFeatures]] — pair
+    * with [[repartitionForDecode]] when payload sizes are skewed. */
+  def dHashSignatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "kind", "content").mapPartitions { it =>
+      it.map { r =>
+        val content = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+        val sh = if (r.getString(1) != "image" || content == null) null
+          else dHash60(content).orNull
+        Row(r.getLong(0), sh)
+      }
+    }(encoder)
+  }
+
+  /** Image near-duplicate pairs: dHash fingerprints into the pigeonhole
+    * Hamming-blocking join ([[graft.dedup.Dedup.hammingPairs]] —
+    * `maxHamming + 1` blocks, perfect recall, candidates ≈ true pairs
+    * while the corpus stays under the block-width ceiling). Undecodable
+    * rows drop out before the join (their nulls would otherwise
+    * Hamming-match each other). Output `(id_a, id_b, hamming)` — the
+    * multimodal twin of text [[graft.dedup.Dedup.simhashPairs]], one
+    * decode pass + one blocked self-join at any corpus size. */
+  def dHashPairs(media: DataFrame, maxHamming: Int = 6): DataFrame =
+    graft.dedup.Dedup.hammingPairs(
+      dHashSignatures(media).filter(col("dhash").isNotNull)
+        .select(col("media_id").as("id"), col("dhash").as("sh")),
+      bits = 60, maxHamming = maxHamming)
+
   /** Frame-sampling plumbing for video: emit one row per sampled frame
     * index (the decode itself is the stub). Generator-only — no shuffle. */
   def sampleFrames(media: DataFrame, everyNth: Int, maxFrames: Int): DataFrame =

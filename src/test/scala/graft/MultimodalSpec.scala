@@ -277,4 +277,80 @@ class MultimodalSpec extends SparkSpec {
     val Some((_, _, rh)) = Multimodal.decodeImageIO(resized, 8)
     assert(rh(7) == 2f && rh(0) == 2f, s"palette lost in resize: ${rh.toSeq}")
   }
+
+  // -------------------------------------------------------------------
+  // dHash (perceptual image near-dup fingerprints)
+  // -------------------------------------------------------------------
+
+  private def p5(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+    (s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ px)
+
+  private def testRaster(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h)(i => ((i * 37 + (i / w) * 11) % 256).toByte)
+
+  test("dHash60: hashing an image equals hashing its 11x6 NN resize") {
+    val img = p5(22, 12, testRaster(22, 12))
+    val small = Multimodal.resizePgm(img, 11, 6).get
+    assert(Multimodal.dHash60(img).get == Multimodal.dHash60(small).get,
+      "dHash must commute with the real NN resize (same kernel)")
+    // and on a non-integer scale too
+    val odd = p5(37, 17, testRaster(37, 17))
+    val oddSmall = Multimodal.resizePgm(odd, 11, 6).get
+    assert(Multimodal.dHash60(odd).get == Multimodal.dHash60(oddSmall).get)
+  }
+
+  test("dHash60: PNG container and raw P5 of the same raster hash identically") {
+    val px = testRaster(22, 12)
+    val viaP5 = Multimodal.dHash60(p5(22, 12, px)).get
+    val viaPng = Multimodal.dHash60(Multimodal.encodeGrayPng(22, 12, px)).get
+    assert(viaP5 == viaPng, "lossless PNG roundtrip must preserve the fingerprint")
+  }
+
+  test("dHash60: P6 gray-equal RGB matches P5; brightness shift is invariant") {
+    val px = testRaster(22, 12)
+    val p6 = (s"P6\n22 12\n255\n".getBytes("US-ASCII") ++
+      px.flatMap(b => Array(b, b, b)))
+    assert(Multimodal.dHash60(p6).get == Multimodal.dHash60(p5(22, 12, px)).get)
+    // gradient bits survive a uniform brightness shift (no byte overflow)
+    val dim0 = px.map(b => ((b & 0xff) / 2).toByte)
+    val brighter = dim0.map(b => ((b & 0xff) + 100).toByte)
+    assert(Multimodal.dHash60(p5(22, 12, dim0)).get ==
+      Multimodal.dHash60(p5(22, 12, brighter)).get)
+  }
+
+  test("dHash60: a one-pixel edit moves at most 2 gradient bits; junk refuses") {
+    val px = testRaster(22, 12)
+    val edited = px.clone()
+    edited(2 * 22 + 4) = (~edited(2 * 22 + 4)).toByte // sampled pixel (x=2,y=1)
+    val a = Multimodal.dHash60(p5(22, 12, px)).get
+    val b = Multimodal.dHash60(p5(22, 12, edited)).get
+    val ham = java.lang.Long.bitCount(a ^ b)
+    assert(ham >= 1 && ham <= 2, s"one sampled pixel flips 1-2 bits, got $ham")
+    assert(Multimodal.dHash60("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.dHash60(Array[Byte]()).isEmpty)
+  }
+
+  test("dHashSignatures/dHashPairs: null for undecodable, pairs find planted dups") {
+    val px = testRaster(22, 12)
+    val near = px.clone(); near(2 * 22 + 4) = (~near(2 * 22 + 4)).toByte
+    val far = testRaster(22, 12).zipWithIndex.map { case (b, i) => (b ^ (i % 251)).toByte }
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, "image", p5(22, 12, px), Map.empty[String, String]))
+    rows.add(Row(2L, "image", p5(22, 12, px), Map.empty[String, String]))       // exact dup of 1
+    rows.add(Row(3L, "image", p5(22, 12, near), Map.empty[String, String]))                 // near dup of 1
+    rows.add(Row(4L, "image", p5(22, 12, far), Map.empty[String, String]))      // unrelated
+    rows.add(Row(5L, "image", "junkbytes".getBytes("UTF-8"), Map.empty[String, String]))
+    rows.add(Row(6L, "audio", p5(22, 12, px), Map.empty[String, String]))       // wrong kind
+    val df = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val sigs = Multimodal.dHashSignatures(df).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(sigs(1).isDefined && sigs(1) == sigs(2))
+    assert(sigs(5).isEmpty && sigs(6).isEmpty, "junk and non-image rows must be null")
+    val pairs = Multimodal.dHashPairs(df, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0), s"exact dup missing: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0, s"near dup missing: $pairs")
+    assert(pairs.contains((2L, 3L)), "blocking recall: near dup of the dup too")
+    assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L), s"unrelated image paired: $pairs")
+  }
 }
