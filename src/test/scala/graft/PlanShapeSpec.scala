@@ -245,4 +245,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p59.contains("aggregate(transform"),
       "no interpreted HOF fold in the quantization path")
   }
+
+  test("q90: mixing thresholds broadcast onto the corpus; documents never shuffle") {
+    val p = plan("q90_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), "threshold join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "a vocabulary-sized join must never SMJ")
+  }
+
+  test("q91: resample is pure keyed window work - no joins of any kind") {
+    val p = plan("q91_resample_interpolate")
+    assert(!p.contains("Join"), "interpolation brackets come from windows, not joins")
+    assert(p.contains("Window"), "per-key window expected")
+  }
+
+  test("q92: dHash pair join is a blocked equi-join, never a cross product") {
+    val p = plan("q92_image_dhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "pairing must go through the pigeonhole equi-join")
+  }
 }
