@@ -2881,6 +2881,71 @@ object Queries {
       WHERE bit_count(xor(a.sh, b2.sh)) <= 6
       ORDER BY id_a, id_b"""))
 
+  // Audio near-duplicate pairs through the REAL RIFF/WAVE decode. The
+  // fixture is the honest audio-dedup case: every doc's ASCII projection
+  // becomes 8-bit mono PCM (q41d's construction), and every 8th doc also
+  // circulates as a RE-ENCODED copy at half gain (s' = 128 + (s-128)/2 —
+  // the encode udfs build payloads; the operator under test is the
+  // distributed decode→energy-envelope→fingerprint→blocked join).
+  // audioHash60 chunk-walks the container, sums channel-0 |amplitude|
+  // into 60 segments, and sets mean-crossing bits (60·e_j > Σe), which
+  // are exactly gain-invariant — planted copies land at hamming ≤ 2
+  // while unrelated docs stay far. Pairs ride the same pigeonhole
+  // blocking as q92. The oracle recomputes amplitudes, the halved-gain
+  // copies, segment energies, mean-crossing bits, and brute-forces the
+  // pair join from the raw samples.
+  val q93_audio_hash_pairs: Q = Q("q93_audio_hash_pairs",
+    (s, dir) => {
+      val enc = udf((payload: Array[Byte]) =>
+        graft.multimodal.Multimodal.encodePcmWav(8000, payload))
+      val encHalf = udf((payload: Array[Byte]) =>
+        graft.multimodal.Multimodal.encodePcmWav(8000,
+          payload.map(b => (128 + ((b & 0xff) - 128) / 2).toByte)))
+      val base = documents(s, dir)
+        .withColumn("a", regexp_replace(col("text"), "[^ -~]", ""))
+        .withColumn("a", when(length(col("a")) === 0, lit("x")).otherwise(col("a")))
+      val originals = base.select(col("doc_id").as("media_id"),
+        lit("audio").as("kind"), enc(col("a").cast("binary")).as("content"))
+      val copies = base.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") + 100000000L).as("media_id"),
+          lit("audio").as("kind"), encHalf(col("a").cast("binary")).as("content"))
+      graft.multimodal.Multimodal.audioHashPairs(
+          originals.unionByName(copies), maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH d0 AS (
+        SELECT doc_id,
+          CASE WHEN length(regexp_replace(text, '[^ -~]', '', 'g')) = 0 THEN 'x'
+               ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS a
+        FROM documents),
+      b0 AS (
+        SELECT doc_id, length(a) AS l,
+          [abs(ord(substr(a, i, 1)) - 128) FOR i IN generate_series(1, CAST(length(a) AS INTEGER))] AS amps
+        FROM d0),
+      b AS (
+        SELECT doc_id AS media_id, l, amps FROM b0
+        UNION ALL
+        SELECT doc_id + 100000000, l, [x // 2 FOR x IN amps] FROM b0
+        WHERE doc_id % 8 = 0),
+      env AS (
+        SELECT media_id,
+          [coalesce(list_sum([amps[i] FOR i IN generate_series(1, CAST(l AS INTEGER))
+                              IF ((i - 1) * 60) // l = k]), 0)
+           FOR k IN generate_series(0, 59)] AS e
+        FROM b),
+      sigs AS (
+        SELECT media_id,
+          CAST(list_sum([CASE WHEN 60 * e[j + 1] > list_sum(e)
+                         THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END
+                         FOR j IN generate_series(0, 59)]) AS BIGINT) AS sh
+        FROM env)
+      SELECT a.media_id AS id_a, b2.media_id AS id_b,
+        CAST(bit_count(xor(a.sh, b2.sh)) AS INTEGER) AS hamming
+      FROM sigs a JOIN sigs b2 ON a.media_id < b2.media_id
+      WHERE bit_count(xor(a.sh, b2.sh)) <= 6
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2911,5 +2976,5 @@ object Queries {
     q82_simhash_wide, q83_actor_stream_typed, q84_streaming_sessions,
     q85_stream_join, q86_sliding_state, q87_bootstrap_counters,
     q88_gap_timers, q89_distinct_map, q90_temperature_mix,
-    q91_resample_interpolate, q92_image_dhash_pairs)
+    q91_resample_interpolate, q92_image_dhash_pairs, q93_audio_hash_pairs)
 }

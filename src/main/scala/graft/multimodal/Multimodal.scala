@@ -170,7 +170,10 @@ object Multimodal {
     * channel 0 over the `j`-th of `dim` contiguous frame segments (a peak
     * envelope — integer-exact in float32 for both sample widths). None on
     * anything malformed. */
-  def decodeWav(bytes: Array[Byte], dim: Int): Option[(Double, Array[Float])] = {
+  /** RIFF/WAVE chunk walk shared by [[decodeWav]] and [[audioHash60]]:
+    * `(rate, block, bits, dataOffset, dataLength)` for integer-PCM
+    * payloads, None on anything malformed (see [[decodeWav]] rules). */
+  private def parseWav(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
       ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
@@ -195,21 +198,30 @@ object Multimodal {
       (dOff, dLen) <- data
       if channels > 0 && rate > 0 && block == channels * (bits / 8) &&
         (bits == 8 || bits == 16)
-    } yield {
+    } yield (rate, block, bits, dOff, dLen)
+  }
+
+  /** Channel-0 |amplitude| of frame `f` (integer-exact for both widths). */
+  @inline private def frameAmp(bytes: Array[Byte], dOff: Int, block: Int,
+      bits: Int, f: Int): Int = {
+    val o = dOff + f * block
+    if (bits == 8) math.abs((bytes(o) & 0xff) - 128)
+    else math.abs((bytes(o) & 0xff) | (bytes(o + 1).toInt << 8))
+  }
+
+  def decodeWav(bytes: Array[Byte], dim: Int): Option[(Double, Array[Float])] =
+    parseWav(bytes).map { case (rate, block, bits, dOff, dLen) =>
       val nFrames = dLen / block
       val peaks = new Array[Float](dim)
       var f = 0
       while (f < nFrames) {
-        val o = dOff + f * block
-        val amp = if (bits == 8) math.abs((bytes(o) & 0xff) - 128)
-          else math.abs((bytes(o) & 0xff) | (bytes(o + 1).toInt << 8))
+        val amp = frameAmp(bytes, dOff, block, bits, f)
         val seg = if (nFrames == 0) 0 else math.min(dim - 1, f.toLong * dim / nFrames).toInt
         if (amp > peaks(seg)) peaks(seg) = amp.toFloat
         f += 1
       }
       (nFrames.toDouble / rate, peaks)
     }
-  }
 
   /** JPEG/PNG/GIF/BMP magic bytes — the formats the in-JDK `javax.imageio`
     * readers handle without native libraries. Checked before handing the
@@ -485,24 +497,73 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Distributed dHash pass: `(media_id, dhash)`, null for rows whose
-    * payload no real image decoder accepts (non-image kinds, junk
-    * bytes). Streamed per partition like [[extractFeatures]] — pair
-    * with [[repartitionForDecode]] when payload sizes are skewed. */
-  def dHashSignatures(media: DataFrame): DataFrame = {
+  /** 60-bit perceptual hash of an audio payload: the REAL RIFF/WAVE
+    * decode ([[parseWav]]) reduces channel 0 to a 60-segment integer
+    * ENERGY envelope (sum of |amplitude| per segment — exact for both
+    * PCM widths), and bit `j` is set iff segment `j` carries more than
+    * the mean energy (`60·e(j) > Σe`, pure integer comparison, so the
+    * fingerprint replays in SQL from the raw samples — q93's oracle).
+    * The mean-crossing form makes the hash EXACTLY invariant under any
+    * uniform gain scaling and robust to re-encoding/requantization
+    * (integer rounding can flip only segments already sitting at the
+    * mean) — the actual audio near-dup case, where the same recording
+    * circulates at different levels. Position-aligned by construction:
+    * like every time-domain fingerprint it does not match time-shifted
+    * or time-warped copies. None for anything [[decodeWav]] refuses. */
+  def audioHash60(bytes: Array[Byte]): Option[java.lang.Long] =
+    parseWav(bytes).map { case (_, block, bits, dOff, dLen) =>
+      val nFrames = dLen / block
+      val e = new Array[Long](60)
+      var f = 0
+      while (f < nFrames) {
+        val seg = if (nFrames == 0) 0 else math.min(59, f.toLong * 60 / nFrames).toInt
+        e(seg) += frameAmp(bytes, dOff, block, bits, f)
+        f += 1
+      }
+      val total = e.sum
+      var sh = 0L
+      var j = 0
+      while (j < 60) {
+        if (60L * e(j) > total) sh |= 1L << j
+        j += 1
+      }
+      java.lang.Long.valueOf(sh)
+    }
+
+  /** One streamed fingerprint pass: `(media_id, phash)`, null for rows
+    * of the wrong kind or whose payload the kernel refuses. */
+  private def perceptualSignatures(media: DataFrame, kind: String,
+      kernel: Array[Byte] => Option[java.lang.Long]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
-      StructField("dhash", LongType, nullable = true)))
+      StructField("phash", LongType, nullable = true)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     media.select("media_id", "kind", "content").mapPartitions { it =>
       it.map { r =>
         val content = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
-        val sh = if (r.getString(1) != "image" || content == null) null
-          else dHash60(content).orNull
+        val sh = if (r.getString(1) != kind || content == null) null
+          else kernel(content).orNull
         Row(r.getLong(0), sh)
       }
     }(encoder)
   }
+
+  /** Distributed dHash pass: `(media_id, phash)`, null for rows whose
+    * payload no real image decoder accepts (non-image kinds, junk
+    * bytes). Streamed per partition like [[extractFeatures]] — pair
+    * with [[repartitionForDecode]] when payload sizes are skewed. */
+  def dHashSignatures(media: DataFrame): DataFrame =
+    perceptualSignatures(media, "image", dHash60 _)
+
+  /** [[dHashSignatures]]' audio twin over [[audioHash60]]. */
+  def audioHashSignatures(media: DataFrame): DataFrame =
+    perceptualSignatures(media, "audio", audioHash60 _)
+
+  private def perceptualPairs(sigs: DataFrame, maxHamming: Int): DataFrame =
+    graft.dedup.Dedup.hammingPairs(
+      sigs.filter(col("phash").isNotNull)
+        .select(col("media_id").as("id"), col("phash").as("sh")),
+      bits = 60, maxHamming = maxHamming)
 
   /** Image near-duplicate pairs: dHash fingerprints into the pigeonhole
     * Hamming-blocking join ([[graft.dedup.Dedup.hammingPairs]] —
@@ -513,10 +574,12 @@ object Multimodal {
     * multimodal twin of text [[graft.dedup.Dedup.simhashPairs]], one
     * decode pass + one blocked self-join at any corpus size. */
   def dHashPairs(media: DataFrame, maxHamming: Int = 6): DataFrame =
-    graft.dedup.Dedup.hammingPairs(
-      dHashSignatures(media).filter(col("dhash").isNotNull)
-        .select(col("media_id").as("id"), col("dhash").as("sh")),
-      bits = 60, maxHamming = maxHamming)
+    perceptualPairs(dHashSignatures(media), maxHamming)
+
+  /** Audio near-duplicate pairs — [[dHashPairs]] over the envelope
+    * fingerprint; same blocking core, same output schema. */
+  def audioHashPairs(media: DataFrame, maxHamming: Int = 6): DataFrame =
+    perceptualPairs(audioHashSignatures(media), maxHamming)
 
   /** Frame-sampling plumbing for video: emit one row per sampled frame
     * index (the decode itself is the stub). Generator-only — no shuffle. */

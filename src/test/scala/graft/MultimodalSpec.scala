@@ -353,4 +353,48 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((2L, 3L)), "blocking recall: near dup of the dup too")
     assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L), s"unrelated image paired: $pairs")
   }
+
+  // -------------------------------------------------------------------
+  // audioHash (gain-invariant audio near-dup fingerprints)
+  // -------------------------------------------------------------------
+
+  private def pcm(samples: Array[Byte]): Array[Byte] =
+    Multimodal.encodePcmWav(8000, samples)
+
+  private def testSamples(n: Int): Array[Byte] =
+    Array.tabulate(n)(i => (128 + ((i * 17 + i * i % 29) % 60) - 30).toByte)
+
+  test("audioHash60: exactly invariant under uniform gain; sensitive to content") {
+    val s0 = testSamples(480)
+    val doubled = s0.map(b => (128 + ((b & 0xff) - 128) * 2).toByte) // no clip: |amp| <= 30
+    assert(Multimodal.audioHash60(pcm(s0)).get == Multimodal.audioHash60(pcm(doubled)).get,
+      "exact 2x gain must not move any mean-crossing bit")
+    val halved = s0.map(b => (128 + ((b & 0xff) - 128) / 2).toByte) // integer re-quantization
+    val ham = java.lang.Long.bitCount(
+      Multimodal.audioHash60(pcm(s0)).get ^ Multimodal.audioHash60(pcm(halved)).get)
+    assert(ham <= 4, s"re-quantized copy should stay near, got hamming $ham")
+    val other = testSamples(480).zipWithIndex.map { case (b, i) =>
+      (128 + ((i * 31 + 7) % 50) - 25).toByte }
+    val far = java.lang.Long.bitCount(
+      Multimodal.audioHash60(pcm(s0)).get ^ Multimodal.audioHash60(pcm(other)).get)
+    assert(far > 6, s"unrelated audio should be far, got hamming $far")
+    assert(Multimodal.audioHash60("notawav".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audioHashSignatures/audioHashPairs: kind gating and planted-copy recall") {
+    val s0 = testSamples(480)
+    val requant = s0.map(b => (128 + ((b & 0xff) - 128) / 2).toByte)
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, "audio", pcm(s0), Map.empty[String, String]))
+    rows.add(Row(2L, "audio", pcm(requant), Map.empty[String, String]))
+    rows.add(Row(3L, "audio", "junk".getBytes("UTF-8"), Map.empty[String, String]))
+    rows.add(Row(4L, "image", pcm(s0), Map.empty[String, String])) // wrong kind
+    val df = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val sigs = Multimodal.audioHashSignatures(df).collect()
+      .map(r => r.getLong(0) -> !r.isNullAt(1)).toMap
+    assert(sigs == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    val pairs = Multimodal.audioHashPairs(df, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"expected only the planted pair: $pairs")
+  }
 }
