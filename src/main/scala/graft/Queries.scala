@@ -2946,6 +2946,42 @@ object Queries {
       WHERE bit_count(xor(a.sh, b2.sh)) <= 6
       ORDER BY id_a, id_b"""))
 
+  // LOCF fill on the same resampling machinery (Flux fill(usePrevious) —
+  // step-function semantics for states/setpoints): every 12-hour tick
+  // carries the most recent observation at or before it. Only the
+  // backward bracket exists here, so the oracle is the same window
+  // replay minus interpolation.
+  val q94_resample_locf: Q = Q("q94_resample_locf",
+    (s, dir) => Rolling.resamplePrevious(events(s, dir), "ts", "value",
+        Seq("user_id"), stepSeconds = 43200)
+      .withColumn("value", round(col("value"), 6))
+      .orderBy("user_id", "ts"),
+    Some("""
+      WITH raw AS (
+        SELECT user_id, epoch_us(ts) AS t, max(value) AS v
+        FROM events GROUP BY 1, 2),
+      b AS (
+        SELECT user_id,
+          ((min(t) + 43200000000 - 1) // 43200000000) * 43200000000 AS gmin,
+          (max(t) // 43200000000) * 43200000000 AS gmax
+        FROM raw GROUP BY 1),
+      g AS (
+        SELECT user_id, unnest(generate_series(gmin, gmax, 43200000000)) AS t
+        FROM b WHERE gmin <= gmax),
+      u AS (
+        SELECT user_id, t, v, 1 AS is_raw FROM raw
+        UNION ALL
+        SELECT user_id, t, NULL, 0 FROM g),
+      w AS (
+        SELECT user_id, t, is_raw,
+          last_value(CASE WHEN is_raw = 1 THEN v END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY t, is_raw DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+        FROM u)
+      SELECT user_id, make_timestamp(t) AS ts, round(pv, 6) AS value
+      FROM w WHERE is_raw = 0
+      ORDER BY user_id, ts"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -2976,5 +3012,5 @@ object Queries {
     q82_simhash_wide, q83_actor_stream_typed, q84_streaming_sessions,
     q85_stream_join, q86_sliding_state, q87_bootstrap_counters,
     q88_gap_timers, q89_distinct_map, q90_temperature_mix,
-    q91_resample_interpolate, q92_image_dhash_pairs, q93_audio_hash_pairs)
+    q91_resample_interpolate, q92_image_dhash_pairs, q93_audio_hash_pairs, q94_resample_locf)
 }

@@ -92,8 +92,23 @@ object Rolling {
     * ([[Rolling]] scaladoc — a global resample collapses to one
     * partition and is wrong at scale). */
   def resampleLinear(df: DataFrame, tsCol: String, valueCol: String,
-      keys: Seq[String], stepSeconds: Long): DataFrame = {
-    require(keys.nonEmpty, "resampleLinear requires partition keys (see Rolling scaladoc)")
+      keys: Seq[String], stepSeconds: Long): DataFrame =
+    resampleImpl(df, tsCol, valueCol, keys, stepSeconds, interpolate = true)
+
+  /** [[resampleLinear]] with last-observation-carried-forward fill
+    * (Flux `fill(usePrevious: true)` — the step-function semantics
+    * telemetry dashboards default to for states/setpoints, where
+    * interpolating between discrete values would invent readings):
+    * every tick carries the most recent raw observation at or before
+    * it. Same tick grid, same single per-key window — minus the
+    * forward-looking bracket, which LOCF doesn't need. */
+  def resamplePrevious(df: DataFrame, tsCol: String, valueCol: String,
+      keys: Seq[String], stepSeconds: Long): DataFrame =
+    resampleImpl(df, tsCol, valueCol, keys, stepSeconds, interpolate = false)
+
+  private def resampleImpl(df: DataFrame, tsCol: String, valueCol: String,
+      keys: Seq[String], stepSeconds: Long, interpolate: Boolean): DataFrame = {
+    require(keys.nonEmpty, "resample requires partition keys (see Rolling scaladoc)")
     require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
     val step = stepSeconds * 1000000L
     val keyCols = keys.map(col)
@@ -113,16 +128,23 @@ object Rolling {
     val after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val rawV = when(col("is_raw") === 1, col("v"))
     val rawT = when(col("is_raw") === 1, col("t"))
-    unioned
-      .withColumn("pv", last(rawV, ignoreNulls = true).over(before))
-      .withColumn("pt", last(rawT, ignoreNulls = true).over(before))
-      .withColumn("nv", first(rawV, ignoreNulls = true).over(after))
-      .withColumn("nt", first(rawT, ignoreNulls = true).over(after))
-      .filter(col("is_raw") === 0)
-      .withColumn(valueCol,
-        when(col("pt") === col("t"), col("pv")).otherwise(
-          col("pv") + (col("nv") - col("pv")) *
-            ((col("t") - col("pt")).cast("double") / (col("nt") - col("pt")).cast("double"))))
+    val bracketed =
+      if (!interpolate)
+        unioned.withColumn("pv", last(rawV, ignoreNulls = true).over(before))
+          .filter(col("is_raw") === 0)
+          .withColumn(valueCol, col("pv"))
+      else
+        unioned
+          .withColumn("pv", last(rawV, ignoreNulls = true).over(before))
+          .withColumn("pt", last(rawT, ignoreNulls = true).over(before))
+          .withColumn("nv", first(rawV, ignoreNulls = true).over(after))
+          .withColumn("nt", first(rawT, ignoreNulls = true).over(after))
+          .filter(col("is_raw") === 0)
+          .withColumn(valueCol,
+            when(col("pt") === col("t"), col("pv")).otherwise(
+              col("pv") + (col("nv") - col("pv")) *
+                ((col("t") - col("pt")).cast("double") / (col("nt") - col("pt")).cast("double"))))
+    bracketed
       .select(keyCols :+ timestamp_micros(col("t")).cast("timestamp_ntz").as(tsCol) :+ col(valueCol): _*)
   }
 }

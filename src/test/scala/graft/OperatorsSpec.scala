@@ -153,4 +153,18 @@ class OperatorsSpec extends SparkSpec {
         .toSet
     assert(run(df) == run(df.repartition(13)))
   }
+
+  test("resamplePrevious: LOCF carries the last observation, exact hits included") {
+    val df = Seq(
+      ("a", 10L, 1.0), ("a", 45L, 4.0), ("a", 70L, 7.0),
+      ("b", 30L, 5.0), ("b", 90L, 11.0)
+    ).toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+    val out = Rolling.resamplePrevious(df, "ts", "v", Seq("k"), stepSeconds = 30)
+      .select(col("k"), unix_micros(col("ts").cast("timestamp")).as("t"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 1000000L) -> r.getDouble(2)).toMap
+    assert(out == Map(
+      ("a", 30L) -> 1.0, ("a", 60L) -> 4.0,   // steps, not slopes
+      ("b", 30L) -> 5.0, ("b", 60L) -> 5.0, ("b", 90L) -> 11.0), s"got $out")
+  }
 }
