@@ -7,6 +7,7 @@ import graft.batch.Rolling
 import graft.dedup.Dedup
 import graft.operators.AsOfJoin
 import graft.similarity.Similarity
+import graft.sketch.Sketches
 import graft.text.TextStats
 
 /** The engine's query inventory: one entry per operator class from
@@ -2982,6 +2983,83 @@ object Queries {
       FROM w WHERE is_raw = 0
       ORDER BY user_id, ts"""))
 
+  // HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+  // constant-wire-cost cardinality primitive: per-flag register tables
+  // (≤ 1024 rows each after map-side partial max), merged to a corpus
+  // row by pointwise register max WITHOUT re-reading the data, with
+  // exact distincts joined in so the output grades its own error.
+  // l_orderkey (~11k/flag) exercises the raw-estimator branch;
+  // l_suppkey (100) the linear-counting branch. The oracle replays
+  // the h60 register math integer-exactly (bin() bit lengths, the
+  // DECIMAL(38,0) harmonic sum at fixed-point 2^61, α·m²·2^61 as one
+  // losslessly-rendered double literal) — see Sketches scaladoc.
+  val q95_hll_distinct: Q = {
+    def sketch(li: DataFrame, metric: String, prefix: String, vc: Column): DataFrame = {
+      val regs = Sketches.hllRegisters(li, concat(lit(prefix), vc), Seq("l_returnflag"), p = 10)
+      val per = Sketches.hllEstimate(regs, Seq("l_returnflag"), p = 10)
+      val merged = Sketches.hllEstimate(
+        Sketches.hllMerge(regs, Nil).withColumn("l_returnflag", lit("*")),
+        Seq("l_returnflag"), p = 10)
+      val exact = li.groupBy("l_returnflag").agg(countDistinct(vc).as("exact"))
+        .unionByName(li.agg(countDistinct(vc).as("exact"))
+          .withColumn("l_returnflag", lit("*")))
+      per.unionByName(merged).join(exact, Seq("l_returnflag"))
+        .select(lit(metric).as("metric"), col("l_returnflag"),
+          col("n_reg"), col("n_zero"), round(col("est"), 6).as("est"), col("exact"),
+          round((col("est") - col("exact")) / col("exact") * 100, 4).as("err_pct"))
+    }
+    Q("q95_hll_distinct",
+      (s, dir) => {
+        val li = lineitem(s, dir)
+        sketch(li, "orderkey", "ok:", col("l_orderkey"))
+          .unionByName(sketch(li, "suppkey", "sk:", col("l_suppkey")))
+          .orderBy("metric", "l_returnflag")
+      },
+      Some(s"""
+      WITH vals AS (
+        SELECT 'orderkey' AS metric, l_returnflag AS f,
+          'ok:' || CAST(l_orderkey AS VARCHAR) AS v, CAST(l_orderkey AS VARCHAR) AS ev
+        FROM lineitem
+        UNION ALL
+        SELECT 'suppkey', l_returnflag, 'sk:' || CAST(l_suppkey AS VARCHAR),
+          CAST(l_suppkey AS VARCHAR)
+        FROM lineitem),
+      h AS (
+        SELECT metric, f, CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h, ev
+        FROM vals),
+      regs AS (
+        SELECT metric, f, h & 1023 AS reg_idx,
+          MAX(CASE WHEN (h >> 10) = 0 THEN 51
+                   ELSE 51 - length(bin(h >> 10)) END) AS max_rho
+        FROM h GROUP BY 1, 2, 3),
+      regs_all AS (
+        SELECT metric, f, reg_idx, max_rho FROM regs
+        UNION ALL
+        SELECT metric, '*', reg_idx, MAX(max_rho) FROM regs GROUP BY 1, 2, 3),
+      agg AS (
+        SELECT metric, f, COUNT(*) AS n_reg, 1024 - COUNT(*) AS n_zero,
+          CAST((1024 - COUNT(*)) AS DECIMAL(10,0)) * CAST(2305843009213693952 AS DECIMAL(19,0))
+            + SUM(CAST((CAST(1 AS BIGINT) << (61 - max_rho)) AS DECIMAL(38,0))) AS z_int
+        FROM regs_all GROUP BY 1, 2),
+      fin AS (
+        SELECT metric, f, n_reg, n_zero,
+          CASE WHEN ${Sketches.alphaNumeratorLiteral(10)}::DOUBLE / CAST(z_int AS DOUBLE) <= 2560.0
+                    AND n_zero > 0
+               THEN CAST(CAST(1024 AS DECIMAL(10,0)) *
+                 CAST(ln(CAST(1024 AS DOUBLE) / CAST(n_zero AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE)
+               ELSE ${Sketches.alphaNumeratorLiteral(10)}::DOUBLE / CAST(z_int AS DOUBLE) END AS est
+        FROM agg),
+      ex AS (
+        SELECT metric, f, COUNT(DISTINCT ev) AS exact FROM h GROUP BY 1, 2
+        UNION ALL
+        SELECT metric, '*', COUNT(DISTINCT ev) FROM h GROUP BY 1, 2),
+      j AS (SELECT fin.metric, fin.f, n_reg, n_zero, est, exact
+            FROM fin JOIN ex ON fin.metric = ex.metric AND fin.f = ex.f)
+      SELECT metric, f AS l_returnflag, n_reg, n_zero, round(est, 6) AS est, exact,
+        round((est - exact) / exact * 100, 4) AS err_pct
+      FROM j ORDER BY metric, l_returnflag"""))
+  }
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3012,5 +3090,6 @@ object Queries {
     q82_simhash_wide, q83_actor_stream_typed, q84_streaming_sessions,
     q85_stream_join, q86_sliding_state, q87_bootstrap_counters,
     q88_gap_timers, q89_distinct_map, q90_temperature_mix,
-    q91_resample_interpolate, q92_image_dhash_pairs, q93_audio_hash_pairs, q94_resample_locf)
+    q91_resample_interpolate, q92_image_dhash_pairs, q93_audio_hash_pairs, q94_resample_locf,
+    q95_hll_distinct)
 }
