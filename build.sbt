@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench stdout contract (VERDICT r11 #2): a consumer tailing `sbt
+// "runMain graft.Bench"` must see the final JSON line BARE. StdoutOutput
+// passes the forked JVM's stdout/stderr straight through (no [info]/
+// [error] log prefixes), and showSuccess drops the trailing
+// "[success] Total time" line that otherwise lands after the JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+// showSuccess is consumed by the command engine, not a task — silence
+// sbt's unused-key lint for it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

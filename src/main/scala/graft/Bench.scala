@@ -268,7 +268,22 @@ object Bench {
     val minTotal = if (mins.nonEmpty) mins.values.sum else 0.0
     val totalStr = j3(total)
     val failedStr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","min_total":${j3(minTotal)},"n_queries":${results.size},"failed":$failedStr,"noisy_count":${noisy.size},"moved_count":${moved.size},"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}""")
+    val summaryLine = s"""{"metric":"total","value":$totalStr,"unit":"sec","min_total":${j3(minTotal)},"n_queries":${results.size},"failed":$failedStr,"noisy_count":${noisy.size},"moved_count":${moved.size},"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}"""
+    println(summaryLine)
     spark.stop()
+    // The summary must survive every capture mode (VERDICT r11 #2):
+    // (a) a standing FILE artifact in the working dir — subset runs go
+    // to a sibling file so they never clobber the committed full-suite
+    // one; (b) after spark.stop(), the bare line once more as the FINAL
+    // stdout AND stderr line, so a consumer tailing either stream ends
+    // on a parseable `}` (build.sbt's StdoutOutput/showSuccess strip
+    // sbt's [info] prefix and trailing [success] line).
+    val summaryOut = if (only.isDefined) "BENCH_subset.json" else "BENCH.json"
+    try {
+      val w = new java.io.PrintWriter(summaryOut, "UTF-8")
+      try w.println(summaryLine) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] summary file: $e") }
+    System.out.println(summaryLine); System.out.flush()
+    System.err.println(summaryLine); System.err.flush()
   }
 }

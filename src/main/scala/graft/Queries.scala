@@ -2798,7 +2798,8 @@ object Queries {
     Some("""
       WITH raw AS (
         SELECT user_id, epoch_us(ts) AS t, max(value) AS v
-        FROM events GROUP BY 1, 2),
+        FROM events GROUP BY 1, 2
+        HAVING max(value) IS NOT NULL),
       b AS (
         SELECT user_id,
           ((min(t) + 21600000000 - 1) // 21600000000) * 21600000000 AS gmin,
@@ -2960,7 +2961,8 @@ object Queries {
     Some("""
       WITH raw AS (
         SELECT user_id, epoch_us(ts) AS t, max(value) AS v
-        FROM events GROUP BY 1, 2),
+        FROM events GROUP BY 1, 2
+        HAVING max(value) IS NOT NULL),
       b AS (
         SELECT user_id,
           ((min(t) + 43200000000 - 1) // 43200000000) * 43200000000 AS gmin,
@@ -3060,6 +3062,114 @@ object Queries {
       FROM j ORDER BY metric, l_returnflag"""))
   }
 
+  // Bloom-pruned semi join as a first-class query (the built-in sketch
+  // family's oracle-backed harness; q55's contamination fallback already
+  // exercises the same core). The filter builds on the SMALL key set and
+  // the codegen'd `bloom_might_contain` probe prunes the big-side scan
+  // BEFORE any shuffle; false positives are removed by the exact semi
+  // join after, so the result is exactly the semi join — the sketch
+  // changes IO, never answers — which is what lets an approximate
+  // structure carry a DuckDB hash oracle. `expectedItems` is a static
+  // over-estimate (a fatter filter, zero correctness cost) so the build
+  // side runs ONE job instead of count-then-build.
+  val q96_bloom_semi_join: Q = Q("q96_bloom_semi_join",
+    (s, dir) => {
+      val small = part(s, dir).filter(col("p_size") === 1)
+        .select(col("p_partkey").as("l_partkey"))
+      Sketches.bloomSemiJoin(lineitem(s, dir), small, "l_partkey",
+          expectedItems = 4096)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_items"),
+          d(sum(dec2(col("l_quantity")))).as("sum_qty"))
+        .orderBy("l_partkey")
+    },
+    Some("""
+      SELECT l_partkey, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+      GROUP BY l_partkey
+      ORDER BY l_partkey"""))
+
+  // Trim-tolerant audio near-dup pairs (q93's time-warp gap, VERDICT r11
+  // #7): every 8th doc circulates as a SILENCE-PADDED copy (37 frames of
+  // PCM midpoint 0x80 prepended, 23 appended — the encoder-priming /
+  // sloppy-trim case). The position-aligned q93 fingerprint shifts every
+  // segment and misses these; audioHashAligned60 trims to the active
+  // region (frames above 1/20 of peak, integer math) before segmenting,
+  // so planted copies land at hamming 0 through the same pigeonhole
+  // blocking. The oracle replays amplitude extraction, the silence pads,
+  // onset/offset detection, the active-slice envelope, and the pair
+  // join — all from the raw samples.
+  val q97_audio_trim_pairs: Q = Q("q97_audio_trim_pairs",
+    (s, dir) => {
+      val enc = udf((payload: Array[Byte]) =>
+        graft.multimodal.Multimodal.encodePcmWav(8000, payload))
+      val encPadded = udf((payload: Array[Byte]) =>
+        graft.multimodal.Multimodal.encodePcmWav(8000,
+          Array.fill[Byte](37)(0x80.toByte) ++ payload ++
+            Array.fill[Byte](23)(0x80.toByte)))
+      val base = documents(s, dir)
+        .withColumn("a", regexp_replace(col("text"), "[^ -~]", ""))
+        .withColumn("a", when(length(col("a")) === 0, lit("x")).otherwise(col("a")))
+      val originals = base.select(col("doc_id").as("media_id"),
+        lit("audio").as("kind"), enc(col("a").cast("binary")).as("content"))
+      val copies = base.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") + 100000000L).as("media_id"),
+          lit("audio").as("kind"), encPadded(col("a").cast("binary")).as("content"))
+      graft.multimodal.Multimodal.audioAlignedPairs(
+          originals.unionByName(copies), maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH d0 AS (
+        SELECT doc_id,
+          CASE WHEN length(regexp_replace(text, '[^ -~]', '', 'g')) = 0 THEN 'x'
+               ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS a
+        FROM documents),
+      b0 AS (
+        SELECT doc_id,
+          [abs(ord(substr(a, i, 1)) - 128) FOR i IN generate_series(1, CAST(length(a) AS INTEGER))] AS amps
+        FROM d0),
+      b AS (
+        SELECT doc_id AS media_id, amps FROM b0
+        UNION ALL
+        SELECT doc_id + 100000000,
+          [0 FOR i IN generate_series(1, 37)] || amps || [0 FOR i IN generate_series(1, 23)]
+        FROM b0 WHERE doc_id % 8 = 0),
+      pk AS (
+        SELECT media_id, amps, list_max(amps) AS peak,
+          CAST(len(amps) AS INTEGER) AS l
+        FROM b),
+      oo AS (
+        SELECT media_id, amps,
+          list_min([i FOR i IN generate_series(1, l) IF 20 * amps[i] > peak]) AS onset,
+          list_max([i FOR i IN generate_series(1, l) IF 20 * amps[i] > peak]) AS offs
+        FROM pk),
+      act AS (
+        SELECT media_id,
+          CASE WHEN onset IS NULL THEN [] ELSE amps[onset:offs] END AS act,
+          CASE WHEN onset IS NULL THEN 0 ELSE offs - onset + 1 END AS la
+        FROM oo),
+      env AS (
+        SELECT media_id, la,
+          [coalesce(list_sum([act[i] FOR i IN generate_series(1, CAST(la AS INTEGER))
+                              IF ((i - 1) * 60) // la = k]), 0)
+           FOR k IN generate_series(0, 59)] AS e
+        FROM act),
+      sigs AS (
+        SELECT media_id,
+          CASE WHEN la = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(list_sum([CASE WHEN 60 * e[j + 1] > list_sum(e)
+                              THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END
+                              FOR j IN generate_series(0, 59)]) AS BIGINT) END AS sh
+        FROM env)
+      SELECT a.media_id AS id_a, b2.media_id AS id_b,
+        CAST(bit_count(xor(a.sh, b2.sh)) AS INTEGER) AS hamming
+      FROM sigs a JOIN sigs b2 ON a.media_id < b2.media_id
+      WHERE bit_count(xor(a.sh, b2.sh)) <= 6
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3091,5 +3201,5 @@ object Queries {
     q85_stream_join, q86_sliding_state, q87_bootstrap_counters,
     q88_gap_timers, q89_distinct_map, q90_temperature_mix,
     q91_resample_interpolate, q92_image_dhash_pairs, q93_audio_hash_pairs, q94_resample_locf,
-    q95_hll_distinct)
+    q95_hll_distinct, q96_bloom_semi_join, q97_audio_trim_pairs)
 }

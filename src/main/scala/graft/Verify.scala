@@ -55,6 +55,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // The correctness gate must not depend on a spool cache another JVM
+    // (a concurrent bench) may be mutating: rebuild every replay spool
+    // into a process-private dir, unconditionally (VERDICT r11 #1a).
+    graft.streaming.ReplayScaffold.privateSpools = true
     val spark = GraftSession.get(s"local[$cpus]", cpus.toInt)
     new java.io.File(outDir).mkdirs()
     // Same subset knob as Bench: SPARK_GRAFT_ONLY=q01,q65 dumps (and

@@ -115,6 +115,13 @@ object Rolling {
     val raw = df
       .select(keyCols :+ unix_micros(col(tsCol).cast("timestamp")).as("t") :+ col(valueCol).cast("double").as("v"): _*)
       .groupBy(keyCols :+ col("t"): _*).agg(max("v").as("v"))
+      // "null values are treated as missing" for real: an all-null (key,t)
+      // group must not act as a bracket — its timestamp would pair with a
+      // DIFFERENT observation's value (wrong slope), and a tick landing on
+      // it would read as an exact hit emitting the older value. max()
+      // already ignores nulls within a group; drop the all-null groups too
+      // so every surviving raw row carries both its t and its v.
+      .filter(col("v").isNotNull)
     val ticks = raw.groupBy(keyCols: _*)
       .agg(min("t").as("tmin"), max("t").as("tmax"))
       .withColumn("gmin", expr(s"((tmin + $step - 1) div $step) * $step"))

@@ -293,8 +293,15 @@ object Dedup {
     // get an extra bit
     val sizes = Array.tabulate(nBlocks)(j => bits / nBlocks + (if (j < bits % nBlocks) 1 else 0))
     val offsets = sizes.scanLeft(0)(_ + _)
-    val sigs = sigsIn.select(col("id"), col("sh")).persist()
-    sigs.count() // materialize before the self-join
+    // No persist: the self-join's two sides canonicalize to the SAME
+    // shuffle (hash on block over identical children), so ReuseExchange
+    // computes the signature pipeline (e.g. q92's image decode) exactly
+    // once and both sides read the one set of shuffle files. The merge
+    // hint keeps it that way — a broadcast build would re-run the decode
+    // for the streamed side, and at scale the full signature set is not
+    // broadcastable anyway. Replaces the r11 persist, which leaked the
+    // cached frame into long-lived sessions (VERDICT r11 #5).
+    val sigs = sigsIn.select(col("id"), col("sh"))
     val blocked = sigs.withColumn("block", explode(array(
       (0 until nBlocks).map { j =>
         concat_ws(":", lit(j),
@@ -302,7 +309,7 @@ object Dedup {
       }: _*)))
     val a = blocked.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = blocked.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+    a.hint("merge").join(b.hint("merge"), Seq("block")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       // verify BEFORE the dedup shuffle (same reasoning as

@@ -530,6 +530,52 @@ object Multimodal {
       java.lang.Long.valueOf(sh)
     }
 
+  /** [[audioHash60]] with coarse ONSET ALIGNMENT — the time-warp-tolerant
+    * variant a real corpus needs, where the same recording circulates
+    * with trimmed or padded edges (encoder priming, silence trims): the
+    * position-aligned envelope shifts every segment on a 1-frame pad and
+    * the fingerprints diverge. Here the segmenting window is the ACTIVE
+    * region — first through last frame whose amplitude clears 1/20 of
+    * the payload's peak (`20·a > peak`, pure integer, gain-invariant
+    * since both sides scale) — so leading/trailing near-silence of ANY
+    * length drops out before the 60-segment envelope and a silence-
+    * padded copy hashes identically. All-silent payloads (peak 0, or no
+    * frame above threshold) hash to 0. Mid-stream warps still break it —
+    * that's the shingled-sub-fingerprint tier, not this one; edge trims
+    * are the overwhelmingly common case. */
+  def audioHashAligned60(bytes: Array[Byte]): Option[java.lang.Long] =
+    parseWav(bytes).map { case (_, block, bits, dOff, dLen) =>
+      val nFrames = dLen / block
+      val amps = new Array[Long](nFrames)
+      var peak = 0L
+      var f = 0
+      while (f < nFrames) {
+        val a = frameAmp(bytes, dOff, block, bits, f)
+        amps(f) = a; if (a > peak) peak = a; f += 1
+      }
+      var on = 0
+      while (on < nFrames && 20L * amps(on) <= peak) on += 1
+      if (on == nFrames) java.lang.Long.valueOf(0L) // all silence
+      else {
+        var off = nFrames - 1
+        while (off > on && 20L * amps(off) <= peak) off -= 1
+        val la = off - on + 1
+        val e = new Array[Long](60)
+        var i = 0
+        while (i < la) {
+          e((i.toLong * 60 / la).toInt) += amps(on + i); i += 1
+        }
+        val total = e.sum
+        var sh = 0L
+        var j = 0
+        while (j < 60) {
+          if (60L * e(j) > total) sh |= 1L << j
+          j += 1
+        }
+        java.lang.Long.valueOf(sh)
+      }
+    }
+
   /** One streamed fingerprint pass: `(media_id, phash)`, null for rows
     * of the wrong kind or whose payload the kernel refuses. */
   private def perceptualSignatures(media: DataFrame, kind: String,
@@ -580,6 +626,17 @@ object Multimodal {
     * fingerprint; same blocking core, same output schema. */
   def audioHashPairs(media: DataFrame, maxHamming: Int = 6): DataFrame =
     perceptualPairs(audioHashSignatures(media), maxHamming)
+
+  /** [[audioHashSignatures]]' onset-aligned twin over
+    * [[audioHashAligned60]]. */
+  def audioAlignedSignatures(media: DataFrame): DataFrame =
+    perceptualSignatures(media, "audio", audioHashAligned60 _)
+
+  /** Trim-tolerant audio near-duplicate pairs — [[audioHashPairs]] with
+    * onset alignment, so silence-trimmed/padded copies land at hamming 0
+    * instead of missing entirely. Same pigeonhole blocking core. */
+  def audioAlignedPairs(media: DataFrame, maxHamming: Int = 6): DataFrame =
+    perceptualPairs(audioAlignedSignatures(media), maxHamming)
 
   /** Frame-sampling plumbing for video: emit one row per sampled frame
     * index (the decode itself is the stub). Generator-only — no shuffle. */

@@ -91,7 +91,11 @@ object BootstrapCounters {
     val stream = graft.Tables.documents(spark, dir)
       .filter(isStream(col("doc_id")))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    val cut = stream.agg(max("doc_id")).head().getLong(0) / 2
+    // guard the aggregate: an empty stream side (tiny corpus) yields a
+    // null max — fall back to cut 0 (two empty staged batches) instead
+    // of throwing (ADVICE r11 #4)
+    val cutRow = stream.agg(max("doc_id")).head()
+    val cut = if (cutRow.isNullAt(0)) 0L else cutRow.getLong(0) / 2
     ReplayScaffold.writeStagedBatch(spool,
       stream.filter(col("doc_id") < cut), 1000000000000L)
     ReplayScaffold.writeStagedBatch(spool,
@@ -102,7 +106,7 @@ object BootstrapCounters {
   def run(spark: SparkSession, dir: String): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q87", "documents.parquet",
-      "h60mod4;halves", writeSpool)
+      "h60mod4;halves", writeSpool, expectedFiles = 2)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._

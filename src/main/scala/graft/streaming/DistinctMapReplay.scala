@@ -88,7 +88,7 @@ object DistinctMapReplay {
   def run(spark: SparkSession, dir: String): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q89", "events.parquet",
-      s"cuts=${Cuts.mkString("|")}", writeSpool)
+      s"cuts=${Cuts.mkString("|")}", writeSpool, expectedFiles = Cuts.length + 1)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._

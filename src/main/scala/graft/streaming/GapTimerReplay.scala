@@ -99,7 +99,8 @@ object GapTimerReplay {
     // processor), so the stamp must not include it — a gap sweep reuses
     // one spool instead of rebuilding per value
     val spool = ReplayScaffold.spoolFor(spark, dir, "q88", "events.parquet",
-      s"cuts=${Cuts.mkString("|")};flush=$FlushTs", writeSpool)
+      s"cuts=${Cuts.mkString("|")};flush=$FlushTs", writeSpool,
+      expectedFiles = Cuts.length + 2)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._

@@ -74,7 +74,8 @@ object JoinReplay {
   def run(spark: SparkSession, dir: String, delay: String = "60 days"): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q85", "events.parquet",
-      s"split=$Split;range=60m;b3-early;delay-independent-spool", writeSpool)
+      s"split=$Split;range=60m;b3-early;delay-independent-spool", writeSpool,
+      expectedFiles = 5)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     def side(sub: String, suffix: String): DataFrame =

@@ -1,19 +1,37 @@
 package graft.streaming
 
 import java.io.File
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Shared scaffold for the streaming replay harnesses (q52/q64/q73):
-  * spool reuse + fresh per-run sink/checkpoint dirs.
+/** Shared scaffold for the streaming replay harnesses (q52/q64/q73 and
+  * the q80-q89 state family): spool reuse + fresh per-run
+  * sink/checkpoint dirs.
   *
   * A replay spool is a pure function of (corpus dir, generator config),
   * so rebuilding it on every run only re-measures the harness — a bench
   * rep pays the generator 5×. The spool lives under a dir keyed by the
   * corpus path and carries a marker recording the SOURCE parquet's
-  * size+mtime fingerprint plus the generator's config stamp; a matching
-  * marker skips the rebuild, while a regenerated corpus under the same
-  * path (the r8 lesson) or a changed config misses and rebuilds.
+  * size+mtime fingerprint, the generator's config stamp, the spool
+  * WRITER code version, and the built spool's own batch-file listing
+  * (names + sizes + pinned mtimes); a marker matching ALL of those
+  * skips the rebuild, while a regenerated corpus under the same path
+  * (the r8 lesson), a changed config, an older writer, or a disturbed
+  * spool (lost mtime pin, missing file) misses and rebuilds.
+  *
+  * Order-sensitive replays (q86-q89 running counters) are only correct
+  * if batches arrive in pinned-mtime order, so the build path is
+  * defended three ways (VERDICT r11 #1 / ADVICE r11 #1):
+  *  - [[writeStagedBatch]] VERIFIES the pinned mtime by readback and
+  *    throws if `setLastModified` did not take — a silent stamp loss
+  *    was the driver's q87/q89 hash-mismatch signature;
+  *  - shared-cache builds run under a cross-JVM file lock, so a bench
+  *    beside a verify can no longer interleave rmTree/write;
+  *  - [[privateSpools]] (set by Verify) bypasses the shared cache
+  *    entirely: the correctness gate rebuilds into a process-private
+  *    dir every run (<2 s at sf0.01), immune to any cache state.
   *
   * Checkpoints and sinks are NEVER reused — [[freshRunDir]] sweeps old
   * run dirs and hands out a new one, so streaming state can never
@@ -21,17 +39,60 @@ import org.apache.spark.sql.functions._
   * would double rows). */
 object ReplayScaffold {
 
-  /** Publish `df` into `dir` as ONE new part file with a pinned mtime —
-    * the file source orders batches by modification time, so each
-    * staged write becomes one deterministic micro-batch. The new-file
-    * diff is by name against a pre-write snapshot, so concurrent stale
-    * parts are never re-stamped. */
+  /** Version of the spool WRITER code, folded into every [[spoolFor]]
+    * stamp: a cached spool built by an older generator (different file
+    * naming, different mtime discipline) must miss and rebuild, never
+    * replay in a different arrival order. Bump on any change to
+    * [[writeStagedBatch]] / [[writeTimeSplit]] or a caller's spool
+    * writer. */
+  val SpoolFormatVersion: String = "spoolfmt-2"
+
+  /** When true, [[spoolFor]] never touches the shared tmpdir cache:
+    * every call rebuilds into a process-private dir. Verify sets this
+    * (the correctness gate must not depend on cache state another JVM
+    * may be mutating); Bench keeps the cache so reps don't re-pay the
+    * generator. Also settable via `-Dgraft.spool.private=true`. */
+  @volatile var privateSpools: Boolean =
+    sys.props.get("graft.spool.private").exists(_.equalsIgnoreCase("true"))
+
+  /** Publish `df` into `dir` as ONE new file with a pinned mtime — the
+    * file source orders batches by modification time, so each staged
+    * write becomes one deterministic micro-batch. The fresh part file
+    * is renamed to `batch-<mtime>.parquet` (equal-width decimal), so
+    * lexicographic name order equals arrival order — a second,
+    * filesystem-independent witness of the intended order. The pinned
+    * mtime is VERIFIED by readback; a lost `setLastModified` throws
+    * instead of silently replaying in write order. */
   def writeStagedBatch(dir: File, df: DataFrame, mtime: Long): Unit = {
+    dir.mkdirs()
     def partFiles() = Option(dir.listFiles())
       .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
     val seen = partFiles().map(_.getName).toSet
     df.coalesce(1).write.mode("append").parquet(dir.toString)
-    partFiles().filterNot(f => seen(f.getName)).foreach(_.setLastModified(mtime))
+    val fresh = partFiles().filterNot(f => seen(f.getName))
+    require(fresh.length == 1,
+      s"staged batch wrote ${fresh.length} part files into $dir (expected exactly 1)")
+    val part = fresh.head
+    val target = new File(dir, f"batch-$mtime%020d.parquet")
+    Files.move(part.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    // keep the Hadoop checksum twin aligned with the rename (LocalFileSystem
+    // verifies `.name.crc` on read); if the rename fails, drop it instead
+    val crc = new File(dir, s".${part.getName}.crc")
+    if (crc.exists()) {
+      val crcTarget = new File(dir, s".${target.getName}.crc")
+      try Files.move(crc.toPath, crcTarget.toPath, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Throwable => crc.delete() }
+    }
+    var pinned = false
+    var attempt = 0
+    while (!pinned && attempt < 3) {
+      target.setLastModified(mtime)
+      pinned = target.lastModified() == mtime
+      attempt += 1
+    }
+    if (!pinned) throw new IllegalStateException(
+      s"could not pin mtime=$mtime on $target (readback=${target.lastModified()}) — " +
+        "replay arrival order would be nondeterministic")
   }
 
   /** The shared time-split instants for the cross-batch state replays
@@ -59,16 +120,34 @@ object ReplayScaffold {
 
   /** The shared sink contract: append `streaming` to a parquet sink
     * under `runDir`, drain it (`processAllAvailable`), stop, and hand
-    * back the materialized result for the caller to filter/order. */
-  def runToParquet(streaming: DataFrame, runDir: File): DataFrame = {
+    * back the materialized result for the caller to filter/order.
+    *
+    * State partitioning: every trigger commits ONE state-store instance
+    * per shuffle partition, so a 5-trigger replay over 32 partitions
+    * pays ~160 RocksDB commits (open, changelog upload, metadata fsync)
+    * for kilobytes of state — the scaffold tax VERDICT r11 #6 measured
+    * at ~33 s of the suite. The replay pins `statePartitions` (8) for
+    * the stream's lifetime instead; per-key processing and output are
+    * IDENTICAL (hash partitioning by key either way), only the commit
+    * fan-out shrinks. The session's batch setting is restored after the
+    * drain. At production scale this knob goes the other way — state
+    * partitions should match cluster parallelism, which a fresh
+    * checkpoint picks up from the session automatically. */
+  def runToParquet(streaming: DataFrame, runDir: File,
+      statePartitions: Int = 8): DataFrame = {
+    val spark = streaming.sparkSession
     val outDir = new File(runDir, "out")
-    val q = streaming.writeStream.format("parquet")
-      .option("path", outDir.toString)
-      .outputMode("append")
-      .option("checkpointLocation", new File(runDir, "ckpt").toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    streaming.sparkSession.read.parquet(outDir.toString)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = streaming.writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .outputMode("append")
+        .option("checkpointLocation", new File(runDir, "ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(outDir.toString)
   }
 
   def rmTree(f: File): Unit = {
@@ -76,12 +155,63 @@ object ReplayScaffold {
     f.delete()
   }
 
+  /** Recursive listing of the spool's staged-batch files — relative
+    * path, size and (pinned) mtime — the arrival-order contract in one
+    * string. Recorded in the marker at build time and re-checked on
+    * every reuse, so a disturbed spool (lost pin, deleted file, stray
+    * extra batch) rebuilds instead of replaying in the wrong order. */
+  private def batchListing(spool: File): String = {
+    def walk(f: File, prefix: String): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(c => walk(c, s"$prefix${f.getName}/"))
+      else if (f.getName.startsWith("batch-"))
+        Seq(s"$prefix${f.getName}=${f.length()}:${f.lastModified()}")
+      else Seq.empty
+    Option(spool.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(c => walk(c, "")).sorted.mkString(",")
+  }
+
+  /** Post-build invariants: expected batch count (when the caller
+    * declares one) and, per directory, strictly distinct pinned mtimes
+    * — equal mtimes would leave the file source's batch order to an
+    * implementation-defined tiebreak. */
+  private def assertSpool(spool: File, expectedFiles: Int): Unit = {
+    def dirs(f: File): Seq[File] =
+      if (!f.isDirectory) Seq.empty
+      else f +: Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(dirs)
+    val batchFiles = dirs(spool).flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("batch-")))
+    if (expectedFiles >= 0)
+      require(batchFiles.length == expectedFiles,
+        s"spool $spool has ${batchFiles.length} staged batches, expected $expectedFiles")
+    dirs(spool).foreach { d =>
+      val ms = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("batch-")).map(_.lastModified())
+      require(ms.distinct.length == ms.length,
+        s"spool dir $d has non-distinct batch mtimes ${ms.mkString(",")}")
+    }
+  }
+
+  // serializes same-JVM builders (sbt runs suites in parallel; FileLock
+  // throws OverlappingFileLockException on same-JVM re-entry)
+  private val buildLock = new Object
+
   /** Build-or-reuse the spool for `kind` over `dir`, fingerprinting
     * `dir/sourceFile` and `extraStamp` (generator knobs that change the
-    * spool content — e.g. q52's connection count). */
+    * spool content — e.g. q52's connection count). `expectedFiles`, when
+    * ≥0, pins the staged-batch count the writer must produce.
+    *
+    * Shared-cache path: the build runs under a cross-JVM `FileLock`, and
+    * the marker records the built spool's own batch listing, re-verified
+    * on every reuse. Private path ([[privateSpools]]): unconditional
+    * rebuild into a per-process dir; stale private dirs of dead
+    * processes are swept. */
   def spoolFor(spark: SparkSession, dir: String, kind: String,
       sourceFile: String, extraStamp: String,
-      write: (SparkSession, String, File) => Unit): File = {
+      write: (SparkSession, String, File) => Unit,
+      expectedFiles: Int = -1): File = {
     // names are part of the fingerprint: two part files swapping contents
     // at equal sizes within one mtime tick must still miss the marker
     def fingerprint(f: File): String =
@@ -89,19 +219,56 @@ object ReplayScaffold {
         Option(f.listFiles()).getOrElse(Array.empty).map(fingerprint).sorted.mkString(",")
       else s"${f.getName}=${f.length()}:${f.lastModified()}"
     val src = new File(dir, sourceFile)
-    val stamp = s"$dir\n${fingerprint(src)}\n$extraStamp"
+    val stamp = s"$SpoolFormatVersion\n$dir\n${fingerprint(src)}\n$extraStamp"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map(b => f"${b & 0xff}%02x").mkString
-    val base = new File(sys.props("java.io.tmpdir"), s"graft-$kind-$key")
+    val tmp = new File(sys.props("java.io.tmpdir"))
+
+    if (privateSpools) {
+      val pid = ProcessHandle.current().pid()
+      val prefix = s"graft-$kind-$key-p"
+      // sweep private dirs owned by this or dead processes (bounded tmp)
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix))
+        .filter { f =>
+          val p = f.getName.stripPrefix(prefix)
+          p.nonEmpty && p.forall(_.isDigit) && {
+            val owner = p.toLong
+            owner == pid ||
+              !ProcessHandle.of(owner).map[Boolean](_.isAlive).orElse(false)
+          }
+        }.foreach(rmTree)
+      val base = new File(tmp, s"$prefix$pid")
+      val spool = new File(base, "spool")
+      spool.mkdirs()
+      write(spark, dir, spool)
+      assertSpool(spool, expectedFiles)
+      return spool
+    }
+
+    val base = new File(tmp, s"graft-$kind-$key")
     val spool = new File(base, "spool")
     val marker = new File(base, "spool.ok")
-    val fresh = marker.exists() &&
-      java.nio.file.Files.readString(marker.toPath) == stamp
-    if (!fresh) {
-      rmTree(base); spool.mkdirs()
-      write(spark, dir, spool)
-      java.nio.file.Files.writeString(marker.toPath, stamp)
+    def markerContent = stamp + "\n#spool#\n" + batchListing(spool)
+    def fresh = marker.exists() &&
+      Files.readString(marker.toPath) == markerContent
+    if (!fresh) buildLock.synchronized {
+      val lockFile = new File(tmp, s"graft-$kind-$key.lock")
+      val ch = FileChannel.open(lockFile.toPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try {
+          if (!fresh) { // re-check under the lock: a racing JVM may have built
+            rmTree(base); spool.mkdirs()
+            write(spark, dir, spool)
+            assertSpool(spool, expectedFiles)
+            Files.writeString(marker.toPath, markerContent)
+          }
+        } finally lk.release()
+      } finally ch.close()
     }
+    assertSpool(spool, expectedFiles)
     spool
   }
 

@@ -59,7 +59,7 @@ object SessionReplay {
   def run(spark: SparkSession, dir: String): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q84", "events.parquet",
-      s"parity=2;gap=30m;delay=1h;flush=$FlushTs", writeSpool)
+      s"parity=2;gap=30m;delay=1h;flush=$FlushTs", writeSpool, expectedFiles = 3)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     val in = spark.readStream.schema(SpoolSchema)

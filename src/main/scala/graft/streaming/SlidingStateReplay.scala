@@ -64,7 +64,10 @@ object SlidingStateReplay {
       val out = rows.toArray.sortBy(r => (r.ts_us, r.value)).map { r =>
         val cut = r.ts_us - windowUs
         while (buf.nonEmpty && buf.head._1 < cut) cents -= buf.removeHead()._2
-        val c = math.round(r.value * 100)
+        // half-AWAY-FROM-ZERO, matching the oracle's CAST(... AS
+        // DECIMAL(12,2)): math.round alone rounds half toward +inf and
+        // diverges on negative exact-.5 cents (ADVICE r11 #3)
+        val c = (math.signum(r.value) * math.round(math.abs(r.value) * 100)).toLong
         buf.append((r.ts_us, c)); cents += c
         SlideStat(key, r.ts_us, r.value, buf.length, cents / 100.0)
       }
@@ -98,7 +101,8 @@ object SlidingStateReplay {
   def run(spark: SparkSession, dir: String): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q86", "events.parquet",
-      s"cuts=${Cuts.mkString("|")};win=24h", writeSpool)
+      s"cuts=${Cuts.mkString("|")};win=24h", writeSpool,
+      expectedFiles = Cuts.length + 1)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._

@@ -110,10 +110,16 @@ object StatefulOps {
             // immutable Map per connection per batch (boxed keys, HAMT
             // churn) just to drain it again. Sorting the batch by seq
             // and emitting contiguous chunks DIRECTLY keeps `pending`
-            // for genuine gaps only — identical semantics (duplicates
-            // below the high-water mark drop, gaps wait, maxPending
-            // escape unchanged), allocation proportional to disorder
-            // instead of volume.
+            // for genuine gaps only — same gap/maxPending behavior,
+            // allocation proportional to disorder instead of volume.
+            // Duplicate rule: a re-sent seq within one batch is
+            // FIRST-WINS (the first occurrence emits and advances the
+            // high-water mark; later copies fall below it and drop) —
+            // the old Map-merge form kept the last copy instead. A
+            // transport that re-sends a seq with DIFFERENT payload is
+            // already corrupt; first-wins matches the cross-batch rule
+            // (a duplicate arriving a batch later always drops), so one
+            // rule now covers both cases.
             val batch = rows.toArray
             java.util.Arrays.sort(batch, Ordering.by((c: Chunk) => c.seq))
             val st = state.getOption.getOrElse(LineBuffer(firstSeq, "", Map.empty, dropHead = false))

@@ -72,7 +72,7 @@ object Quality {
     * broadcast left-semi join). When the benchmark OUTGROWS the
     * broadcast budget (`broadcastLimit` distinct shingles — a union of
     * many eval suites, or decontaminating against another corpus), the
-    * probe switches to [[graft.sketches.Sketches.bloomSemiJoin]] on the
+    * probe switches to [[graft.sketch.Sketches.bloomSemiJoin]] on the
     * 64-bit shingle hash: the bloom probe is a codegen'd filter fused
     * into the corpus scan (fpp of the corpus survives it), and only
     * those survivors — never the corpus — shuffle for the exact semi
@@ -96,7 +96,7 @@ object Quality {
       if (nBench <= broadcastLimit)
         corpusShingles.join(broadcast(benchShingles), Seq("s"), "left_semi")
       else
-        graft.sketches.Sketches.bloomSemiJoin(
+        graft.sketch.Sketches.bloomSemiJoin(
           corpusShingles.withColumn("s64", xxhash64(col("s"))),
           benchShingles.select(xxhash64(col("s")).as("s64")),
           "s64", expectedItems = nBench)
@@ -318,7 +318,7 @@ object Quality {
     * `quantile_cont`, the q35 parity rule) — fine up to cutoff frames
     * that fit one aggregation buffer; at real scale flip
     * `exact = false` for the one-pass mergeable Greenwald–Khanna
-    * sketch ([[graft.sketches.Sketches.approxQuantiles]], rank error
+    * sketch ([[graft.sketch.Sketches.approxQuantiles]], rank error
     * ≤ `relativeError`) — same downstream plan, bounded-error cutoffs
     * (QualitySpec bounds the disagreement between the two).
     *
@@ -357,7 +357,7 @@ object Quality {
         (if (r.isNullAt(0)) Double.NaN else r.getDouble(0),
           if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
       } else {
-        val Seq(a, b) = graft.sketches.Sketches.approxQuantiles(
+        val Seq(a, b) = graft.sketch.Sketches.approxQuantiles(
           scored, "nats_per_token", Seq(cuts._1, cuts._2), relativeError)
         (a, b)
       }

@@ -397,4 +397,44 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs.keySet == Set((1L, 2L)), s"expected only the planted pair: $pairs")
   }
+
+  test("audioHashAligned60: silence trims/pads collapse to hamming 0; position-aligned hash misses them") {
+    val s0 = testSamples(480)
+    def padded(front: Int, back: Int): Array[Byte] =
+      Array.fill[Byte](front)(0x80.toByte) ++ s0 ++ Array.fill[Byte](back)(0x80.toByte)
+    val base = Multimodal.audioHashAligned60(pcm(s0)).get
+    // any edge-silence variant hashes IDENTICALLY under alignment
+    Seq((37, 23), (1, 0), (0, 200), (411, 97)).foreach { case (f, bk) =>
+      assert(Multimodal.audioHashAligned60(pcm(padded(f, bk))).get == base,
+        s"pad ($f,$bk) must be invisible to the aligned fingerprint")
+    }
+    // ...while the position-aligned fingerprint shifts every segment and
+    // loses the copy — the gap this variant exists to close
+    val posHam = java.lang.Long.bitCount(
+      Multimodal.audioHash60(pcm(s0)).get ^
+        Multimodal.audioHash60(pcm(padded(37, 23))).get)
+    assert(posHam > 6, s"position-aligned hash should miss the padded copy, got hamming $posHam")
+    // unrelated content stays far under alignment too
+    val other = Array.tabulate(480)(i => (128 + ((i * 31 + 7) % 50) - 25).toByte)
+    val far = java.lang.Long.bitCount(
+      base ^ Multimodal.audioHashAligned60(pcm(other)).get)
+    assert(far > 6, s"unrelated audio should be far, got hamming $far")
+    // all-silence payload hashes to 0, not an error
+    assert(Multimodal.audioHashAligned60(pcm(Array.fill[Byte](100)(0x80.toByte))).get == 0L)
+    assert(Multimodal.audioHashAligned60("notawav".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audioAlignedPairs: planted trimmed copies recovered at hamming 0") {
+    val s0 = testSamples(480)
+    val trimmedCopy = Array.fill[Byte](37)(0x80.toByte) ++ s0 ++ Array.fill[Byte](23)(0x80.toByte)
+    val other = Array.tabulate(480)(i => (128 + ((i * 31 + 7) % 50) - 25).toByte)
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, "audio", pcm(s0), Map.empty[String, String]))
+    rows.add(Row(2L, "audio", pcm(trimmedCopy), Map.empty[String, String]))
+    rows.add(Row(3L, "audio", pcm(other), Map.empty[String, String]))
+    val df = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val pairs = Multimodal.audioAlignedPairs(df, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 0), s"expected the planted pair at hamming 0: $pairs")
+  }
 }

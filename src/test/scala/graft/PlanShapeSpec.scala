@@ -263,4 +263,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       "pairing must go through the pigeonhole equi-join")
   }
+
+  test("q32/q92: hammingPairs reuses ONE exchange for both self-join sides and leaves no cached RDDs") {
+    Seq("q32_simhash_pairs", "q92_image_dhash_pairs").foreach { q =>
+      // delta-based: the shared session may carry other queries' caches
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val df = Queries.all.find(_.name == q).get.run(spark, sf())
+      // reuse is an ADAPTIVE-plan fact: execute THIS queryExecution so
+      // AQE finalizes and the reused stage is visible in the plan string
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+      assert(executed.contains("ReusedExchange"),
+        s"$q: signature pipeline must compute once — both join sides should read one exchange")
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty,
+        s"$q left NEW cached RDDs behind (the r11 hammingPairs persist leak): $leaked")
+    }
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sketches.Sketches
+import graft.sketch.Sketches
 
 class SketchesSpec extends SparkSpec {
   import spark.implicits._
