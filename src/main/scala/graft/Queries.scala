@@ -3170,6 +3170,57 @@ object Queries {
       WHERE bit_count(xor(a.sh, b2.sh)) <= 6
       ORDER BY id_a, id_b"""))
 
+  // Wide (120-bit) image dHash pairs — the >10^6-media scale path the
+  // q92 SCALE note names: horizontal + vertical gradient words from ONE
+  // decode, blocked by hammingPairsWide's ~17-bit pigeonhole keys (vs
+  // ~8.6-bit for the 60-bit family — 2^8.5x fewer blocking collisions at
+  // the same perfect-recall guarantee). Same q92 fixture; the oracle
+  // replays BOTH gradient planes from the raw pixel bytes and
+  // brute-forces the pair join on the summed per-word hamming.
+  val q98_image_dhash_wide: Q = Q("q98_image_dhash_wide",
+    (s, dir) => {
+      val media = documents(s, dir)
+        .withColumn("a", regexp_replace(col("text"), "[^ -~]", ""))
+        .withColumn("a", when(length(col("a")) === 0, lit("x")).otherwise(col("a")))
+        .withColumn("payload",
+          expr("substring(repeat(a, int(ceil(264.0d / double(length(a))))), 1, 264)"))
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          concat(lit("P5\n22 12\n255\n").cast("binary"),
+            col("payload").cast("binary")).as("content"))
+      graft.multimodal.Multimodal.dHashWidePairs(media, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH d0 AS (
+        SELECT doc_id,
+          CASE WHEN length(regexp_replace(text, '[^ -~]', '', 'g')) = 0 THEN 'x'
+               ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS a
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+          substr(repeat(a, CAST(ceil(264.0 / length(a)) AS INTEGER)), 1, 264) AS payload
+        FROM d0),
+      b AS (
+        SELECT doc_id,
+          [ord(substr(payload, i, 1)) FOR i IN generate_series(1, 264)] AS bs
+        FROM p),
+      sigs AS (
+        SELECT doc_id,
+          CAST(list_sum([CASE WHEN bs[((j // 10) * 12 // 6) * 22 + (((j % 10) + 1) * 22 // 11) + 1]
+                              > bs[((j // 10) * 12 // 6) * 22 + ((j % 10) * 22 // 11) + 1]
+                         THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END
+                         FOR j IN generate_series(0, 59)]) AS BIGINT) AS sh0,
+          CAST(list_sum([CASE WHEN bs[(((j // 10) + 1) * 12 // 7) * 22 + ((j % 10) * 22 // 10) + 1]
+                              > bs[((j // 10) * 12 // 7) * 22 + ((j % 10) * 22 // 10) + 1]
+                         THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END
+                         FOR j IN generate_series(0, 59)]) AS BIGINT) AS sh1
+        FROM b)
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        CAST(bit_count(xor(a.sh0, b2.sh0)) + bit_count(xor(a.sh1, b2.sh1)) AS INTEGER) AS hamming
+      FROM sigs a JOIN sigs b2 ON a.doc_id < b2.doc_id
+      WHERE bit_count(xor(a.sh0, b2.sh0)) + bit_count(xor(a.sh1, b2.sh1)) <= 6
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3201,5 +3252,6 @@ object Queries {
     q85_stream_join, q86_sliding_state, q87_bootstrap_counters,
     q88_gap_timers, q89_distinct_map, q90_temperature_mix,
     q91_resample_interpolate, q92_image_dhash_pairs, q93_audio_hash_pairs, q94_resample_locf,
-    q95_hll_distinct, q96_bloom_semi_join, q97_audio_trim_pairs)
+    q95_hll_distinct, q96_bloom_semi_join, q97_audio_trim_pairs,
+    q98_image_dhash_wide)
 }

@@ -57,15 +57,16 @@ object ScaleProbe {
       else Seq(1, 4, 16)
     val pairsOnly = args.headOption.contains("pairs")
     val widthOnly = args.headOption.contains("simhash-width")
+    val perceptualOnly = args.headOption.contains("perceptual")
     val mutModulus: Int =
       if (pairsOnly) args.lift(2).map(_.trim.toInt).getOrElse(16) else 16
     val li = Tables.lineitem(spark, dir)
     val docs = Tables.documents(spark, dir)
     val ev = Tables.events(spark, dir)
     li.count(); docs.count(); ev.count() // warm
-    if (!pairsOnly && !widthOnly)
+    if (!pairsOnly && !widthOnly && !perceptualOnly)
       println("factor,rows_lineitem,agg_join_s,rolling_s,minhash_s,topk_s")
-    for (n <- Seq(1, 4, 16) if !pairsOnly && !widthOnly) {
+    for (n <- Seq(1, 4, 16) if !pairsOnly && !widthOnly && !perceptualOnly) {
       val liN = rep(li, n, "l_orderkey")
       val docsN = rep(docs, n, "doc_id")
       val evN = rep(ev, n, "event_id")
@@ -147,6 +148,68 @@ object ScaleProbe {
       if (n > materializeAt) materialized("emb", n, mutatedEmbCopy)
       else (0 until n).map(mutatedEmbCopy).reduce(_ unionByName _)
 
+    // `perceptual [factors-csv] [modulus]` — the media-family probe
+    // (VERDICT r11 #8): replicate the q92/q97 fixtures with MUTATED
+    // rasters/waveforms (copy i mutates ~i/modulus of the source text's
+    // token positions before the ASCII projection, so raster bytes and
+    // energy envelopes drift with copy index — bounded near-dup
+    // neighborhoods, the same discipline as the text probe) and measure
+    // the shared hammingPairs blocking occupancy: pair counts and wall
+    // for image dHash and onset-aligned audio. Audio copies additionally
+    // carry copy-dependent edge-silence pads ((i·13)%41 front,
+    // (i·7)%29 back) — invisible to the aligned fingerprint by design,
+    // so the probe also exercises the alignment at scale.
+    if (args.headOption.contains("perceptual")) {
+      val factors = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(4, 16))
+      val pModulus = args.lift(2).map(_.trim.toInt).getOrElse(16)
+      def mutateTextP(c: org.apache.spark.sql.Column, i: Int) =
+        if (i == 0) c
+        else array_join(transform(split(c, " "), (w, p) =>
+          when(pmod(p * 37 + 11, lit(pModulus)) < i, concat(w, lit(s"_m$i"))).otherwise(w)), " ")
+      def ascii(c: org.apache.spark.sql.Column) = {
+        val a = regexp_replace(c, "[^ -~]", "")
+        when(length(a) === 0, lit("x")).otherwise(a)
+      }
+      def imageCopy(i: Int): DataFrame = docs.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("media_id"),
+          ascii(mutateTextP(col("text"), i)).as("a"))
+        .withColumn("payload",
+          expr("substring(repeat(a, int(ceil(264.0d / double(length(a))))), 1, 264)"))
+        .select(col("media_id"), lit("image").as("kind"),
+          concat(lit("P5\n22 12\n255\n").cast("binary"),
+            col("payload").cast("binary")).as("content"))
+      val encPad = udf((payload: Array[Byte], front: Int, back: Int) =>
+        graft.multimodal.Multimodal.encodePcmWav(8000,
+          Array.fill[Byte](front)(0x80.toByte) ++ payload ++
+            Array.fill[Byte](back)(0x80.toByte)))
+      def audioCopy(i: Int): DataFrame = docs.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("media_id"),
+          lit("audio").as("kind"),
+          encPad(ascii(mutateTextP(col("text"), i)).cast("binary"),
+            lit((i * 13) % 41), lit((i * 7) % 29)).as("content"))
+      // same janino-cliff rule as the text probe: big factors materialize
+      def mediaFor(kind: String, n: Int, copy: Int => DataFrame): DataFrame =
+        if (n > materializeAt) materializedMedia(spark, dir, kind, n, pModulus, copy)
+        else (0 until n).map(copy).reduce(_ unionByName _)
+      // untimed warmup: codegen for all three pair plans
+      graft.multimodal.Multimodal.dHashPairs(imageCopy(0), maxHamming = 6).count()
+      graft.multimodal.Multimodal.dHashWidePairs(imageCopy(0), maxHamming = 6).count()
+      graft.multimodal.Multimodal.audioAlignedPairs(audioCopy(0), maxHamming = 6).count()
+      def time2p(f: => Unit): Double = math.min(time(f), time(f))
+      println("factor,media,dhash_s,dhash_pairs,dhash_wide_s,dhash_wide_pairs,audio_aligned_s,audio_pairs")
+      for (n <- factors) {
+        val img = mediaFor("img", n, imageCopy)
+        val aud = mediaFor("aud", n, audioCopy)
+        var dp = 0L; var wp = 0L; var ap = 0L
+        val dS = time2p { dp = graft.multimodal.Multimodal.dHashPairs(img, maxHamming = 6).count() }
+        val wS = time2p { wp = graft.multimodal.Multimodal.dHashWidePairs(img, maxHamming = 6).count() }
+        val aS = time2p { ap = graft.multimodal.Multimodal.audioAlignedPairs(aud, maxHamming = 6).count() }
+        println(f"$n,${n * 5000},$dS%.2f,$dp,$wS%.2f,$wp,$aS%.2f,$ap")
+      }
+      spark.stop(); return
+    }
+
     def jacc(d: DataFrame) = graft.dedup.Dedup
       .jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5, maxShingleFreq = 100)
     def simh(d: DataFrame) = graft.dedup.Dedup
@@ -215,6 +278,29 @@ object ScaleProbe {
       println(f"$n,${n * 5000},$jS%.2f,$jp,$sS%.2f,$sp,$nS%.2f,$np,$bpA,$nbA,$nlS%.2f,$npl")
     }
     spark.stop()
+  }
+
+  /** Per-copy materialization for the perceptual probe's large factors —
+    * same janino-cliff rule as the text probe's `materialized`: an n-way
+    * union plan past ~32 branches blows the generated-code compiler, so
+    * big corpora land as n small append jobs and re-read as a plain scan
+    * (also the realistic shape: a media corpus is files, not a union). */
+  private def materializedMedia(spark: org.apache.spark.sql.SparkSession,
+      dir: String, kind: String, n: Int, modulus: Int,
+      copy: Int => DataFrame): DataFrame = {
+    val dirKey = java.lang.Integer.toHexString(dir.hashCode)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-probe-media-$kind-${n}x-m$modulus-$dirKey")
+    val marker = new java.io.File(base, "_done")
+    if (!marker.exists()) {
+      graft.streaming.ReplayScaffold.rmTree(base)
+      (0 until n).foreach { i =>
+        copy(i).write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(new java.io.File(base, "data").toString)
+      }
+      marker.createNewFile()
+    }
+    spark.read.parquet(new java.io.File(base, "data").toString)
   }
 
   /** Candidate-dedup order experiment for `nearDupPairsFixed`

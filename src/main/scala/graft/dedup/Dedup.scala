@@ -334,14 +334,34 @@ object Dedup {
       idCol: String,
       textCol: String,
       bits: Int,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairsWide(withSimhashWide(df, idCol, textCol, bits), bits, maxHamming)
+
+  /** [[hammingPairs]] over MULTI-WORD signatures `(id, sh: array<bigint>)`
+    * (`60 < bits <= 120`) — the width-scalable blocking core shared by
+    * wide text simhash ([[simhashPairsWide]]) and the wide perceptual
+    * fingerprints ([[graft.multimodal.Multimodal.dHashWidePairs]]): same
+    * pigeonhole construction, but blocks are `bits/(maxHamming+1)` wide
+    * (120 bits at maxHamming 6 ⇒ ~17-bit blocks vs ~8.6 for the 60-bit
+    * family), so blocking collisions fall by 2^(widthGain) and the
+    * candidate stream stays ≈ true pairs to corpus sizes where the
+    * narrow blocks are saturated. Blocks may straddle the 60-bit word
+    * boundary ([[extractBits]]); verification is a fixed per-word
+    * `bit_count(xor)` sum. Like [[hammingPairs]], no persist: both
+    * self-join sides canonicalize to one exchange (merge hint keeps the
+    * signature pipeline computed once, zero cached RDDs). */
+  def hammingPairsWide(
+      sigsIn: DataFrame,
+      bits: Int,
+      maxHamming: Int): DataFrame = {
+    require(bits >= 1 && bits <= 120,
+      s"hammingPairsWide supports 1..120 bits (two 60-bit words), got $bits")
     val nWords = (bits + 59) / 60
     val nBlocks = math.min(maxHamming + 1, bits)
     val sizes = Array.tabulate(nBlocks)(j => bits / nBlocks + (if (j < bits % nBlocks) 1 else 0))
     require(sizes.forall(_ <= 60), s"block width ${sizes.max} > 60; raise maxHamming")
     val offsets = sizes.scanLeft(0)(_ + _)
-    val sigs = withSimhashWide(df, idCol, textCol, bits).persist()
-    sigs.count() // materialize before the self-join
+    val sigs = sigsIn.select(col("id"), col("sh"))
     val blocked = sigs.withColumn("block", explode(array(
       (0 until nBlocks).map { j =>
         concat_ws(":", lit(j), extractBits(col("sh"), offsets(j), sizes(j)))
@@ -351,7 +371,7 @@ object Dedup {
     val hamming = (0 until nWords).map(wd =>
       bit_count(element_at(col("sh_a"), wd + 1)
         .bitwiseXOR(element_at(col("sh_b"), wd + 1)))).reduce(_ + _)
-    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+    a.hint("merge").join(b.hint("merge"), Seq("block")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()

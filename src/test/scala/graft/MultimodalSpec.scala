@@ -424,6 +424,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioHashAligned60("notawav".getBytes("UTF-8")).isEmpty)
   }
 
+  test("dHash120: horizontal word equals dHash60; vertical word adds independent evidence; wide pairs recover planted near-dups") {
+    // pixels capped below 215 so the +40 brightness shift never clips —
+    // clipping flattens real gradients and is SUPPOSED to move bits
+    val px = Array.tabulate(22 * 12)(i => ((i * 7 + (i / 22) * 13) % 200).toByte)
+    val img = p5(22, 12, px)
+    val wide = Multimodal.dHash120(img).get
+    assert(wide.length == 2)
+    assert(wide(0) == Multimodal.dHash60(img).get.longValue,
+      "word 0 must be the existing horizontal dHash — one decode, superset fingerprint")
+    // brightness shift leaves BOTH gradient words fixed (same invariance
+    // the 60-bit hash proves)
+    val brighter = p5(22, 12, px.map(b => ((b & 0xff) + 40).toByte))
+    assert(Multimodal.dHash120(brighter).get.sameElements(wide))
+    // a one-pixel edit at a grid-sampled position (col 4, row 4 — on
+    // both planes' NN grids) moves at most a few bits across the words
+    val edited = px.clone(); edited(4 * 22 + 4) = ((edited(4 * 22 + 4) & 0xff) ^ 0x80).toByte
+    val we = Multimodal.dHash120(p5(22, 12, edited)).get
+    val ham = java.lang.Long.bitCount(wide(0) ^ we(0)) + java.lang.Long.bitCount(wide(1) ^ we(1))
+    assert(ham >= 1 && ham <= 6, s"one-pixel edit should land near, got hamming $ham")
+    assert(Multimodal.dHash120("junk".getBytes("UTF-8")).isEmpty)
+    // pair recall through the wide blocking core
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row(1L, "image", img, Map.empty[String, String]))
+    rows.add(Row(2L, "image", p5(22, 12, edited), Map.empty[String, String]))
+    rows.add(Row(3L, "image", p5(22, 12, px.map(b => (255 - (b & 0xff)).toByte)), Map.empty[String, String]))
+    val df = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val pairs = Multimodal.dHashWidePairs(df, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the planted pair: $pairs")
+  }
+
   test("audioAlignedPairs: planted trimmed copies recovered at hamming 0") {
     val s0 = testSamples(480)
     val trimmedCopy = Array.fill[Byte](37)(0x80.toByte) ++ s0 ++ Array.fill[Byte](23)(0x80.toByte)

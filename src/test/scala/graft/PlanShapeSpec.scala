@@ -264,8 +264,9 @@ class PlanShapeSpec extends SparkSpec {
       "pairing must go through the pigeonhole equi-join")
   }
 
-  test("q32/q92: hammingPairs reuses ONE exchange for both self-join sides and leaves no cached RDDs") {
-    Seq("q32_simhash_pairs", "q92_image_dhash_pairs").foreach { q =>
+  test("q32/q92/q82/q98: hamming pair families reuse ONE exchange for both self-join sides and leave no cached RDDs") {
+    Seq("q32_simhash_pairs", "q92_image_dhash_pairs",
+        "q82_simhash_wide", "q98_image_dhash_wide").foreach { q =>
       // delta-based: the shared session may carry other queries' caches
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val df = Queries.all.find(_.name == q).get.run(spark, sf())
