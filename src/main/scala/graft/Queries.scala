@@ -3221,6 +3221,248 @@ object Queries {
       WHERE bit_count(xor(a.sh0, b2.sh0)) + bit_count(xor(a.sh1, b2.sh1)) <= 6
       ORDER BY id_a, id_b"""))
 
+  // Exact φ-heavy-hitters with count-min pruning (Sketches.cmHeavyHitters):
+  // tokens holding ≥ 1/2000 of all occurrences. Pass 1 builds the 3×1024
+  // counter grid in ONE fixed-cardinality aggregation (map-side partial
+  // sums bound the exchange at depth×width rows per partition — the
+  // corpus never shuffles by token); pass 2's scan keeps only occurrences
+  // whose broadcast-literal CM estimate clears the threshold. est ≥ cnt
+  // ALWAYS (one-sided error), so the prune is lossless and the exact
+  // HAVING removes false positives — sketch changes IO, never answers.
+  // The oracle replays the md5-h60 bucket hashes, the full counter grid,
+  // AND the min-over-rows estimate integer-exactly, so the hash match
+  // pins the estimator itself, not just the surviving token set.
+  val q99_cm_heavy_hitters = Q("q99_cm_heavy_hitters",
+    (s, dir) => Sketches.cmHeavyHitters(
+        documents(s, dir).select(explode(split(col("text"), " ")).as("token")),
+        col("token"), phiDen = 2000L, depth = 3, width = 1024)
+      .orderBy(col("cnt").desc, col("token")),
+    Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM tf),
+      b AS (
+        SELECT token, cnt, j,
+          CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT) % 1024 AS bucket
+        FROM tf CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+      counters AS (SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM b GROUP BY j, bucket),
+      est AS (SELECT token, MIN(c) AS est FROM b JOIN counters USING (j, bucket) GROUP BY token)
+      SELECT tf.token, tf.cnt, est.est
+      FROM tf JOIN est USING (token), tot
+      WHERE tf.cnt * 2000 >= tot.n
+      ORDER BY cnt DESC, token"""))
+
+  // Rank-exact quantiles from a mergeable equi-width histogram
+  // (Sketches.histogram/histogramQuantiles): per-source n_chars
+  // histograms at binWidth 32 built by one O(sources × bins) exchange,
+  // PLUS a corpus row merged by summing counts — never re-reading the
+  // documents (counters are linear, the same merge property as q95's
+  // HLL registers). Quantile = smallest bin whose cumulative count
+  // reaches ceil(p·n), decided by `cum·den ≥ n·num` in pure integer
+  // arithmetic — so unlike GK/t-digest the estimates carry an exact
+  // DuckDB replay: value error ≤ binWidth, rank error ZERO.
+  val q100_hist_quantiles = Q("q100_hist_quantiles",
+    (s, dir) => {
+      val perSource = Sketches.histogram(
+        documents(s, dir), col("n_chars"), Seq("source"), binWidth = 32L)
+      val merged = perSource.groupBy("bin").agg(sum("cnt").as("cnt"))
+        .select(lit("*").as("source"), col("bin"), col("cnt"))
+      Sketches.histogramQuantiles(perSource.unionByName(merged),
+          Seq("source"), Seq((1, 2), (9, 10), (99, 100)), binWidth = 32L)
+        .orderBy("source", "p_num", "p_den")
+    },
+    Some("""
+      WITH h AS (
+        SELECT source, CAST(n_chars // 32 AS BIGINT) AS bin, COUNT(*) AS cnt
+        FROM documents GROUP BY 1, 2),
+      hall AS (
+        SELECT source, bin, cnt FROM h
+        UNION ALL
+        SELECT '*', bin, CAST(SUM(cnt) AS BIGINT) FROM h GROUP BY bin),
+      c AS (
+        SELECT source, bin, cnt,
+          CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum,
+          CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_rows
+        FROM hall),
+      p AS (SELECT * FROM (VALUES (1, 2), (9, 10), (99, 100)) AS t(p_num, p_den)),
+      q AS (
+        SELECT source, p_num, p_den, MAX(n_rows) AS n_rows, MIN(bin) AS bin
+        FROM c CROSS JOIN p
+        WHERE cum * p_den >= n_rows * p_num
+        GROUP BY 1, 2, 3)
+      SELECT source, p_num, p_den, n_rows, bin, bin * 32 AS lo, (bin + 1) * 32 AS hi
+      FROM q ORDER BY source, p_num, p_den"""))
+
+  // HLL set-operation cardinalities (the q95 registers' merge algebra put
+  // to work): |A ∩ B| for every priority pair, estimated by
+  // inclusion-exclusion est(A) + est(B) − est(A ∪ B), where the UNION
+  // sketch is built by pointwise register max over the ALREADY-BUILT
+  // per-priority register tables — the orders data is scanned once for
+  // the sketches and never again for any of the 10 pair estimates
+  // (sketch-sized joins only: 10 pairs × 1024 registers). The exact
+  // intersection joins in so the output grades its own error, and the
+  // oracle replays the register algebra + both estimator branches for
+  // all 5 + 10 keyed sketches integer-exactly.
+  val q101_hll_set_ops = Q("q101_hll_set_ops",
+    (s, dir) => {
+      val o = orders(s, dir).select(col("o_orderpriority").as("p"), col("o_custkey"))
+      val regs = Sketches.hllRegisters(o, col("o_custkey").cast("string"), Seq("p"), p = 10)
+      val per = Sketches.hllEstimate(regs, Seq("p"), p = 10).select(col("p"), col("est"))
+      val prios = regs.select("p").distinct()
+      val pairs = prios.as("a").join(prios.as("b"), col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"))
+      val unionRegs = pairs.join(regs, col("p") === col("pa") || col("p") === col("pb"))
+        .groupBy("pa", "pb", "reg_idx").agg(max("max_rho").as("max_rho"))
+      val estU = Sketches.hllEstimate(unionRegs, Seq("pa", "pb"), p = 10)
+        .select(col("pa"), col("pb"), col("est").as("est_union"))
+      val dist = o.distinct()
+      val exact = dist.as("x").join(dist.as("y"),
+          col("x.o_custkey") === col("y.o_custkey") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("exact_inter"))
+      estU
+        .join(per.select(col("p").as("pa"), col("est").as("ea")), Seq("pa"))
+        .join(per.select(col("p").as("pb"), col("est").as("eb")), Seq("pb"))
+        .join(exact, Seq("pa", "pb"))
+        .select(col("pa"), col("pb"),
+          round(col("ea"), 6).as("est_a"), round(col("eb"), 6).as("est_b"),
+          round(col("est_union"), 6).as("est_union"),
+          round(col("ea") + col("eb") - col("est_union"), 6).as("est_inter"),
+          col("exact_inter"))
+        .orderBy("pa", "pb")
+    },
+    Some(s"""
+      WITH d AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders),
+      h AS (SELECT p, CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15)) AS BIGINT) AS h, c FROM d),
+      regs AS (
+        SELECT p, h & 1023 AS reg_idx,
+          MAX(CASE WHEN (h >> 10) = 0 THEN 51
+                   ELSE 51 - length(bin(h >> 10)) END) AS max_rho
+        FROM h GROUP BY 1, 2),
+      prios AS (SELECT DISTINCT p FROM regs),
+      pairs AS (SELECT a.p AS pa, b.p AS pb FROM prios a JOIN prios b ON a.p < b.p),
+      allregs AS (
+        SELECT p AS k1, '' AS k2, reg_idx, max_rho FROM regs
+        UNION ALL
+        SELECT pa, pb, reg_idx, MAX(max_rho)
+        FROM pairs JOIN regs ON p = pa OR p = pb GROUP BY 1, 2, 3),
+      agg AS (
+        SELECT k1, k2, COUNT(*) AS n_reg,
+          CAST((1024 - COUNT(*)) AS DECIMAL(10,0)) * CAST(2305843009213693952 AS DECIMAL(19,0))
+            + SUM(CAST((CAST(1 AS BIGINT) << (61 - max_rho)) AS DECIMAL(38,0))) AS z_int
+        FROM allregs GROUP BY 1, 2),
+      fin AS (
+        SELECT k1, k2,
+          CASE WHEN ${Sketches.alphaNumeratorLiteral(10)}::DOUBLE / CAST(z_int AS DOUBLE) <= 2560.0
+                    AND (1024 - n_reg) > 0
+               THEN CAST(CAST(1024 AS DECIMAL(10,0)) *
+                 CAST(ln(CAST(1024 AS DOUBLE) / CAST(1024 - n_reg AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE)
+               ELSE ${Sketches.alphaNumeratorLiteral(10)}::DOUBLE / CAST(z_int AS DOUBLE) END AS est
+        FROM agg),
+      exact AS (
+        SELECT x.p AS pa, y.p AS pb, COUNT(*) AS exact_inter
+        FROM d x JOIN d y ON x.c = y.c AND x.p < y.p GROUP BY 1, 2)
+      SELECT pa, pb, round(ea.est, 6) AS est_a, round(eb.est, 6) AS est_b,
+        round(eu.est, 6) AS est_union,
+        round(ea.est + eb.est - eu.est, 6) AS est_inter, exact_inter
+      FROM exact
+      JOIN fin eu ON eu.k1 = pa AND eu.k2 = pb
+      JOIN fin ea ON ea.k1 = pa AND ea.k2 = ''
+      JOIN fin eb ON eb.k1 = pb AND eb.k2 = ''
+      ORDER BY pa, pb"""))
+
+  // Weighted sampling without replacement (Selection.weightedSample,
+  // Efraimidis-Spirakis A-ES): 100 documents sampled ∝ n_chars with the
+  // deterministic h60 in place of the RNG — the quality-weighted corpus
+  // subsetting step, reproducible across runs/partitionings/engines.
+  // Plans as TakeOrderedAndProject (bounded per-partition heaps, no
+  // global sort shuffle). The oracle replays the hash draw, the
+  // DECIMAL(27,12) log, the one IEEE division and the full ordering.
+  val q102_weighted_sample = Q("q102_weighted_sample",
+    (s, dir) => graft.text.Selection.weightedSample(
+        documents(s, dir).select("doc_id", "n_chars"),
+        "doc_id", col("n_chars"), k = 100)
+      .select(col("doc_id"), col("n_chars"), round(col("es_key") * 1000, 6).as("key_x1000"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH kdf AS (
+        SELECT doc_id, n_chars,
+          CAST(-ln((CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+                   / 1152921504606846976.0) AS DECIMAL(27,12)) AS nl
+        FROM documents),
+      sel AS (
+        SELECT doc_id, n_chars, CAST(nl AS DOUBLE) / CAST(n_chars AS DOUBLE) AS es_key
+        FROM kdf ORDER BY es_key, doc_id LIMIT 100)
+      SELECT doc_id, n_chars, round(es_key * 1000, 6) AS key_x1000
+      FROM sel ORDER BY doc_id"""))
+
+  // Per-epoch novelty accounting via cumulative sketch merges (the
+  // monitoring loop a continuously-ingesting corpus needs: "how many
+  // NEW users/documents did this shard add?"). One register build keyed
+  // by order year, then every cumulative estimate comes from pointwise
+  // register max over years ≤ y — the data is scanned once; all 7
+  // cumulative sketches + novelty deltas are sketch-sized algebra
+  // (years × 1024 rows). est_new = est_cum − lag(est_cum) on the
+  // unrounded doubles; exact first-seen counts join in so the output
+  // grades its own error. The tiny single-partition windows run on the
+  // SKETCH (7 rows), never the data.
+  val q103_hll_novelty = Q("q103_hll_novelty",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = orders(s, dir)
+        .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+      val regs = Sketches.hllRegisters(o, col("o_custkey").cast("string"), Seq("yr"), p = 10)
+      val yrs = regs.select("yr").distinct()
+      val cumRegs = yrs.as("y").join(regs.as("r"), col("r.yr") <= col("y.yr"))
+        .groupBy(col("y.yr").as("yr"), col("reg_idx")).agg(max("max_rho").as("max_rho"))
+      val est = Sketches.hllEstimate(cumRegs, Seq("yr"), p = 10).select(col("yr"), col("est"))
+      val firstSeen = o.groupBy("o_custkey").agg(min("yr").as("yr"))
+        .groupBy("yr").agg(count(lit(1)).as("new_exact"))
+      val wOrd = Window.orderBy("yr")
+      est.join(firstSeen, Seq("yr"), "left")
+        .na.fill(0L, Seq("new_exact"))
+        .withColumn("exact_cum", sum("new_exact")
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("est_new", col("est") - coalesce(lag("est", 1).over(wOrd), lit(0.0)))
+        .select(col("yr"), round(col("est"), 6).as("est_cum"), col("exact_cum"),
+          round(col("est_new"), 6).as("est_new"), col("new_exact").as("exact_new"))
+        .orderBy("yr")
+    },
+    Some(s"""
+      WITH o AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_custkey AS c FROM orders),
+      h AS (SELECT yr, CAST(('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15)) AS BIGINT) AS h, c FROM o),
+      regs AS (
+        SELECT yr, h & 1023 AS reg_idx,
+          MAX(CASE WHEN (h >> 10) = 0 THEN 51
+                   ELSE 51 - length(bin(h >> 10)) END) AS max_rho
+        FROM h GROUP BY 1, 2),
+      yrs AS (SELECT DISTINCT yr FROM regs),
+      cumregs AS (
+        SELECT y.yr, r.reg_idx, MAX(r.max_rho) AS max_rho
+        FROM yrs y JOIN regs r ON r.yr <= y.yr GROUP BY 1, 2),
+      agg AS (
+        SELECT yr, COUNT(*) AS n_reg,
+          CAST((1024 - COUNT(*)) AS DECIMAL(10,0)) * CAST(2305843009213693952 AS DECIMAL(19,0))
+            + SUM(CAST((CAST(1 AS BIGINT) << (61 - max_rho)) AS DECIMAL(38,0))) AS z_int
+        FROM cumregs GROUP BY 1),
+      fin AS (
+        SELECT yr,
+          CASE WHEN ${Sketches.alphaNumeratorLiteral(10)}::DOUBLE / CAST(z_int AS DOUBLE) <= 2560.0
+                    AND (1024 - n_reg) > 0
+               THEN CAST(CAST(1024 AS DECIMAL(10,0)) *
+                 CAST(ln(CAST(1024 AS DOUBLE) / CAST(1024 - n_reg AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE)
+               ELSE ${Sketches.alphaNumeratorLiteral(10)}::DOUBLE / CAST(z_int AS DOUBLE) END AS est
+        FROM agg),
+      fs AS (SELECT c, MIN(yr) AS fy FROM o GROUP BY 1),
+      nw AS (SELECT fy AS yr, COUNT(*) AS new_exact FROM fs GROUP BY 1),
+      j AS (SELECT fin.yr, est, COALESCE(new_exact, 0) AS new_exact
+            FROM fin LEFT JOIN nw ON fin.yr = nw.yr)
+      SELECT yr, round(est, 6) AS est_cum,
+        CAST(SUM(new_exact) OVER (ORDER BY yr) AS BIGINT) AS exact_cum,
+        round(est - COALESCE(lag(est) OVER (ORDER BY yr), 0.0), 6) AS est_new,
+        new_exact AS exact_new
+      FROM j ORDER BY yr"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3253,5 +3495,6 @@ object Queries {
     q88_gap_timers, q89_distinct_map, q90_temperature_mix,
     q91_resample_interpolate, q92_image_dhash_pairs, q93_audio_hash_pairs, q94_resample_locf,
     q95_hll_distinct, q96_bloom_semi_join, q97_audio_trim_pairs,
-    q98_image_dhash_wide)
+    q98_image_dhash_wide, q99_cm_heavy_hitters, q100_hist_quantiles,
+    q101_hll_set_ops, q102_weighted_sample, q103_hll_novelty)
 }

@@ -113,11 +113,138 @@ object Sketches {
   def hllDistinct(df: DataFrame, value: Column, keys: Seq[String], p: Int): DataFrame =
     hllEstimate(hllRegisters(df, value, keys, p), keys, p)
 
+  // --- Count-min sketch (Cormode & Muthukrishnan 2005, "An improved
+  // --- data stream summary: the count-min sketch and its
+  // --- applications"), distributed-native: the counter grid is built by
+  // --- ONE fixed-cardinality aggregation and probed via broadcast
+  // --- literal arrays, so the heavy input never shuffles by token.
+
+  /** CM bucket hash for row `j`: the shared md5-h60 salted with the row
+    * index, reduced mod `width`. Engine-portable (DuckDB replays it as
+    * `('0x'||substr(md5(j||':'||v),1,15))::BIGINT % width`), which is
+    * what lets a CM-pruned query carry an integer-exact oracle. */
+  def cmBucket(value: Column, j: Int, width: Int): Column =
+    pmod(Dedup.h60(concat(lit(s"$j:"), value)), lit(width.toLong))
+
+  /** Distributed count-min counter grid `(j, bucket, cnt)` over the
+    * occurrences of `value`.
+    *
+    * Each occurrence contributes `depth` (j, bucket) rows (posexplode of
+    * the per-row bucket hashes — scan-fused, no join), then ONE
+    * aggregation whose key domain is bounded by depth×width: map-side
+    * partial sums collapse every input partition to at most depth×width
+    * rows before the exchange, so the wire cost is O(depth × width)
+    * regardless of input size — the CM analogue of [[hllRegisters]]'
+    * O(m) bound. Grids built on independent shards MERGE by summing
+    * counts per (j, bucket) without re-reading data (counters are
+    * linear), the same union-then-aggregate discipline as [[hllMerge]].
+    */
+  def cmCounters(df: DataFrame, value: Column, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2 && width <= (1 << 20), s"width must be in [2,2^20], got $width")
+    val buckets = array((0 until depth).map(j => cmBucket(value, j, width)): _*)
+    df.select(posexplode(buckets).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate column from a driver-held grid: `least` of `depth`
+    * codegen'd literal-array lookups — the estimate ≥ the true count
+    * ALWAYS (CM's one-sided error), which is the property that makes CM
+    * pruning lossless. Grid size is depth×width longs by construction
+    * (the same O(sketch) driver hold every CM implementation requires —
+    * NOT data-dependent), so the broadcast is a few KB of literals that
+    * stay inside the scan's WholeStageCodegen span. */
+  def cmEstimate(value: Column, grid: Array[Array[Long]], width: Int): Column = {
+    val lookups = grid.indices.map { j =>
+      element_at(typedlit(grid(j).toSeq),
+        (cmBucket(value, j, width) + lit(1L)).cast("int"))
+    }
+    if (lookups.size == 1) lookups.head else least(lookups: _*)
+  }
+
+  /** Exact φ-heavy-hitters (φ = 1/phiDen of all occurrences) with CM
+    * pruning: `(token, cnt, est)` for every value whose exact occurrence
+    * count cnt satisfies cnt·phiDen ≥ N, with est the (integer) CM
+    * estimate that admitted it.
+    *
+    * Pass 1 builds the counter grid (fixed-cardinality shuffle, above);
+    * N = Σ counters at j = 0. Pass 2 re-scans, keeps only occurrences
+    * whose CM estimate clears the threshold — since est ≥ cnt always,
+    * no true heavy hitter is pruned — and counts the small survivor set
+    * exactly; the exact HAVING then removes CM false positives. The
+    * token-keyed shuffle carries CANDIDATE occurrences only (at Zipfian
+    * token frequencies, a vanishing fraction of the corpus), vs a full
+    * per-token exchange for the direct groupBy — the same
+    * sketch-changes-IO-never-answers contract as [[bloomSemiJoin]]. */
+  def cmHeavyHitters(df: DataFrame, value: Column, phiDen: Long,
+      depth: Int = 3, width: Int = 1024): DataFrame = {
+    val grid = Array.fill(depth, width)(0L)
+    // bounded by construction: depth×width rows, independent of data size
+    cmCounters(df, value, depth, width).collect().foreach { r =>
+      grid(r.getAs[Int]("j"))(r.getAs[Long]("bucket").toInt) = r.getAs[Long]("cnt")
+    }
+    val n = grid(0).sum
+    df.select(value.as("token"))
+      .filter(cmEstimate(col("token"), grid, width) * lit(phiDen) >= lit(n))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(phiDen) >= lit(n))
+      .withColumn("est", cmEstimate(col("token"), grid, width))
+  }
+
   // --- Built-in sketch wrappers (formerly graft.sketches.Sketches; the
   // --- two same-named one-letter-apart packages invited wrong imports —
   // --- VERDICT r11 #3). All wrap Spark's codegen'd built-ins
   // --- (HyperLogLog++, GK quantiles, CountMinSketch, BloomFilter);
   // --- exactness-vs-memory is the rsd/accuracy/fpp knob.
+
+  // --- Mergeable equi-width histogram: the rank-exact quantile sketch.
+  // --- GK/t-digest trade rank error for size with float internals no
+  // --- second engine reproduces; an equi-width integer histogram is the
+  // --- quantile sketch whose every step is integer arithmetic, so its
+  // --- estimates carry a DuckDB hash oracle — value error bounded by
+  // --- binWidth, rank EXACT at bin granularity.
+
+  /** Histogram table `(keys..., bin, cnt)` with bin = floor(value /
+    * binWidth). One aggregation whose key domain is keys × occupied
+    * bins; map-side partial sums bound the exchange at O(keys × bins)
+    * regardless of input size. Histograms from independent shards merge
+    * by summing counts per (keys, bin) — counters are linear, as with
+    * [[cmCounters]]. `value` must be integral and non-negative. */
+  def histogram(df: DataFrame, value: Column, keys: Seq[String], binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    df.select(keys.map(col) :+ floor(value / lit(binWidth)).cast("long").as("bin"): _*)
+      .groupBy(keys.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantiles from a histogram table: for each probability num/den, the
+    * smallest bin whose cumulative count reaches rank ceil(p·n) —
+    * `cum·den ≥ n·num` in pure integer arithmetic (cum is an integer, so
+    * the ceiling is free). Output `(keys..., p_num, p_den, n_rows, bin,
+    * lo, hi)`: the true quantile lies in [lo, hi) — value error ≤
+    * binWidth with rank exact.
+    *
+    * Everything here operates on the SKETCH (keys × bins rows), not the
+    * data: the per-key cumulative window and the probs cross join are
+    * O(bins) per key, and the probs side is a literal handful of rows —
+    * broadcast, never an exchange on the histogram. */
+  def histogramQuantiles(hist: DataFrame, keys: Seq[String],
+      probs: Seq[(Int, Int)], binWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = hist.sparkSession
+    val probsDf = broadcast(spark.createDataFrame(probs).toDF("p_num", "p_den"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("bin")
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n_rows", sum("cnt").over(wAll))
+      .crossJoin(probsDf)
+      .filter(col("cum") * col("p_den") >= col("n_rows") * col("p_num"))
+      .groupBy(keys.map(col) :+ col("p_num") :+ col("p_den"): _*)
+      .agg(max("n_rows").as("n_rows"), min("bin").as("bin"))
+      .withColumn("lo", col("bin") * lit(binWidth))
+      .withColumn("hi", (col("bin") + 1) * lit(binWidth))
+  }
 
   /** HyperLogLog++ distinct count (±rsd relative error, ~1.5 KB state at
     * rsd=0.05 vs a full distinct shuffle) — Spark's built-in aggregate;

@@ -176,6 +176,11 @@ final class PushSource(
       .schema(StructType(Seq(
         StructField("conn", StringType), StructField("seq", LongType),
         StructField("data", StringType), StructField("ts", LongType))))
+      // a reader lagging past an active retention window must degrade to
+      // the sweep's documented loss contract, not die on a swept file
+      // (see PollingSource.rawStream)
+      .options(if (retentionMs > 0) Map("ignoreMissingFiles" -> "true")
+               else Map.empty[String, String])
       .json(spoolDir)
       .select(col("conn"), col("seq"), col("data"),
         timestamp_millis(col("ts")).as("ts"))

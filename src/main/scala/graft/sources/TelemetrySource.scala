@@ -170,9 +170,17 @@ final class PollingSource(
     * exactly-once-safe complement to the writer-side mtime sweep). */
   def rawStream(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
+    // With a retention sweep active, a reader lagging past the window can
+    // have a file LISTED by the source log and swept before the read task
+    // opens it; without this the whole query dies (FAILED_READ_FILE), so
+    // the sweep's documented data-loss contract must include the
+    // per-relation ignoreMissingFiles escape. Explicit readOptions win.
+    val opts =
+      (if (retentionMs > 0) Map("ignoreMissingFiles" -> "true")
+       else Map.empty[String, String]) ++ readOptions
     spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
-      .options(readOptions)
+      .options(opts)
       .text(spoolDir)
       .select(
         regexp_extract(col("value"), "^(.*)\\t([0-9]+)$", 1).as("raw"),

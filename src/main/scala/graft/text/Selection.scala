@@ -279,4 +279,33 @@ object Selection {
         Dedup.h32(concat(lit(salt), lit(":"), col(keyCol).cast("string"))) % 1000 <
           col("keep_permille"))
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir", algorithm A-ES): draw
+    * per-row key `−ln(u) / w` with u uniform on (0,1); the k SMALLEST
+    * keys are a weighted sample without replacement whose inclusion
+    * probabilities track the weights — the standard primitive for
+    * quality-weighted corpus subsetting ("sample 1M docs ∝ score").
+    *
+    * Spark-first determinism: u = (h60(salt:key) + 0.5) / 2^60 replaces
+    * the RNG, so the sample is REPRODUCIBLE across runs, partitionings
+    * and engines (the property a training pipeline needs for data
+    * lineage), and −ln(u) passes through DECIMAL(27,12) — the repo's
+    * cross-engine log discipline — so the key, and therefore the whole
+    * sample, replays exactly in the DuckDB oracle. Selection is
+    * `orderBy(key).limit(k)` which plans as TakeOrderedAndProject:
+    * bounded per-partition heaps, k rows to the driver — no global sort
+    * shuffle of the corpus, the same bounded-selection shape as the
+    * top-k UDAF. `weight` must be strictly positive. Keeps all input
+    * columns plus `es_key`. */
+  def weightedSample(docs: DataFrame, keyCol: String, weight: Column, k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = Dedup.h60(concat(lit(salt), lit(":"), col(keyCol).cast("string")))
+    val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2, 60))
+    val nl = (-log(u)).cast(DecimalType(27, 12))
+    docs.withColumn("es_key", nl.cast("double") / weight.cast("double"))
+      .orderBy(col("es_key"), col(keyCol))
+      .limit(k)
+  }
 }

@@ -281,4 +281,22 @@ class PlanShapeSpec extends SparkSpec {
         s"$q left NEW cached RDDs behind (the r11 hammingPairs persist leak): $leaked")
     }
   }
+
+  test("q99: CM probe is broadcast-literal arithmetic in the scan stage - no token shuffle before the filter") {
+    val p = plan("q99_cm_heavy_hitters")
+    assert(p.contains("least("), "estimate must be the least-of-lookups expression")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the probe is literal-array arithmetic, not a join against the grid")
+    // the only exchange is the candidate-token aggregation (plus its
+    // AQE/global-agg companion) — the corpus itself never shuffles wide
+    assert(p.contains("partial_count"), "exact count must partial-aggregate")
+  }
+
+  test("q100: quantile extraction cross-joins the literal probs broadcast-side; histogram aggregates partially") {
+    val p = plan("q100_hist_quantiles")
+    assert(p.contains("partial_count"), "histogram build must partial-aggregate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probs side must broadcast, never shuffle the sketch")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
 }

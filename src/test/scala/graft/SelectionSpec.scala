@@ -228,4 +228,50 @@ class SelectionSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(got.sameElements(again), "sample changed under repartition")
   }
+
+  // -------------------------------------------------------------------
+  // Weighted sampling without replacement (A-ES)
+  // -------------------------------------------------------------------
+
+  test("weightedSample: deterministic, partitioning-invariant, k >= N returns everything") {
+    val docs = (1L to 500L).map(i => (i, 1.0 + (i % 7))).toDF("id", "w")
+    val run = (d: org.apache.spark.sql.DataFrame) =>
+      Selection.weightedSample(d, "id", col("w"), k = 50)
+        .select("id").as[Long].collect().toSeq
+    val a = run(docs)
+    assert(a.size == 50 && a == run(docs.repartition(13)))
+    val all = Selection.weightedSample(docs, "id", col("w"), k = 1000).collect()
+    assert(all.length == 500)
+    assert(all.forall(_.getAs[Double]("es_key") > 0))
+  }
+
+  test("weightedSample: inclusion tracks weight (heavy class overrepresented)") {
+    // 1000 rows, 500 with w=10 and 500 with w=1; a k=200 A-ES sample
+    // should include heavy rows at ~10x the light rate
+    val docs = (1L to 1000L).map(i => (i, if (i % 2 == 0) 10.0 else 1.0))
+      .toDF("id", "w")
+    val sample = Selection.weightedSample(docs, "id", col("w"), k = 200)
+      .select("id").as[Long].collect()
+    val heavy = sample.count(_ % 2 == 0)
+    assert(heavy > 150, s"heavy class got $heavy of 200 — weights not honored")
+  }
+
+  test("weightedSample: the k smallest keys are exactly the driver-replayed A-ES order") {
+    val docs = (1L to 300L).map(i => (i, (1 + i % 5).toDouble)).toDF("id", "w")
+    val got = Selection.weightedSample(docs, "id", col("w"), k = 40)
+      .select("id", "es_key").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // independent reference: same hash/log/division replayed in Scala
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val keys = (1L to 300L).map { i =>
+      val u = (h60(s"graft:$i").toDouble + 0.5) / math.pow(2, 60)
+      val nl = BigDecimal(-math.log(u)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      (i, nl.toDouble / (1 + i % 5).toDouble)
+    }
+    val expect = keys.sortBy { case (i, k) => (k, i) }.take(40)
+    assert(got.map(_._1).toSeq == expect.map(_._1),
+      "TakeOrdered selection differs from the replayed A-ES ranking")
+  }
 }
