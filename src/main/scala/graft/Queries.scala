@@ -3463,6 +3463,83 @@ object Queries {
         new_exact AS exact_new
       FROM j ORDER BY yr"""))
 
+  // PMI collocation mining (Collocations.pmiCollocations): the top-100
+  // above-chance adjacent word pairs with count >= 5 — the
+  // phrase-discovery pass before tokenizer training. The bigram explode
+  // is scan-fused (zip_with, no self-join); both count aggs are
+  // vocabulary-bounded; minCount prunes before the unigram joins; the
+  // top-k is TakeOrderedAndProject. The probability ratio is
+  // explicitly-parenthesized IEEE double math (BIGINT products would
+  // overflow at corpus scale) and the ln rounds through DECIMAL(27,12),
+  // so the oracle replays every score bit-for-bit.
+  val q104_pmi_collocations = Q("q104_pmi_collocations",
+    (s, dir) => graft.text.Collocations.pmiCollocations(
+      documents(s, dir), "text", minCount = 5L, k = 100),
+    Some("""
+      WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
+      uni AS (SELECT unnest(a) AS w FROM toks),
+      u AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM u),
+      bg AS (SELECT unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2 FROM toks),
+      bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      btot AS (SELECT CAST(SUM(c12) AS BIGINT) AS b FROM bc),
+      j AS (
+        SELECT bc.w1, bc.w2, bc.c12, u1.c AS c1, u2.c AS c2
+        FROM bc JOIN u u1 ON bc.w1 = u1.w JOIN u u2 ON bc.w2 = u2.w
+        WHERE bc.c12 >= 5)
+      SELECT w1, w2, c12,
+        CAST(CAST(ln(((CAST(c12 AS DOUBLE) * CAST(t AS DOUBLE)) * CAST(t AS DOUBLE)) /
+            ((CAST(b AS DOUBLE) * CAST(c1 AS DOUBLE)) * CAST(c2 AS DOUBLE))) AS DECIMAL(27,12)) AS DOUBLE) AS pmi
+      FROM j, tot, btot
+      ORDER BY pmi DESC, w1, w2 LIMIT 100"""))
+
+  // Streaming approximate cardinality (HllStreamReplay): per-event-type
+  // HLL registers in MapState, one audience estimate per key per
+  // micro-batch — the designed SUBLINEAR twin of q89's exact MapState
+  // distinct (state <= 1024 register entries per key vs one entry per
+  // distinct user). Register max is commutative+idempotent, so the
+  // operator is arrival-order- and duplicate-robust within a batch; the
+  // oracle rebuilds every batch-prefix register table from raw events
+  // and replays the integer-exact estimator (same algebra as q95/q101).
+  val q105_streaming_hll = Q("q105_streaming_hll",
+    (s, dir) => graft.streaming.HllStreamReplay.run(s, dir)
+      .select(col("event_type"), col("batch"), col("batch_rows"),
+        col("n_reg"), col("n_zero"), round(col("est"), 6).as("est")),
+    Some(s"""
+      WITH e AS (
+        SELECT event_type, user_id,
+          CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 0
+               WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1
+               WHEN ts < TIMESTAMP '2024-01-23 00:00:00' THEN 2
+               ELSE 3 END AS batch
+        FROM events),
+      batches AS (SELECT event_type, batch, COUNT(*) AS batch_rows FROM e GROUP BY 1, 2),
+      h AS (SELECT event_type, batch,
+              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM e),
+      regs AS (
+        SELECT b.event_type, b.batch, h.h & 1023 AS reg_idx,
+          MAX(CASE WHEN (h.h >> 10) = 0 THEN 51
+                   ELSE 51 - length(bin(h.h >> 10)) END) AS max_rho
+        FROM batches b JOIN h ON h.event_type = b.event_type AND h.batch <= b.batch
+        GROUP BY 1, 2, 3),
+      agg AS (
+        SELECT event_type, batch, COUNT(*) AS n_reg,
+          CAST((1024 - COUNT(*)) AS DECIMAL(10,0)) * CAST(2305843009213693952 AS DECIMAL(19,0))
+            + SUM(CAST((CAST(1 AS BIGINT) << (61 - max_rho)) AS DECIMAL(38,0))) AS z_int
+        FROM regs GROUP BY 1, 2),
+      fin AS (
+        SELECT event_type, batch, n_reg, 1024 - n_reg AS n_zero,
+          CASE WHEN ${graft.sketch.Sketches.alphaNumeratorLiteral(10)}::DOUBLE / CAST(z_int AS DOUBLE) <= 2560.0
+                    AND (1024 - n_reg) > 0
+               THEN CAST(CAST(1024 AS DECIMAL(10,0)) *
+                 CAST(ln(CAST(1024 AS DOUBLE) / CAST(1024 - n_reg AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE)
+               ELSE ${graft.sketch.Sketches.alphaNumeratorLiteral(10)}::DOUBLE / CAST(z_int AS DOUBLE) END AS est
+        FROM agg)
+      SELECT f.event_type, f.batch, b.batch_rows, f.n_reg, f.n_zero, round(f.est, 6) AS est
+      FROM fin f JOIN batches b ON b.event_type = f.event_type AND b.batch = f.batch
+      ORDER BY f.event_type, f.batch"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3496,5 +3573,6 @@ object Queries {
     q91_resample_interpolate, q92_image_dhash_pairs, q93_audio_hash_pairs, q94_resample_locf,
     q95_hll_distinct, q96_bloom_semi_join, q97_audio_trim_pairs,
     q98_image_dhash_wide, q99_cm_heavy_hitters, q100_hist_quantiles,
-    q101_hll_set_ops, q102_weighted_sample, q103_hll_novelty)
+    q101_hll_set_ops, q102_weighted_sample, q103_hll_novelty,
+    q104_pmi_collocations, q105_streaming_hll)
 }

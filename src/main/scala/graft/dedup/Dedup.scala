@@ -134,11 +134,13 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val rows = numPerm / bands
     require(bands * rows == numPerm, "bands must divide numPerm")
-    // persist: the frame is tiny (id + numPerm longs per doc) and feeds
-    // both sides of the self-join — without it the whole shingle+md5
-    // pipeline runs twice.
-    val sigs = withMinhashSignature(df, idCol, textCol, n, numPerm).persist()
-    sigs.count() // materialize before the self-join (both branches would race the lazy cache)
+    // No persist (the [[hammingPairs]] discipline, VERDICT r11 #5): the
+    // self-join's two sides canonicalize to the SAME shuffle (hash on
+    // (band, band_key) over identical children), so with the merge hint
+    // ReuseExchange computes the shingle+md5+minhash pipeline exactly
+    // once and both sides read the one set of shuffle files — no cached
+    // frame left behind in long-lived sessions, no up-front count() job.
+    val sigs = withMinhashSignature(df, idCol, textCol, n, numPerm)
     val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key", concat_ws("-",
         transform(slice(col("sig"), col("band") * rows + 1, lit(rows)), _.cast("string"))))
@@ -146,7 +148,7 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_key"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
+    a.hint("merge").join(b.hint("merge"), Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),

@@ -264,9 +264,10 @@ class PlanShapeSpec extends SparkSpec {
       "pairing must go through the pigeonhole equi-join")
   }
 
-  test("q32/q92/q82/q98: hamming pair families reuse ONE exchange for both self-join sides and leave no cached RDDs") {
+  test("q32/q92/q82/q98/q33: pair families reuse ONE exchange for both self-join sides and leave no cached RDDs") {
     Seq("q32_simhash_pairs", "q92_image_dhash_pairs",
-        "q82_simhash_wide", "q98_image_dhash_wide").foreach { q =>
+        "q82_simhash_wide", "q98_image_dhash_wide",
+        "q33_minhash_pairs").foreach { q =>
       // delta-based: the shared session may carry other queries' caches
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val df = Queries.all.find(_.name == q).get.run(spark, sf())
