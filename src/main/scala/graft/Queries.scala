@@ -3540,6 +3540,57 @@ object Queries {
       FROM fin f JOIN batches b ON b.event_type = f.event_type AND b.batch = f.batch
       ORDER BY f.event_type, f.batch"""))
 
+  /** The q106 probe queries — literal here so the Spark call and the
+    * oracle's VALUES list can never drift. */
+  val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "hash join merge", 2 -> "window agg group",
+    3 -> "spark stream batch", 4 -> "vector scan filter",
+    5 -> "customer query sort")
+
+  // BM25 top-10 retrieval (Retrieval.bm25TopK): Lucene-form Okapi BM25
+  // for five probe queries over the corpus. One id-keyed exchange
+  // serves tf, dl, its join and the (query, doc) score sum; the query
+  // table and the candidate-derived df both broadcast; the per-query
+  // top-k is the bounded-heap TopKByScore partial aggregate. idf's ln
+  // goes through DECIMAL(27,12) and each per-term score rounds through
+  // DECIMAL(27,12) before the sum, so the oracle replays every ranked
+  // score bit-for-bit regardless of either engine's summation order.
+  val q106_bm25_topk = Q("q106_bm25_topk",
+    (s, dir) => graft.text.Retrieval.bm25TopK(
+        documents(s, dir), "doc_id", "text", Bm25Queries, k1 = 1.2, b = 0.75, k = 10)
+      .orderBy("query_id", "rank"),
+    Some {
+      val values = Bm25Queries.map { case (i, q) => s"($i, '$q')" }.mkString(", ")
+      s"""
+      WITH q(query_id, qtext) AS (VALUES $values),
+      qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS token FROM q),
+      words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      sdl AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      cand AS (SELECT qt.query_id, tf.doc_id, qt.token, tf.tf
+               FROM tf JOIN qt USING (token)),
+      dfreq AS (SELECT token, COUNT(*) AS df
+                FROM (SELECT DISTINCT token, doc_id FROM cand) GROUP BY token),
+      scored AS (
+        SELECT query_id, doc_id,
+          CAST(SUM(CAST(
+            CAST(CAST(ln(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5) /
+                (CAST(df AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(27,12)) AS DOUBLE)
+            * ((CAST(tf AS DOUBLE) * 2.2) /
+               (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                 (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+          AS DECIMAL(27,12))) AS DOUBLE) AS score
+        FROM cand JOIN dfreq USING (token) JOIN dl USING (doc_id), n, sdl
+        GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+            FROM scored)
+      SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+      FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3574,5 +3625,5 @@ object Queries {
     q95_hll_distinct, q96_bloom_semi_join, q97_audio_trim_pairs,
     q98_image_dhash_wide, q99_cm_heavy_hitters, q100_hist_quantiles,
     q101_hll_set_ops, q102_weighted_sample, q103_hll_novelty,
-    q104_pmi_collocations, q105_streaming_hll)
+    q104_pmi_collocations, q105_streaming_hll, q106_bm25_topk)
 }
