@@ -3591,6 +3591,44 @@ object Queries {
       FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
     })
 
+  // TextRank keyword centrality (TextRank.textRank): 10 weighted
+  // PageRank power iterations over the adjacency co-occurrence graph.
+  // The edge table is distinct-bigram-bounded and never reshuffles —
+  // each iteration broadcasts the vocabulary-sized rank vector; the
+  // oracle unrolls all 10 iterations as chained CTEs, with each
+  // neighbor contribution rounded through DECIMAL(27,12) so the
+  // decimal-exact per-node sums replay bit-for-bit in DuckDB.
+  val q107_textrank = Q("q107_textrank",
+    (s, dir) => graft.text.TextRank.textRank(
+        documents(s, dir), "text", iterations = 10, damping = 0.85,
+        minCount = 2L, k = 50)
+      .select(col("word"), round(col("score"), 9).as("score")),
+    Some {
+      val iters = (1 to 10).map { i =>
+        s"""r$i AS (
+        SELECT e.v AS word,
+          (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) *
+            CAST(SUM(CAST(e.frac * r${i - 1}.s AS DECIMAL(27,12))) AS DOUBLE) AS s
+        FROM e JOIN r${i - 1} ON e.u = r${i - 1}.word GROUP BY e.v)"""
+      }.mkString(",\n")
+      s"""
+      WITH toks AS (SELECT string_split(text, ' ') AS a FROM documents),
+      bg AS (SELECT unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2 FROM toks),
+      bgf AS (SELECT w1, w2 FROM bg WHERE w1 <> w2),
+      sym AS (SELECT w1 AS u, w2 AS v FROM bgf
+              UNION ALL SELECT w2 AS u, w1 AS v FROM bgf),
+      e0 AS (SELECT u, v, COUNT(*) AS w FROM sym GROUP BY 1, 2
+             HAVING COUNT(*) >= 2),
+      wt AS (SELECT u, CAST(SUM(w) AS BIGINT) AS tot FROM e0 GROUP BY u),
+      e AS (SELECT e0.u, e0.v,
+              CAST(e0.w AS DOUBLE) / CAST(wt.tot AS DOUBLE) AS frac
+            FROM e0 JOIN wt USING (u)),
+      r0 AS (SELECT DISTINCT u AS word, CAST(1.0 AS DOUBLE) AS s FROM e),
+      $iters
+      SELECT word, round(s, 9) AS score FROM r10
+      ORDER BY s DESC, word LIMIT 50"""
+    })
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3625,5 +3663,6 @@ object Queries {
     q95_hll_distinct, q96_bloom_semi_join, q97_audio_trim_pairs,
     q98_image_dhash_wide, q99_cm_heavy_hitters, q100_hist_quantiles,
     q101_hll_set_ops, q102_weighted_sample, q103_hll_novelty,
-    q104_pmi_collocations, q105_streaming_hll, q106_bm25_topk)
+    q104_pmi_collocations, q105_streaming_hll, q106_bm25_topk,
+    q107_textrank)
 }

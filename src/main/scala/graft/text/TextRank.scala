@@ -1,0 +1,93 @@
+package graft.text
+
+import java.util.concurrent.atomic.AtomicReference
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph-based keyword extraction — TextRank (Mihalcea & Tarau 2004,
+  * "TextRank: Bringing Order into Texts"): weighted PageRank power
+  * iteration over the word co-occurrence graph. The corpus-analysis
+  * question it answers: which words are most CENTRAL to the corpus —
+  * the unsupervised keyword/vocabulary-salience signal that, unlike raw
+  * frequency (q24) or tf-idf (q58), rewards words that co-occur with
+  * many other well-connected words.
+  *
+  * Graph: undirected, adjacency-weighted — nodes are distinct tokens,
+  * edge weight w(u,v) = number of times u,v are ADJACENT anywhere in
+  * the corpus (window-2 co-occurrence, both directions merged by
+  * symmetrizing); self-loops dropped; edges below `minCount` pruned
+  * (weights are symmetric, so pruning never leaves a half-edge).
+  *
+  * Rank update (damping d):
+  *   S(v) = (1 − d) + d · Σ_{u ∈ adj(v)} (w(u,v) / W(u)) · S(u)
+  * with W(u) the total edge weight at u, S₀ ≡ 1.
+  *
+  * Scale shape: the edge table is DISTINCT-BIGRAM-bounded (vocabulary
+  * co-occurrence, not corpus volume) and is built from one scan-fused
+  * zip_with pass (no self-join to reach the neighbor); it is persisted
+  * once and NEVER reshuffled — each power iteration broadcasts the
+  * vocabulary-sized rank vector to the edges (a 10⁷-node vocabulary is
+  * tens of MB — broadcastable at any corpus size) and the per-node
+  * contribution sum exchanges only vocabulary-bounded rows. Ten
+  * iterations therefore cost ten vocabulary-sized exchanges and ZERO
+  * corpus-volume shuffles after the bigram count. The final top-k is
+  * TakeOrderedAndProject (bounded per-partition heaps).
+  *
+  * Determinism: edge weights and W(u) are exact integers; frac =
+  * w/W(u) is one double division; each neighbor contribution
+  * frac·S(u) rounds through DECIMAL(27,12) so the per-node sum is
+  * decimal-exact (summation-order-independent), and the damping
+  * combine is plain IEEE double arithmetic — every iteration is
+  * bit-reproducible, so the q107 DuckDB oracle replays all
+  * `iterations` rounds exactly.
+  */
+object TextRank {
+
+  /** [[textRank]]'s previously-persisted edge table, released when the
+    * next call persists a new one (the [[Quality.perplexityBuckets]]
+    * discipline — the returned frame references the persisted edges
+    * `iterations` times, so it cannot be unpersisted before the
+    * caller's action runs). */
+  private val lastEdges = new AtomicReference[DataFrame](null)
+
+  /** Top-`k` tokens by TextRank score after `iterations` power
+    * iterations: `(word, score)`, ties broken lexicographically. */
+  def textRank(docs: DataFrame, textCol: String, iterations: Int = 10,
+      damping: Double = 0.85, minCount: Long = 2L, k: Int = 50): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val arr = split(col(textCol), " ")
+    val n = size(arr)
+    val bigrams = docs.select(explode(zip_with(
+        slice(arr, lit(1), greatest(n - 1, lit(0))),
+        slice(arr, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val sym = bigrams.select(col("w1").as("u"), col("w2").as("v"))
+      .unionAll(bigrams.select(col("w2").as("u"), col("w1").as("v")))
+    val weighted = sym.groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount)
+    val wTot = weighted.groupBy("u").agg(sum("w").cast("long").as("w_tot"))
+    def d(c: Column): Column = c.cast("double")
+    val edges = weighted.join(wTot, Seq("u"))
+      .select(col("u"), col("v"), (d(col("w")) / d(col("w_tot"))).as("frac"))
+      .persist()
+    Option(lastEdges.getAndSet(edges)).foreach(_.unpersist())
+
+    var ranks = edges.select(col("u").as("word")).distinct()
+      .select(col("word"), lit(1.0).as("s"))
+    for (_ <- 1 to iterations) {
+      ranks = edges.join(broadcast(ranks), edges("u") === ranks("word"))
+        .select(col("v"), (col("frac") * col("s")).cast(DecimalType(27, 12)).as("c"))
+        .groupBy("v")
+        .agg(((lit(1.0) - lit(damping)) +
+          lit(damping) * sum("c").cast("double")).as("s"))
+        .withColumnRenamed("v", "word")
+    }
+    ranks.select(col("word"), col("s").as("score"))
+      .orderBy(col("score").desc, col("word"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextRank
+
+class TextRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hub word dominates; scores match an independent JVM power-iteration replay") {
+    // "hub" is adjacent to every other content word; spokes only ever
+    // touch the hub (star graph) -> hub must out-rank all spokes
+    val docs = Seq(
+      "hub aa hub bb hub cc",
+      "hub aa hub bb hub cc",
+      "hub cc hub aa hub bb").toDF("text")
+    val got = TextRank.textRank(docs, "text", iterations = 10, k = 10).collect()
+    assert(got.head.getString(0) == "hub", s"star center must rank 1st: ${got.toSeq}")
+
+    // independent replay on driver-side doubles with the same
+    // DECIMAL(27,12) rounding of each contribution
+    val texts = docs.as[String].collect()
+    val bigrams = texts.flatMap { t =>
+      val a = t.split(" ", -1); a.zip(a.drop(1))
+    }.filter { case (x, y) => x != y }
+    val sym = bigrams ++ bigrams.map(_.swap)
+    val w = sym.groupBy(identity).map { case (e, xs) => e -> xs.size.toLong }
+      .filter(_._2 >= 2L)
+    val wTot = w.groupBy(_._1._1).map { case (u, es) => u -> es.values.sum }
+    val frac = w.map { case ((u, v), c) => (u, v) -> c.toDouble / wTot(u).toDouble }
+    val nodes = frac.keySet.map(_._1)
+    def dec12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var s = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 10) {
+      s = nodes.map { v =>
+        val contrib = frac.collect { case ((u, vv), f) if vv == v => dec12(f * s(u)) }.sum
+        v -> ((1.0 - 0.85) + 0.85 * contrib.toDouble)
+      }.toMap
+    }
+    got.foreach { r =>
+      val want = s(r.getString(0))
+      assert(r.getDouble(1) == want, s"${r.getString(0)}: ${r.getDouble(1)} != replay $want")
+    }
+    // full ordering matches the replay's (score desc, word asc)
+    val wantOrder = s.toSeq.sortBy { case (wd, sc) => (-sc, wd) }.map(_._1).take(10)
+    assert(got.map(_.getString(0)).toSeq == wantOrder)
+  }
+
+  test("minCount prunes symmetrically; pruned-out words vanish from the ranking") {
+    // "rare zz" adjacency occurs once -> both directions pruned at
+    // minCount=2; zz has no other edges so it leaves the graph entirely
+    val docs = Seq("a b a b a b", "rare zz a b").toDF("text")
+    val got = TextRank.textRank(docs, "text", iterations = 3, minCount = 2L, k = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "b"), s"only the a-b edge survives minCount=2: $got")
+  }
+
+  test("plan shape: iterations broadcast the rank vector; edge table persisted once and swapped on next call") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = TextRank.textRank(docs, "text", iterations = 5, k = 20)
+    // pre-execution plan prints the whole tree (post-AQE sections hide
+    // broadcast-stage subtrees)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "rank vector must broadcast to the edges — a sort-merge join would reshuffle the edge table every iteration")
+    assert("BroadcastHashJoin \\[u#".r.findAllIn(plan).size >= 5,
+      "each power iteration joins the edges via broadcast")
+    assert(plan.contains("InMemoryTableScan"), "edge table must be persisted across iterations")
+    df.collect()
+    // second call releases the first call's persisted edges
+    val mid = spark.sparkContext.getPersistentRDDs.keySet -- before
+    TextRank.textRank(docs, "text", iterations = 2, k = 5).collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(mid.forall(!after.contains(_)),
+      "previous call's edge cache must be unpersisted by the next call")
+  }
+}
