@@ -3629,6 +3629,34 @@ object Queries {
       ORDER BY s DESC, word LIMIT 50"""
     })
 
+  // Johnson-Lindenstrauss sign random projection 64 -> 16
+  // (RandomProjection.project): the embedding-compression pass before
+  // pairwise stages. The ±1 matrix derives from the md5-h60 discipline
+  // so the oracle reconstructs it from the salt alone; each product is
+  // pinned to floor(x*1e12 + 0.5) as BIGINT (exact in both engines —
+  // a double->DECIMAL cast is NOT: Spark rounds the shortest string
+  // form, DuckDB the exact binary value), summed exactly, and
+  // 1/sqrt(16) = 0.25 is binary-exact — every coordinate replays
+  // bit-for-bit. The Spark side is scan-fused codegen: no shuffle, no
+  // join, no per-row hashing (the sign matrix is plan literals).
+  val q108_random_projection = Q("q108_random_projection",
+    (s, dir) => graft.similarity.RandomProjection.project(
+        embeddings(s, dir), "vec_id", "embedding", inDims = 64, outDims = 16)
+      .orderBy("vec_id", "dim"),
+    Some("""
+      WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      u AS (SELECT vec_id, unnest(e) AS xi, unnest(range(len(e))) AS i FROM x),
+      s AS (SELECT i.range AS i, j.range AS j,
+              CASE WHEN (CAST(('0x' || substr(md5('rp:' || i.range || ':' || j.range), 1, 15)) AS BIGINT) & 1) = 0
+                   THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+            FROM range(64) i, range(16) j),
+      p AS (SELECT u.vec_id, s.j,
+              CAST(floor((u.xi * s.sgn) * 1000000000000.0 + 0.5) AS BIGINT) AS c
+            FROM u JOIN s ON u.i = s.i)
+      SELECT vec_id, CAST(j AS INT) AS dim,
+        0.25 * (CAST(SUM(c) AS DOUBLE) / 1000000000000.0) AS value
+      FROM p GROUP BY vec_id, j ORDER BY vec_id, dim"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3664,5 +3692,5 @@ object Queries {
     q98_image_dhash_wide, q99_cm_heavy_hitters, q100_hist_quantiles,
     q101_hll_set_ops, q102_weighted_sample, q103_hll_novelty,
     q104_pmi_collocations, q105_streaming_hll, q106_bm25_topk,
-    q107_textrank)
+    q107_textrank, q108_random_projection)
 }

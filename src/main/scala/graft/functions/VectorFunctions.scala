@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PqAdc, PunctCount, QuantizeMse, RandomProjBuckets, SortedContainsLong, SubwordCount, SubwordPieces}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PqAdc, PunctCount, QuantizeMse, RandomProjBuckets, SignProject, SortedContainsLong, SubwordCount, SubwordPieces}
 
 /** Public facade for the codegen'd vector/fingerprint expressions
   * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
@@ -26,6 +26,12 @@ object VectorFunctions {
       org.apache.spark.sql.functions.typedlit(flatPlanes),
       org.apache.spark.sql.functions.lit(numBands),
       org.apache.spark.sql.functions.lit(bandPlanes))
+  def signProject(v: Column, flatSigns: Seq[Double], outDims: Int,
+      scale: Double): Column =
+    call_function("sign_project", v,
+      org.apache.spark.sql.functions.typedlit(flatSigns),
+      org.apache.spark.sql.functions.lit(outDims),
+      org.apache.spark.sql.functions.lit(scale))
 
   private[functions] def registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),
@@ -78,6 +84,18 @@ object VectorFunctions {
         RandomProjBuckets(children(0), arr.toDoubleArray().toSeq,
           children(2).eval().asInstanceOf[Number].intValue(),
           children(3).eval().asInstanceOf[Number].intValue())
+      }),
+    // sign_project(vec, flatSigns, outDims, scale): the sign matrix and
+    // geometry must be foldable literals — they are the projection
+    // definition, compiled into one constant-size loop
+    (FunctionIdentifier("sign_project"),
+      new ExpressionInfo(classOf[SignProject].getName, "sign_project"),
+      (children: Seq[Expression]) => {
+        val arr = children(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        SignProject(children(0), arr.toDoubleArray().toSeq,
+          children(2).eval().asInstanceOf[Number].intValue(),
+          children(3).eval().asInstanceOf[Number].doubleValue())
       }),
     // pq_adc(codes, lut, ksub): ksub must be a foldable int literal — it
     // is the codebook geometry, compiled into the lookup stride

@@ -451,3 +451,63 @@ case class RandomProjBuckets(child: Expression, flatPlanes: Seq[Double],
   override protected def withNewChildInternal(newChild: Expression): RandomProjBuckets =
     copy(child = newChild)
 }
+
+/** Codegen'd sign (Rademacher) random projection with floor-pinned
+  * exact arithmetic — the JL embedding reduction (q108):
+  *
+  *   y_j = scale · (Σ_i floor(x_i·s(i,j)·10¹² + 0.5)) / 10¹²
+  *
+  * The sign matrix is a plan constant (flat, row-major by output dim),
+  * so like [[RandomProjBuckets]] the generated code is ONE constant
+  * `buckets`-style call regardless of geometry — no per-row hashing,
+  * no HOF lambda boxing (the `zip_with`+`aggregate` form evaluates
+  * interpreted and allocated ~3 boxed lambdas per element). The
+  * scaled-integer pinning makes the inner product summation-order
+  * independent and bit-identical to the DuckDB oracle (valid for
+  * |x|·10¹² < 2⁵³, i.e. coordinates up to ~4×10³).
+  */
+case class SignProject(child: Expression, flatSigns: Seq[Double], outDims: Int,
+    scale: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(outDims >= 1 && flatSigns.nonEmpty && flatSigns.length % outDims == 0,
+    s"flatSigns length ${flatSigns.length} must be outDims*dim (outDims=$outDims)")
+
+  private val dim = flatSigns.length / outDims
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sign_project"
+
+  @transient private lazy val signs: Array[Double] = flatSigns.toArray
+
+  def project(v: ArrayData): ArrayData = {
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"sign_project: vector length ${v.numElements()} != sign-matrix dim $dim")
+    val out = new Array[Double](outDims)
+    var j = 0
+    while (j < outDims) {
+      val base = j * dim
+      var acc = 0L
+      var i = 0
+      while (i < dim) {
+        acc += math.floor(v.getDouble(i) * signs(base + i) * 1e12 + 0.5).toLong
+        i += 1
+      }
+      out(j) = scale * (acc.toDouble / 1e12)
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    project(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signProj", this, classOf[SignProject].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.project($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignProject =
+    copy(child = newChild)
+}
