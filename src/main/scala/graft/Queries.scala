@@ -3657,6 +3657,26 @@ object Queries {
         0.25 * (CAST(SUM(c) AS DOUBLE) / 1000000000000.0) AS value
       FROM p GROUP BY vec_id, j ORDER BY vec_id, dim"""))
 
+  // Exact positional phrase search (PhraseIndex.phraseSearch): start
+  // offsets of "table scan" via pruned posting-list intersection — the
+  // token filter lands before the posting aggregation so only the
+  // phrase terms' occurrences reach the exchange; the persisted
+  // bucket-partitioned twin (phraseSearchPruned) is spec-pinned
+  // identical. Integers only — the oracle replays offsets verbatim.
+  val q109_phrase_search = Q("q109_phrase_search",
+    (s, dir) => graft.text.PhraseIndex.phraseSearch(
+        documents(s, dir), "doc_id", "text", "table scan")
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      pos AS (SELECT doc_id, a, unnest(range(len(a) - 1)) AS p
+              FROM toks WHERE len(a) >= 2),
+      hits AS (SELECT doc_id, p FROM pos
+               WHERE a[p + 1] = 'table' AND a[p + 2] = 'scan')
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_occ,
+        CAST(MIN(p) AS INT) AS first_pos
+      FROM hits GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3692,5 +3712,5 @@ object Queries {
     q98_image_dhash_wide, q99_cm_heavy_hitters, q100_hist_quantiles,
     q101_hll_set_ops, q102_weighted_sample, q103_hll_novelty,
     q104_pmi_collocations, q105_streaming_hll, q106_bm25_topk,
-    q107_textrank, q108_random_projection)
+    q107_textrank, q108_random_projection, q109_phrase_search)
 }
