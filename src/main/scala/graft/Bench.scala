@@ -60,7 +60,7 @@ object Bench {
       "q80_streaming_window", "q81_streaming_ewma",
       "q84_streaming_sessions", "q85_stream_join", "q86_sliding_state",
       "q87_bootstrap_counters", "q88_gap_timers", "q89_distinct_map",
-      "q105_streaming_hll")
+      "q105_streaming_hll", "q110_streaming_cm")
     val suite0 = only.fold(Queries.all)(names => Queries.all.filter(q => names(q.name)))
       .filterNot(q => skip(q.name))
     val suite = suite0.filterNot(q => streamingFamily(q.name)) ++

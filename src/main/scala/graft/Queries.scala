@@ -3677,6 +3677,43 @@ object Queries {
         CAST(MIN(p) AS INT) AS first_pos
       FROM hits GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Streaming approximate frequency (CmStreamReplay): per-event-type
+  // count-min counters in MapState (<= 3x1024 entries per key, constant
+  // in stream length), probed per micro-batch for a fixed user set —
+  // the bounded-state twin of an exact per-user counter map (q89's
+  // linear shape). Increments are commutative, so the operator is
+  // arrival-order-robust within a batch; the oracle rebuilds every
+  // batch-prefix counter table from raw events, all exact integers.
+  val q110_streaming_cm = Q("q110_streaming_cm",
+    (s, dir) => graft.streaming.CmStreamReplay.run(s, dir),
+    Some("""
+      WITH e AS (
+        SELECT event_type, user_id,
+          CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 0
+               WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1
+               WHEN ts < TIMESTAMP '2024-01-23 00:00:00' THEN 2
+               ELSE 3 END AS batch
+        FROM events),
+      batches AS (SELECT DISTINCT event_type, batch FROM e),
+      js AS (SELECT unnest([0, 1, 2]) AS j),
+      h AS (SELECT e.event_type, e.batch AS ebatch, js.j,
+              CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS bucket
+            FROM e CROSS JOIN js),
+      counters AS (
+        SELECT b.event_type, b.batch, h.j, h.bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM batches b JOIN h ON h.event_type = b.event_type AND h.ebatch <= b.batch
+        GROUP BY 1, 2, 3, 4),
+      probes AS (
+        SELECT CAST(p.u AS BIGINT) AS user_id, js.j,
+          CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || CAST(p.u AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS bucket
+        FROM (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS u) p CROSS JOIN js)
+      SELECT b.event_type, b.batch, pr.user_id,
+        MIN(COALESCE(c.c, 0)) AS est
+      FROM batches b CROSS JOIN probes pr
+      LEFT JOIN counters c ON c.event_type = b.event_type AND c.batch = b.batch
+        AND c.j = pr.j AND c.bucket = pr.bucket
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3712,5 +3749,6 @@ object Queries {
     q98_image_dhash_wide, q99_cm_heavy_hitters, q100_hist_quantiles,
     q101_hll_set_ops, q102_weighted_sample, q103_hll_novelty,
     q104_pmi_collocations, q105_streaming_hll, q106_bm25_topk,
-    q107_textrank, q108_random_projection, q109_phrase_search)
+    q107_textrank, q108_random_projection, q109_phrase_search,
+    q110_streaming_cm)
 }
