@@ -3714,6 +3714,57 @@ object Queries {
         AND c.j = pr.j AND c.bucket = pr.bucket
       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  // Earliest-completion step funnel view -> click -> purchase with a
+  // 1h per-step window (Funnels.funnel): every step is a filtered min
+  // aggregate joined user-keyed onto a monotonically-shrinking
+  // frontier. Timestamps are exact microseconds in both engines.
+  val q111_funnel = Q("q111_funnel",
+    (s, dir) => graft.events.Funnels.funnel(
+        events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSeconds = 3600L)
+      .orderBy("user_id"),
+    Some("""
+      WITH ev AS (SELECT user_id, event_type AS et, ts FROM events),
+      s1 AS (SELECT user_id, MIN(ts) AS ts1 FROM ev WHERE et = 'view' GROUP BY user_id),
+      s2 AS (SELECT ev.user_id, MIN(ev.ts) AS ts2
+             FROM ev JOIN s1 USING (user_id)
+             WHERE et = 'click' AND ev.ts >= s1.ts1
+               AND ev.ts <= s1.ts1 + INTERVAL 3600 SECOND
+             GROUP BY ev.user_id),
+      s3 AS (SELECT ev.user_id, MIN(ev.ts) AS ts3
+             FROM ev JOIN s2 USING (user_id)
+             WHERE et = 'purchase' AND ev.ts >= s2.ts2
+               AND ev.ts <= s2.ts2 + INTERVAL 3600 SECOND
+             GROUP BY ev.user_id)
+      SELECT s1.user_id, s1.ts1, s2.ts2, s3.ts3,
+        CAST(1 + CAST(s2.ts2 IS NOT NULL AS INT)
+               + CAST(s3.ts3 IS NOT NULL AS INT) AS INT) AS depth
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      ORDER BY user_id"""))
+
+  // Weekly cohort retention (Funnels.retentionCohorts): cohort = the
+  // user's first active epoch-week; retention(k) = share active in
+  // cohort+k. Week ids via truncated-second integer arithmetic, so the
+  // grid replays exactly; the ratio is one exact double division.
+  val q112_retention = Q("q112_retention",
+    (s, dir) => graft.events.Funnels.retentionCohorts(
+        events(s, dir), "user_id", "ts", "2024-01-01 00:00:00")
+      .orderBy("cohort_week", "week_offset"),
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+          ((epoch_us(ts) // 1000000) -
+           (epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000)) // 604800 AS week
+        FROM events),
+      c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
+      sz AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM c GROUP BY cohort_week),
+      act AS (SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+                COUNT(*) AS active_users
+              FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+      SELECT act.cohort_week, act.week_offset, act.active_users, sz.cohort_size,
+        CAST(act.active_users AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) AS retention
+      FROM act JOIN sz USING (cohort_week) ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3750,5 +3801,5 @@ object Queries {
     q101_hll_set_ops, q102_weighted_sample, q103_hll_novelty,
     q104_pmi_collocations, q105_streaming_hll, q106_bm25_topk,
     q107_textrank, q108_random_projection, q109_phrase_search,
-    q110_streaming_cm)
+    q110_streaming_cm, q111_funnel, q112_retention)
 }

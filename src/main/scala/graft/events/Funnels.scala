@@ -1,0 +1,83 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over a `(user_id, event_type, ts)` stream —
+  * the product-analytics pair every telemetry pipeline grows:
+  * step-funnel conversion and cohort retention. Both are deterministic
+  * relational compositions (min-aggregates, keyed equi-joins, integer
+  * week arithmetic) with exact DuckDB replays (q111/q112).
+  *
+  * Scale shape: every aggregate and join is keyed by `user_id` (or by
+  * the week-bounded cohort grid, which is calendar-bounded); step
+  * frames shrink monotonically down the funnel, and nothing is ever
+  * quadratic — no window over the full event stream, no self-join of
+  * raw events against raw events without a step filter first.
+  */
+object Funnels {
+
+  /** Earliest-completion step funnel: for the ordered `steps` event
+    * types, each step's timestamp is the MIN event of that type within
+    * `windowSeconds` AFTER the previous step (step 1 = the user's first
+    * such event overall). Emits one row per user who completed step 1:
+    * `(user_id, step1_ts, ..., stepN_ts, depth)` with nulls past the
+    * user's depth.
+    *
+    * Each step is one filtered min-aggregate joined user-keyed to the
+    * previous frontier — the frontier only shrinks, so step k costs at
+    * most the step-k event volume plus a users-bounded join. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ev = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("et"), col(tsCol).cast("timestamp").as("ts"))
+    val first = ev.filter(col("et") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("ts1"))
+    val full = steps.zipWithIndex.tail.foldLeft(first) { case (frontier, (s, i)) =>
+      val prev = s"ts$i"
+      val cur = s"ts${i + 1}"
+      val next = ev.filter(col("et") === s)
+        .join(frontier.select(col("user_id"), col(prev)), Seq("user_id"))
+        .filter(col("ts") >= col(prev) &&
+          col("ts") <= col(prev) + expr(s"INTERVAL $windowSeconds SECONDS"))
+        .groupBy("user_id").agg(min("ts").as(cur))
+      frontier.join(next, Seq("user_id"), "left")
+    }
+    val depth = steps.indices.tail.foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col(s"ts${i + 1}").isNotNull, 1).otherwise(0)
+    }
+    // depth counts the longest completed PREFIX: a null step nulls
+    // everything after it by construction (each step joins on the
+    // previous frontier), so the sum-of-nonnull form is exact
+    full.select(col("user_id") +: steps.indices.map(i => col(s"ts${i + 1}")) :+
+      depth.cast("int").as("depth"): _*)
+  }
+
+  /** Weekly cohort retention: cohort(user) = epoch-week of the user's
+    * first event (relative to `origin`); a user is retained at offset k
+    * if they have ≥1 event in week cohort+k. Emits the dense grid
+    * `(cohort_week, week_offset, active_users, cohort_size, retention)`
+    * for offsets that occurred.
+    *
+    * Two user-keyed aggregates (first week, distinct active weeks) ride
+    * one exchange; the output grid is calendar-bounded. */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+      origin: String): DataFrame = {
+    val week = (unix_timestamp(col(tsCol).cast("timestamp")) -
+      unix_timestamp(lit(origin).cast("timestamp"))) / lit(604800L)
+    val uw = events
+      .select(col(userCol).as("user_id"), floor(week).cast("long").as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, Seq("user_id"))
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .groupBy("cohort_week", "week_offset").agg(count(lit(1)).as("active_users"))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("active_users"),
+        col("cohort_size"),
+        (col("active_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+}

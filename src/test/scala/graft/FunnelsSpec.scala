@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.events.Funnels
+
+class FunnelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: earliest-completion semantics, per-step window, prefix depth") {
+    val ev = Seq(
+      // user 1: full conversion inside windows
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:30:00")),
+      (1L, "purchase", ts("2024-01-01 10:45:00")),
+      // user 2: click outside the 1h window -> depth 1
+      (2L, "view", ts("2024-01-01 09:00:00")),
+      (2L, "click", ts("2024-01-01 10:30:00")),
+      // user 3: click before the view never counts; later click does
+      (3L, "click", ts("2024-01-01 07:00:00")),
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      (3L, "click", ts("2024-01-01 08:10:00")),
+      // user 4: purchase without click stays depth 1 (ordered prefix)
+      (4L, "view", ts("2024-01-01 12:00:00")),
+      (4L, "purchase", ts("2024-01-01 12:10:00")),
+      // user 5: no view at all -> absent from the funnel
+      (5L, "click", ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnels.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSeconds = 3600L)
+      .orderBy("user_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val byUser = got.map(r => r.getLong(0) -> r).toMap
+    assert(byUser(1L).getInt(4) == 3)
+    assert(byUser(1L).getTimestamp(2) == ts("2024-01-01 10:30:00"))
+    assert(byUser(1L).getTimestamp(3) == ts("2024-01-01 10:45:00"))
+    assert(byUser(2L).getInt(4) == 1 && byUser(2L).isNullAt(2))
+    assert(byUser(3L).getInt(4) == 2)
+    assert(byUser(3L).getTimestamp(2) == ts("2024-01-01 08:10:00"))
+    assert(byUser(4L).getInt(4) == 1, "purchase without click must not skip a step")
+  }
+
+  test("funnel: exact-boundary event (prev + window) still counts") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00"))).toDF("user_id", "event_type", "ts")
+    val got = Funnels.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click"), windowSeconds = 3600L).collect()
+    assert(got.head.getInt(3) == 2)
+  }
+
+  test("retention: cohorts, offsets and ratios on a planted grid") {
+    val ev = Seq(
+      // users 1,2 start week 0; user 1 returns weeks 1 and 2, user 2 never
+      (1L, ts("2024-01-02 00:00:00")), (1L, ts("2024-01-09 00:00:00")),
+      (1L, ts("2024-01-16 12:00:00")),
+      (2L, ts("2024-01-03 00:00:00")),
+      // user 3 starts week 1, returns week 2
+      (3L, ts("2024-01-10 00:00:00")), (3L, ts("2024-01-17 00:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Funnels.retentionCohorts(ev, "user_id", "ts", "2024-01-01 00:00:00")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 2L, 1.0),
+      (0L, 1L, 1L, 2L, 0.5),
+      (0L, 2L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0),
+      (1L, 1L, 1L, 1L, 1.0)))
+  }
+
+  test("plan shape: no raw-event self-join, no full-stream window sort") {
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val f = Funnels.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), 3600L)
+    val plan = f.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "funnel must be min-aggregates, not a stream-wide window sort")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "steps join user-keyed")
+    val r = Funnels.retentionCohorts(ev, "user_id", "ts", "2024-01-01 00:00:00")
+    val rp = r.queryExecution.executedPlan.toString
+    assert(!rp.contains("Window") && !rp.contains("CartesianProduct"))
+  }
+}
