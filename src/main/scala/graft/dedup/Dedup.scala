@@ -13,6 +13,13 @@ import graft.text.TextStats
   */
 object Dedup {
 
+  /** [[jaccardPairs]]' previously-persisted posting frame, released when
+    * the next call persists a new one (the
+    * [[graft.text.Quality.perplexityBuckets]] discipline — the returned
+    * frame references the cache, so it cannot unpersist eagerly). */
+  private val lastJaccardPosting =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Large prime > 2^32 for 32-bit universal hashing. */
   val Prime: Long = 4294967311L
 
@@ -656,13 +663,19 @@ object Dedup {
     // codegen and fans out across shuffle partitions; its id partitioning
     // then feeds the distinct and the n_shingles window exchange-free.
     import org.apache.spark.sql.expressions.Window
-    val posting = shinglePosting(df, idCol, textCol, n)
-      .dropDuplicates("id", "s") // set semantics; no exchange (id subset)
-      .withColumnRenamed("s", "shingle")
-      .withColumn("n_shingles",
-        count(lit(1)).over(Window.partitionBy("id"))) // sort only, no exchange
-      .persist()
-    posting.count() // materialize once
+    // The persist is load-bearing (three consumers — dfreq and both join
+    // sides — of a shingle pipeline too expensive to run thrice and not
+    // a bare exchange ReuseExchange could dedup), but it must not LEAK:
+    // the one-slot [[graft.operators.PlanCache]] keeps repeated calls
+    // warm (same input reuses the materialized cache) while a new input
+    // swaps the previous frame out — at most one resident posting cache
+    // in a long-lived session.
+    val posting = graft.operators.PlanCache.swapPersist(lastJaccardPosting,
+      shinglePosting(df, idCol, textCol, n)
+        .dropDuplicates("id", "s") // set semantics; no exchange (id subset)
+        .withColumnRenamed("s", "shingle")
+        .withColumn("n_shingles",
+          count(lit(1)).over(Window.partitionBy("id")))) // sort only, no exchange
     val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq)
     if (threshold <= 0) {

@@ -68,11 +68,18 @@ class TextRankSpec extends SparkSpec {
       "each power iteration joins the edges via broadcast")
     assert(plan.contains("InMemoryTableScan"), "edge table must be persisted across iterations")
     df.collect()
-    // second call releases the first call's persisted edges
+    // same corpus again: the one-slot PlanCache REUSES the materialized
+    // edge table (no new cache entry, previous stays — warm reps)
     val mid = spark.sparkContext.getPersistentRDDs.keySet -- before
     TextRank.textRank(docs, "text", iterations = 2, k = 5).collect()
-    val after = spark.sparkContext.getPersistentRDDs.keySet
-    assert(mid.forall(!after.contains(_)),
-      "previous call's edge cache must be unpersisted by the next call")
+    val afterSame = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterSame == mid, "same-input call must reuse the cached edges, not re-persist")
+    // a DIFFERENT corpus swaps the slot: old cache released, one new one
+    import spark.implicits._
+    TextRank.textRank(Seq("a b a b a b").toDF("text"), "text",
+      iterations = 2, minCount = 2L, k = 5).collect()
+    val afterSwap = spark.sparkContext.getPersistentRDDs.keySet
+    assert(mid.forall(!afterSwap.contains(_)),
+      "previous corpus's edge cache must be released on swap")
   }
 }
