@@ -53,16 +53,31 @@ object CmStreamReplay {
 
     override def handleInputRows(key: String, rows: Iterator[CmEvent],
         timers: TimerValues): Iterator[CmStat] = {
+      // Increments commute, so aggregate the WHOLE batch in local maps
+      // first and touch the state store once per dirty counter (≤ 3072)
+      // instead of Depth times per row — and hash each distinct user
+      // once, not once per occurrence. The first 16× run paid 6 RocksDB
+      // point-ops + 3 md5s PER ROW and grew 7.8× for 16× data; batched,
+      // state traffic is bounded by the sketch size per trigger.
+      val local = new java.util.HashMap[Int, Long]()
+      val keyMemo = new java.util.HashMap[Long, Array[Int]]()
       var batch = 0
       rows.foreach { r =>
         if (r.cut > batch) batch = r.cut
+        var ks = keyMemo.get(r.user_id)
+        if (ks == null) {
+          ks = Array.tabulate(Depth)(j => j * Width + bucketOf(j, r.user_id.toString))
+          keyMemo.put(r.user_id, ks)
+        }
         var j = 0
         while (j < Depth) {
-          val k = j * Width + bucketOf(j, r.user_id.toString)
-          val cur = if (counters.containsKey(k)) counters.getValue(k) else 0L
-          counters.updateValue(k, cur + 1L)
+          local.merge(ks(j), 1L, (a, b) => a + b)
           j += 1
         }
+      }
+      local.forEach { (k, inc) =>
+        val cur = if (counters.containsKey(k)) counters.getValue(k) else 0L
+        counters.updateValue(k, cur + inc)
       }
       val b = batch
       ProbeUsers.iterator.map { u =>
