@@ -3765,6 +3765,37 @@ object Queries {
         CAST(act.active_users AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) AS retention
       FROM act JOIN sz USING (cohort_week) ORDER BY 1, 2"""))
 
+  // Daily burst detection (Funnels.burstDays): a day is a burst when
+  // its count exceeds the trailing-7-day mean by > 2.5 sigma, decided
+  // ENTIRELY in integer arithmetic (the squared form — no mean, no
+  // sqrt, no doubles), so the oracle replays every flag verbatim.
+  val q113_burst_days = Q("q113_burst_days",
+    (s, dir) => graft.events.Funnels.burstDays(
+        events(s, dir), "event_type", "ts", "2024-01-01 00:00:00",
+        window = 7, kNum = 5, kDen = 2)
+      .orderBy("event_type", "day"),
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+          ((epoch_us(ts) // 1000000) -
+           (epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000)) // 86400 AS day,
+          COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, day, cnt,
+          COUNT(*) OVER w AS n,
+          COALESCE(SUM(cnt) OVER w, 0) AS tsum,
+          COALESCE(SUM(cnt * cnt) OVER w, 0) AS tsumsq
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, day, cnt, n,
+        CAST(tsum AS BIGINT) AS tsum, CAST(tsumsq AS BIGINT) AS tsumsq,
+        (n = 7 AND cnt * n - tsum > 0 AND
+         4 * (cnt * n - tsum) * (cnt * n - tsum) >
+         25 * (n * tsumsq - tsum * tsum)) AS is_burst
+      FROM stats ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3801,5 +3832,5 @@ object Queries {
     q101_hll_set_ops, q102_weighted_sample, q103_hll_novelty,
     q104_pmi_collocations, q105_streaming_hll, q106_bm25_topk,
     q107_textrank, q108_random_projection, q109_phrase_search,
-    q110_streaming_cm, q111_funnel, q112_retention)
+    q110_streaming_cm, q111_funnel, q112_retention, q113_burst_days)
 }

@@ -54,6 +54,45 @@ object Funnels {
       depth.cast("int").as("depth"): _*)
   }
 
+  /** Daily burst detection — the volume-anomaly monitor a telemetry
+    * pipeline runs per stream: a day is a burst when its count exceeds
+    * the trailing-`window`-day mean by more than `kNum/kDen` standard
+    * deviations (one-sided). The test is evaluated in EXACT integer
+    * arithmetic — no mean, no sqrt:
+    *
+    *   cnt − μ > k·σ   ⇔   cnt·n > sum  AND
+    *   kDen²·(cnt·n − sum)² > kNum²·(n·sumsq − sum²)
+    *
+    * (multiply through by n²; σ² = (n·sumsq − sum²)/n²) — so the q113
+    * DuckDB oracle replays every flag verbatim, no floating point
+    * anywhere. Warm-up days (fewer than `window` trailing observations)
+    * report is_burst = false with their n visible.
+    *
+    * Scale shape: one (type, day) count aggregate — calendar-bounded —
+    * then a ROWS-frame window over that tiny frame; raw events are
+    * touched once. */
+  def burstDays(events: DataFrame, typeCol: String, tsCol: String,
+      origin: String, window: Int = 7, kNum: Long = 5, kDen: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = ((unix_timestamp(col(tsCol).cast("timestamp")) -
+      unix_timestamp(lit(origin).cast("timestamp"))) / lit(86400L))
+    val daily = events
+      .select(col(typeCol).as("event_type"), floor(day).cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-window, -1)
+    val stats = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("tsum", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("tsumsq", coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+    val dev = col("cnt") * col("n") - col("tsum")
+    val varN2 = col("n") * col("tsumsq") - col("tsum") * col("tsum")
+    stats.select(col("event_type"), col("day"), col("cnt"), col("n"),
+      col("tsum"), col("tsumsq"),
+      (col("n") === window && dev > 0 &&
+        lit(kDen * kDen) * dev * dev > lit(kNum * kNum) * varN2).as("is_burst"))
+  }
+
   /** Weekly cohort retention: cohort(user) = epoch-week of the user's
     * first event (relative to `origin`); a user is retained at offset k
     * if they have ≥1 event in week cohort+k. Emits the dense grid

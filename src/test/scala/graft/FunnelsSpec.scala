@@ -71,6 +71,32 @@ class FunnelsSpec extends SparkSpec {
       (1L, 1L, 1L, 1L, 1.0)))
   }
 
+  test("burst detection: planted spike flags, warmup and steady days don't") {
+    // 10 quiet days of 10 events, then a 40-event spike on day 10
+    val rows = (0 until 10).flatMap(d =>
+      (0 until 10).map(i => ("click", ts(f"2024-01-${d + 1}%02d 0${i % 9}:00:00")))) ++
+      (0 until 40).map(i => ("click", ts(f"2024-01-11 0${i % 9}:${i % 60}%02d:00")))
+    val ev = rows.toDF("event_type", "ts")
+    val got = graft.events.Funnels.burstDays(ev, "event_type", "ts",
+        "2024-01-01 00:00:00", window = 7, kNum = 5, kDen = 2)
+      .orderBy("day").collect()
+    assert(got.length == 11)
+    // warmup days (n < 7) never flag
+    got.filter(_.getLong(3) < 7).foreach(r => assert(!r.getBoolean(6)))
+    // steady full-window days don't flag (variance 0, dev 0 -> strict > fails)
+    got.filter(r => r.getLong(3) == 7 && r.getLong(1) < 10)
+      .foreach(r => assert(!r.getBoolean(6), s"steady day ${r.getLong(1)} flagged"))
+    // the spike day flags: dev = 40*7-70 = 210 > 0; var term = 0
+    val spike = got.find(_.getLong(1) == 10L).get
+    assert(spike.getBoolean(6), s"spike day must flag: $spike")
+    // integer replay of the exact test on the spike row
+    val (cnt, n, tsum, tsumsq) =
+      (spike.getLong(2), spike.getLong(3), spike.getLong(4), spike.getLong(5))
+    val dev = cnt * n - tsum
+    assert((n == 7 && dev > 0 &&
+      4 * dev * dev > 25 * (n * tsumsq - tsum * tsum)) == spike.getBoolean(6))
+  }
+
   test("plan shape: no raw-event self-join, no full-stream window sort") {
     val ev = spark.read.parquet(s"${sf()}/events.parquet")
       .select(col("user_id"), col("event_type"), col("ts"))
