@@ -3796,6 +3796,37 @@ object Queries {
          25 * (n * tsumsq - tsum * tsum)) AS is_burst
       FROM stats ORDER BY event_type, day"""))
 
+  // Session journey mining (Funnels.sessionJourneys): top-20 in-session
+  // event-type trigrams — q104's zip-explode n-gram shape applied to
+  // behavioral sequences over q50's session convention. In-session
+  // order is the exact (ts, event_id) sort; counts are integers.
+  val q114_session_journeys = Q("q114_session_journeys",
+    (s, dir) => graft.events.Funnels.sessionJourneys(
+        events(s, dir), "user_id", "event_type", "ts", "event_id", k = 20),
+    Some("""
+      WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL 30 MINUTE OR
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked),
+      seqs AS (
+        SELECT list(event_type ORDER BY ts, event_id) AS s
+        FROM sessions GROUP BY user_id, sid),
+      tri AS (
+        SELECT unnest(s[1:len(s)-2]) AS t1, unnest(s[2:len(s)-1]) AS t2,
+               unnest(s[3:len(s)]) AS t3
+        FROM seqs WHERE len(s) >= 3)
+      SELECT t1, t2, t3, COUNT(*) AS cnt
+      FROM tri GROUP BY 1, 2, 3
+      ORDER BY cnt DESC, t1, t2, t3 LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3832,5 +3863,6 @@ object Queries {
     q101_hll_set_ops, q102_weighted_sample, q103_hll_novelty,
     q104_pmi_collocations, q105_streaming_hll, q106_bm25_topk,
     q107_textrank, q108_random_projection, q109_phrase_search,
-    q110_streaming_cm, q111_funnel, q112_retention, q113_burst_days)
+    q110_streaming_cm, q111_funnel, q112_retention, q113_burst_days,
+    q114_session_journeys)
 }

@@ -93,6 +93,42 @@ object Funnels {
         lit(kDen * kDen) * dev * dev > lit(kNum * kNum) * varN2).as("is_burst"))
   }
 
+  /** Session journey mining: the top-`k` most common length-`3`
+    * event-type sequences within user sessions (`session_window` with
+    * `gap`) — the "what do users actually do" pass of product
+    * analytics, and the n-gram pattern-mining shape (PMI's zip-explode,
+    * one order up) applied to behavioral sequences.
+    *
+    * Determinism: in-session order is (ts, event_id) via
+    * `sort_array(collect_list(struct(...)))` — exact integer/µs sort,
+    * no window-sort nondeterminism. Scale shape: one session_window
+    * aggregate (user-keyed exchange) whose output is sessions, not
+    * events; the trigram explode is scan-fused over the per-session
+    * type arrays; the count aggregate's key domain is |event types|³;
+    * the top-k is TakeOrderedAndProject. */
+  def sessionJourneys(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, gap: String = "30 minutes",
+      k: Int = 20): DataFrame = {
+    val seqs = events
+      .groupBy(session_window(col(tsCol).cast("timestamp"), gap), col(userCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).as("eid"), col(typeCol).as("et")))).as("evs"))
+      .select(transform(col("evs"), e => e.getField("et")).as("types"))
+    val a = col("types")
+    val m = greatest(size(a) - 2, lit(0))
+    val tri = seqs.select(explode(zip_with(
+        zip_with(slice(a, lit(1), m), slice(a, lit(2), m),
+          (x, y) => struct(x.as("t1"), y.as("t2"))),
+        slice(a, lit(3), m),
+        (p, z) => struct(p.getField("t1").as("t1"),
+          p.getField("t2").as("t2"), z.as("t3")))).as("g"))
+      .select(col("g.t1").as("t1"), col("g.t2").as("t2"), col("g.t3").as("t3"))
+    tri.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   /** Weekly cohort retention: cohort(user) = epoch-week of the user's
     * first event (relative to `origin`); a user is retained at offset k
     * if they have ≥1 event in week cohort+k. Emits the dense grid

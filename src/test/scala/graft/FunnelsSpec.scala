@@ -97,6 +97,33 @@ class FunnelsSpec extends SparkSpec {
       4 * dev * dev > 25 * (n * tsumsq - tsum * tsum)) == spike.getBoolean(6))
   }
 
+  test("session journeys: trigrams respect session boundaries and in-session order") {
+    val ev = Seq(
+      // user 1, one session: a b c d -> trigrams (a,b,c), (b,c,d)
+      (1L, 10L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 11L, "b", ts("2024-01-01 10:05:00")),
+      (1L, 12L, "c", ts("2024-01-01 10:10:00")),
+      (1L, 13L, "d", ts("2024-01-01 10:15:00")),
+      // user 1, second session (>30 min gap): c d e -> (c,d,e); the
+      // gap must NOT produce a (c,d,c) or (d,c,d) spanning trigram
+      (1L, 14L, "c", ts("2024-01-01 12:00:00")),
+      (1L, 15L, "d", ts("2024-01-01 12:01:00")),
+      (1L, 16L, "e", ts("2024-01-01 12:02:00")),
+      // user 2: a b c again -> (a,b,c) count reaches 2
+      (2L, 20L, "a", ts("2024-01-01 09:00:00")),
+      (2L, 21L, "b", ts("2024-01-01 09:01:00")),
+      (2L, 22L, "c", ts("2024-01-01 09:02:00")),
+      // user 3: too short for a trigram
+      (3L, 30L, "a", ts("2024-01-01 09:00:00")),
+      (3L, 31L, "b", ts("2024-01-01 09:05:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = graft.events.Funnels.sessionJourneys(
+        ev, "user_id", "event_type", "ts", "event_id", k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap
+    assert(got == Map(("a", "b", "c") -> 2L, ("b", "c", "d") -> 1L, ("c", "d", "e") -> 1L),
+      s"got $got")
+  }
+
   test("plan shape: no raw-event self-join, no full-stream window sort") {
     val ev = spark.read.parquet(s"${sf()}/events.parquet")
       .select(col("user_id"), col("event_type"), col("ts"))
