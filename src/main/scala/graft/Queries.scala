@@ -3827,6 +3827,37 @@ object Queries {
       FROM tri GROUP BY 1, 2, 3
       ORDER BY cnt DESC, t1, t2, t3 LIMIT 20"""))
 
+  // Directional containment pairs (Dedup.containmentPairs): the
+  // asymmetric twin of q26's Jaccard — cont_a = |A∩B|/|A| catches a
+  // short document quoted wholesale inside a long one (Jaccard ≈ 0
+  // there). Same posting machinery and df-capped blocked equi-join;
+  // both directions are exact integer ratios in one double division.
+  val q115_containment_pairs = Q("q115_containment_pairs",
+    (s, dir) => Dedup.containmentPairs(documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.4, maxShingleFreq = 100)
+      .orderBy(greatest(col("cont_a"), col("cont_b")).desc,
+        col("id_a"), col("id_b"))
+      .limit(30),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id AS id,
+          list_distinct([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                         FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]) AS s
+        FROM documents),
+      post AS (SELECT id, len(s) AS n, unnest(s) AS shingle FROM sh),
+      keep AS (SELECT shingle FROM post GROUP BY shingle HAVING COUNT(*) <= 100),
+      postk AS (SELECT post.* FROM post JOIN keep USING (shingle)),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS inter
+        FROM postk a JOIN postk b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b,
+        CAST(inter AS DOUBLE) / na AS cont_a,
+        CAST(inter AS DOUBLE) / nb AS cont_b
+      FROM pairs
+      WHERE greatest(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb) >= 0.4
+      ORDER BY greatest(cont_a, cont_b) DESC, id_a, id_b LIMIT 30"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3864,5 +3895,5 @@ object Queries {
     q104_pmi_collocations, q105_streaming_hll, q106_bm25_topk,
     q107_textrank, q108_random_projection, q109_phrase_search,
     q110_streaming_cm, q111_funnel, q112_retention, q113_burst_days,
-    q114_session_journeys)
+    q114_session_journeys, q115_containment_pairs)
 }

@@ -647,6 +647,58 @@ object Dedup {
       .select("id")
   }
 
+  /** The distinct-shingle posting with per-doc set sizes, through the
+    * one-slot [[graft.operators.PlanCache]]: the persist is
+    * load-bearing (three consumers — dfreq and both join sides — of a
+    * shingle pipeline too expensive to run thrice and not a bare
+    * exchange ReuseExchange could dedup), and the slot keeps repeated
+    * calls warm while a new input swaps the previous frame out — at
+    * most one resident posting cache in a long-lived session. Shared
+    * by [[jaccardPairs]] and [[containmentPairs]] (identical plan →
+    * same slot → one cache serves both). */
+  private def cachedShinglePosting(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.operators.PlanCache.swapPersist(lastJaccardPosting,
+      shinglePosting(df, idCol, textCol, n)
+        .dropDuplicates("id", "s") // set semantics; no exchange (id subset)
+        .withColumnRenamed("s", "shingle")
+        .withColumn("n_shingles",
+          count(lit(1)).over(Window.partitionBy("id")))) // sort only, no exchange
+  }
+
+  /** Directional n-gram CONTAINMENT pairs (Broder 1997's asymmetric
+    * resemblance twin): cont_a = |A∩B|/|A|, cont_b = |A∩B|/|B|, pairs
+    * kept when either direction reaches `threshold`. Catches what
+    * symmetric Jaccard structurally cannot: a short document quoted
+    * wholesale inside a long one has cont_short ≈ 1 while its Jaccard
+    * ≈ |short|/|long| ≈ 0 — the quote-inclusion / sub-document
+    * contamination case. Same posting machinery, df cap and blocked
+    * equi-join shape as [[jaccardPairs]] (never all-pairs); set sizes
+    * count ALL distinct shingles (the df cap prunes candidate
+    * GENERATION, not the denominator). */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxShingleFreq: Long = 1000): DataFrame = {
+    val posting = cachedShinglePosting(df, idCol, textCol, n)
+    val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq)
+    val filtered = posting.join(dfreq.select("shingle"), Seq("shingle"))
+    val a = filtered.select(col("shingle"), col("id").as("id_a"), col("n_shingles").as("na"))
+    val b = filtered.select(col("shingle"), col("id").as("id_b"), col("n_shingles").as("nb"))
+    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont_a", col("inter").cast("double") / col("na"))
+      .withColumn("cont_b", col("inter").cast("double") / col("nb"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "cont_a", "cont_b")
+  }
+
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -662,20 +714,7 @@ object Dedup {
     // dropped codegen classes). shinglePosting stays inside whole-stage
     // codegen and fans out across shuffle partitions; its id partitioning
     // then feeds the distinct and the n_shingles window exchange-free.
-    import org.apache.spark.sql.expressions.Window
-    // The persist is load-bearing (three consumers — dfreq and both join
-    // sides — of a shingle pipeline too expensive to run thrice and not
-    // a bare exchange ReuseExchange could dedup), but it must not LEAK:
-    // the one-slot [[graft.operators.PlanCache]] keeps repeated calls
-    // warm (same input reuses the materialized cache) while a new input
-    // swaps the previous frame out — at most one resident posting cache
-    // in a long-lived session.
-    val posting = graft.operators.PlanCache.swapPersist(lastJaccardPosting,
-      shinglePosting(df, idCol, textCol, n)
-        .dropDuplicates("id", "s") // set semantics; no exchange (id subset)
-        .withColumnRenamed("s", "shingle")
-        .withColumn("n_shingles",
-          count(lit(1)).over(Window.partitionBy("id")))) // sort only, no exchange
+    val posting = cachedShinglePosting(df, idCol, textCol, n)
     val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq)
     if (threshold <= 0) {

@@ -36,6 +36,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("containmentPairs: wholesale quote-inclusion scores ~1 where jaccard is small; cache slot shared") {
+    // doc 2 is a verbatim slice of doc 1's much longer text: containment
+    // from the short side must be 1.0 while jaccard stays < 0.35
+    val core = "alpha beta gamma delta epsilon zeta"
+    val long1 = s"one two three four five six seven eight $core nine ten eleven twelve thirteen"
+    val docs = Seq((1L, long1), (2L, core), (3L, "unrelated words only here appear"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.9, maxShingleFreq = 100).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(3) == 1.0, s"short-side containment must be exactly 1.0: $r")
+    assert(r.getDouble(2) < 0.35, "long-side containment stays low")
+    // the symmetric jaccard of the same pair is below any dedup threshold
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.0, maxShingleFreq = 100)
+      .filter(col("id_a") === 1 && col("id_b") === 2).collect()
+    assert(jac.head.getDouble(2) < 0.35)
+    // the posting plan is identical, so the PlanCache slot is SHARED:
+    // jaccard after containment added no second resident cache
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.size <= 1, s"one shared posting cache expected, got ${after.size}")
+  }
+
   test("jaccardPairs prefix-filtered path (t>0) == postings path, on real documents") {
     // the t=0 postings path filtered post-hoc is the ground truth; the
     // prefix-filtered path must produce the IDENTICAL pair set — prefix
