@@ -47,6 +47,12 @@ object Bench {
     // SCALE.md "Pair-operator scaling").
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet).getOrElse(Set.empty)
+    // Bench is the ONE caller that opts back into the shared spool cache:
+    // reps would re-pay every replay generator otherwise, and a bench
+    // measures the operator, not the spool build. Everything else —
+    // Verify, specs, the driver's own harness — gets the process-private
+    // default (VERDICT r12 #1a).
+    graft.streaming.ReplayScaffold.privateSpools = false
     // Streaming-family queries run as a contiguous block at the END of
     // each pass: a micro-batch replay leaves background churn behind it
     // (checkpoint fsyncs, state-store maintenance threads, file-source

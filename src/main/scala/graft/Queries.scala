@@ -1374,9 +1374,12 @@ object Queries {
       .orderBy("user_id", "session_start"),
     Some("""
       WITH marked AS (
+        -- >= (not >): session_window closes when the gap REACHES the
+        -- duration — an exactly-30:00 gap is a new session in both
+        -- engines (ADVICE r12 #3)
         SELECT user_id, ts, value,
           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                    > INTERVAL 30 MINUTE OR
+                    >= INTERVAL 30 MINUTE OR
                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                THEN 1 ELSE 0 END AS new_session
         FROM events),
@@ -3805,9 +3808,13 @@ object Queries {
         events(s, dir), "user_id", "event_type", "ts", "event_id", k = 20),
     Some("""
       WITH marked AS (
+        -- >= (not >): Spark's session_window closes a session when the
+        -- inter-event gap REACHES the gap duration (touching windows do
+        -- not overlap), so an exactly-30:00 gap starts a new session in
+        -- both engines (ADVICE r12 #3; same convention as q50)
         SELECT user_id, ts, event_id, event_type,
           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                    > INTERVAL 30 MINUTE OR
+                    >= INTERVAL 30 MINUTE OR
                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                THEN 1 ELSE 0 END AS new_session
         FROM events),

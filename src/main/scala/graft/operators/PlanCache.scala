@@ -25,16 +25,32 @@ object PlanCache {
   /** Persist-and-materialize `df` through the one-slot `ref`:
     * same-computation calls return the previous (already materialized)
     * frame; different inputs persist fresh, then release the slot's
-    * old frame. At most one resident cache per slot, ever. */
+    * old frame. At most one resident cache per slot, ever.
+    *
+    * Reuse requires ALL of (ADVICE r12 #1/#2):
+    *  - same canonicalized computation (`sameResult`);
+    *  - the previous frame is STILL CACHED — an external
+    *    `spark.catalog.clearCache()` (Bench runs one after every rep)
+    *    leaves the slot holding an unpersisted frame, and handing that
+    *    back would recompute the intermediate once per downstream
+    *    consumer, the very fan-out the cache exists to prevent;
+    *  - same live SparkSession — a frame from an earlier (possibly
+    *    stopped) session must not be handed to a new session's caller. */
   def swapPersist(ref: AtomicReference[DataFrame], df: DataFrame): DataFrame = {
     val prev = ref.get()
-    if (prev != null &&
-        prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)) {
+    val reusable = prev != null &&
+      (prev.sparkSession eq df.sparkSession) &&
+      prev.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) &&
+      prev.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (reusable) {
       prev
     } else {
       val p = df.persist()
       p.count() // materialize once, before any multi-consumer fan-out
-      Option(ref.getAndSet(p)).filter(_ ne p).foreach(_.unpersist())
+      Option(ref.getAndSet(p)).filter(_ ne p).foreach { old =>
+        // only touch the old frame's session if it is still the live one
+        if (old.sparkSession eq df.sparkSession) old.unpersist()
+      }
       p
     }
   }

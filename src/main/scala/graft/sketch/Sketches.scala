@@ -212,7 +212,12 @@ object Sketches {
     * [[cmCounters]]. `value` must be integral and non-negative. */
   def histogram(df: DataFrame, value: Column, keys: Seq[String], binWidth: Long): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
-    df.select(keys.map(col) :+ floor(value / lit(binWidth)).cast("long").as("bin"): _*)
+    // INTEGRAL floor division (`div`), not floor(a / b): the latter is
+    // IEEE double division before floor, exact only for |value| < 2^53,
+    // while the DuckDB oracle's `//` is true integer division — bins
+    // must agree at ALL long magnitudes (ADVICE r12 #4)
+    df.select(keys.map(col) :+
+        call_function("div", value.cast("long"), lit(binWidth)).as("bin"): _*)
       .groupBy(keys.map(col) :+ col("bin"): _*)
       .agg(count(lit(1)).as("cnt"))
   }

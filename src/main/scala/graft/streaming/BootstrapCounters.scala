@@ -96,17 +96,15 @@ object BootstrapCounters {
     // of throwing (ADVICE r11 #4)
     val cutRow = stream.agg(max("doc_id")).head()
     val cut = if (cutRow.isNullAt(0)) 0L else cutRow.getLong(0) / 2
-    ReplayScaffold.writeStagedBatch(spool,
-      stream.filter(col("doc_id") < cut), 1000000000000L)
-    ReplayScaffold.writeStagedBatch(spool,
-      stream.filter(col("doc_id") >= cut), 1000000100000L)
+    ReplayScaffold.writeManifestBatch(spool, stream.filter(col("doc_id") < cut), 0)
+    ReplayScaffold.writeManifestBatch(spool, stream.filter(col("doc_id") >= cut), 1)
   }
 
   /** Run the replay; returns `(doc_id, lang, source, run_docs, run_chars)`. */
   def run(spark: SparkSession, dir: String): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q87", "documents.parquet",
-      "h60mod4;halves", writeSpool, expectedFiles = 2)
+      "h60mod4;halves;manifest", writeSpool, expectedFiles = 2)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._
@@ -115,8 +113,10 @@ object BootstrapCounters {
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("c_docs"), sum(col("n_chars")).as("c_chars"))
       .as[CorpusStat]
-    val in = spark.readStream.schema(SpoolSchema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    // manifest-ordered arrival: batch i = batch-i.jsonl, by NAME — the
+    // running counters are order-sensitive and this order is code-owned
+    val in = ReplayScaffold.manifestStream(spark, spool, SpoolSchema)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .as[StreamDoc]
     val out = runningCounters(in, corpus)
     ReplayScaffold.runToParquet(out.toDF(), runDir).orderBy("doc_id")

@@ -109,22 +109,24 @@ object CmStreamReplay {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"))
-    ReplayScaffold.writeTimeSplit(spool, ev, "ts", Cuts)
+    ReplayScaffold.writeTimeSplitManifest(spool, ev, "ts", Cuts)
   }
 
   /** Run the replay; returns `(event_type, batch, user_id, est)`. */
   def run(spark: SparkSession, dir: String): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q110", "events.parquet",
-      s"cuts=${Cuts.mkString("|")}", writeSpool, expectedFiles = Cuts.length + 1)
+      s"cuts=${Cuts.mkString("|")};manifest", writeSpool,
+      expectedFiles = Cuts.length + 1)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._
     val cut = Cuts.zipWithIndex.reverse.foldLeft(lit(Cuts.length)) {
       case (acc, (c, i)) => when(col("ts") < expr(s"TIMESTAMP '$c'"), lit(i)).otherwise(acc)
     }
-    val in = spark.readStream.schema(SpoolSchema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    // manifest-ordered arrival: the per-batch sketch snapshots are a
+    // running state, order-sensitive across the time cuts
+    val in = ReplayScaffold.manifestStream(spark, spool, SpoolSchema)
       .select(col("event_type"), col("user_id"), cut.cast("int").as("cut"))
       .as[CmEvent]
     val out = runningFrequency(in)

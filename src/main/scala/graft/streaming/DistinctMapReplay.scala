@@ -81,19 +81,21 @@ object DistinctMapReplay {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"))
-    ReplayScaffold.writeTimeSplit(spool, ev, "ts", Cuts)
+    ReplayScaffold.writeTimeSplitManifest(spool, ev, "ts", Cuts)
   }
 
   /** Run the replay; returns `(event_type, ts, user_id, distinct_users)`. */
   def run(spark: SparkSession, dir: String): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q89", "events.parquet",
-      s"cuts=${Cuts.mkString("|")}", writeSpool, expectedFiles = Cuts.length + 1)
+      s"cuts=${Cuts.mkString("|")};manifest", writeSpool,
+      expectedFiles = Cuts.length + 1)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._
-    val in = spark.readStream.schema(SpoolSchema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    // manifest-ordered arrival (batch i = batch-i.jsonl by NAME): the
+    // running distinct is order-sensitive across the time cuts
+    val in = ReplayScaffold.manifestStream(spark, spool, SpoolSchema)
       .select(col("event_type"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[TypedEvent]
     val out = runningDistinct(in)

@@ -84,12 +84,11 @@ object GapTimerReplay {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("value"))
-    ReplayScaffold.writeTimeSplit(spool, ev, "ts", Cuts)
+    ReplayScaffold.writeTimeSplitManifest(spool, ev, "ts", Cuts)
     val flush = spark.range(1).select(lit(-1L).as("event_id"),
       expr(s"TIMESTAMP '$FlushTs'").as("ts"),
       lit(-1L).as("user_id"), lit(0.0).as("value"))
-    ReplayScaffold.writeStagedBatch(spool, flush,
-      1000000000000L + (Cuts.length + 1) * 100000L)
+    ReplayScaffold.writeManifestBatch(spool, flush, Cuts.length + 1)
   }
 
   /** Run the replay; returns `(user_id, kind, gap_start, gap_end)`. */
@@ -99,14 +98,15 @@ object GapTimerReplay {
     // processor), so the stamp must not include it — a gap sweep reuses
     // one spool instead of rebuilding per value
     val spool = ReplayScaffold.spoolFor(spark, dir, "q88", "events.parquet",
-      s"cuts=${Cuts.mkString("|")};flush=$FlushTs", writeSpool,
+      s"cuts=${Cuts.mkString("|")};flush=$FlushTs;manifest", writeSpool,
       expectedFiles = Cuts.length + 2)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._
     val gapUs = gapHours * 3600L * 1000 * 1000
-    val in = spark.readStream.schema(SpoolSchema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    // manifest-ordered arrival: watermark progression (and therefore
+    // timer firing) depends on which batch arrives when
+    val in = ReplayScaffold.manifestStream(spark, spool, SpoolSchema)
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
       .withWatermark("ts", "30 days")
       .as[GapEvent]

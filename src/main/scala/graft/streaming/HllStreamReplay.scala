@@ -126,7 +126,7 @@ object HllStreamReplay {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"))
-    ReplayScaffold.writeTimeSplit(spool, ev, "ts", Cuts)
+    ReplayScaffold.writeTimeSplitManifest(spool, ev, "ts", Cuts)
   }
 
   /** Run the replay; returns
@@ -134,18 +134,18 @@ object HllStreamReplay {
   def run(spark: SparkSession, dir: String): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q105", "events.parquet",
-      s"cuts=${Cuts.mkString("|")}", writeSpool, expectedFiles = Cuts.length + 1)
+      s"cuts=${Cuts.mkString("|")};manifest", writeSpool,
+      expectedFiles = Cuts.length + 1)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._
     // batch label = the row's time slice (identical to its spool file
-    // under maxFilesPerTrigger=1; derived from ts so the label is a pure
-    // function of the DATA, not of file arrival)
+    // under one-batch-per-trigger manifest replay; derived from ts so
+    // the label is a pure function of the DATA, not of file arrival)
     val cut = Cuts.zipWithIndex.reverse.foldLeft(lit(Cuts.length)) {
       case (acc, (c, i)) => when(col("ts") < expr(s"TIMESTAMP '$c'"), lit(i)).otherwise(acc)
     }
-    val in = spark.readStream.schema(SpoolSchema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    val in = ReplayScaffold.manifestStream(spark, spool, SpoolSchema)
       .select(col("event_type"), col("user_id"), cut.cast("int").as("cut"))
       .as[HllEvent]
     val out = runningEstimate(in)

@@ -5,6 +5,7 @@ import java.nio.channels.FileChannel
 import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, TimestampType}
 
 /** Shared scaffold for the streaming replay harnesses (q52/q64/q73 and
   * the q80-q89 state family): spool reuse + fresh per-run
@@ -21,17 +22,22 @@ import org.apache.spark.sql.functions._
   * (the r8 lesson), a changed config, an older writer, or a disturbed
   * spool (lost mtime pin, missing file) misses and rebuilds.
   *
-  * Order-sensitive replays (q86-q89 running counters) are only correct
-  * if batches arrive in pinned-mtime order, so the build path is
-  * defended three ways (VERDICT r11 #1 / ADVICE r11 #1):
-  *  - [[writeStagedBatch]] VERIFIES the pinned mtime by readback and
-  *    throws if `setLastModified` did not take — a silent stamp loss
-  *    was the driver's q87/q89 hash-mismatch signature;
+  * Order-sensitive replays (q86-q89 running counters, q105/q110 running
+  * sketches) arrive via [[ManifestReplaySource]] since round 13: batch i
+  * of the stream IS the file named `batch-i.jsonl`, served at trigger i
+  * in lexicographic filename order — a pure code contract
+  * ([[writeManifestBatch]] writes it, the DSv2 stream serves it), with
+  * no filesystem-mtime dependence left to defend (VERDICT r12 #1b; two
+  * driver-red rounds against nine local greens localized the q87/q89
+  * fault to the file source's mtime-derived order on the driver's
+  * tmpdir). The legacy pinned-mtime path ([[writeStagedBatch]], readback
+  * -verified) remains for the order-insensitive replays still on the
+  * built-in file source. Build-path defenses, either way:
   *  - shared-cache builds run under a cross-JVM file lock, so a bench
   *    beside a verify can no longer interleave rmTree/write;
-  *  - [[privateSpools]] (set by Verify) bypasses the shared cache
-  *    entirely: the correctness gate rebuilds into a process-private
-  *    dir every run (<2 s at sf0.01), immune to any cache state.
+  *  - [[privateSpools]] (the DEFAULT; Bench opts out) bypasses the
+  *    shared cache entirely: each process builds into a private dir,
+  *    immune to any cache state another JVM may be mutating.
   *
   * Checkpoints and sinks are NEVER reused — [[freshRunDir]] sweeps old
   * run dirs and hands out a new one, so streaming state can never
@@ -43,17 +49,21 @@ object ReplayScaffold {
     * stamp: a cached spool built by an older generator (different file
     * naming, different mtime discipline) must miss and rebuild, never
     * replay in a different arrival order. Bump on any change to
-    * [[writeStagedBatch]] / [[writeTimeSplit]] or a caller's spool
-    * writer. */
-  val SpoolFormatVersion: String = "spoolfmt-2"
+    * [[writeStagedBatch]] / [[writeTimeSplit]] / [[writeManifestBatch]]
+    * or a caller's spool writer. */
+  val SpoolFormatVersion: String = "spoolfmt-3"
 
-  /** When true, [[spoolFor]] never touches the shared tmpdir cache:
-    * every call rebuilds into a process-private dir. Verify sets this
-    * (the correctness gate must not depend on cache state another JVM
-    * may be mutating); Bench keeps the cache so reps don't re-pay the
-    * generator. Also settable via `-Dgraft.spool.private=true`. */
+  /** When true (the DEFAULT since round 13 — VERDICT r12 #1a), [[spoolFor]]
+    * never touches the shared tmpdir cache: every (kind, stamp) is built
+    * into a process-private dir, once per JVM (reused within the process
+    * — nothing else may mutate a live process's dir). Bench opts OUT at
+    * its main (the only caller that benefits from the cross-JVM cache,
+    * and the only one whose reps re-pay the generator otherwise); any
+    * other entry point — the driver's harness included — gets the
+    * cache-independent path without knowing the knob exists. Also
+    * settable via `-Dgraft.spool.private=false`. */
   @volatile var privateSpools: Boolean =
-    sys.props.get("graft.spool.private").exists(_.equalsIgnoreCase("true"))
+    !sys.props.get("graft.spool.private").exists(_.equalsIgnoreCase("false"))
 
   /** Publish `df` into `dir` as ONE new file with a pinned mtime — the
     * file source orders batches by modification time, so each staged
@@ -64,25 +74,8 @@ object ReplayScaffold {
     * mtime is VERIFIED by readback; a lost `setLastModified` throws
     * instead of silently replaying in write order. */
   def writeStagedBatch(dir: File, df: DataFrame, mtime: Long): Unit = {
-    dir.mkdirs()
-    def partFiles() = Option(dir.listFiles())
-      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
-    val seen = partFiles().map(_.getName).toSet
-    df.coalesce(1).write.mode("append").parquet(dir.toString)
-    val fresh = partFiles().filterNot(f => seen(f.getName))
-    require(fresh.length == 1,
-      s"staged batch wrote ${fresh.length} part files into $dir (expected exactly 1)")
-    val part = fresh.head
-    val target = new File(dir, f"batch-$mtime%020d.parquet")
-    Files.move(part.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
-    // keep the Hadoop checksum twin aligned with the rename (LocalFileSystem
-    // verifies `.name.crc` on read); if the rename fails, drop it instead
-    val crc = new File(dir, s".${part.getName}.crc")
-    if (crc.exists()) {
-      val crcTarget = new File(dir, s".${target.getName}.crc")
-      try Files.move(crc.toPath, crcTarget.toPath, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: Throwable => crc.delete() }
-    }
+    val target = stageOneFile(dir, f"batch-$mtime%020d.parquet",
+      d => df.coalesce(1).write.mode("append").parquet(d))
     var pinned = false
     var attempt = 0
     while (!pinned && attempt < 3) {
@@ -94,6 +87,75 @@ object ReplayScaffold {
       s"could not pin mtime=$mtime on $target (readback=${target.lastModified()}) — " +
         "replay arrival order would be nondeterministic")
   }
+
+  /** Run `write` (which must produce exactly ONE fresh `part-*` file in
+    * the dir), then atomically rename it to `name` — the shared staging
+    * step of [[writeStagedBatch]] and [[writeManifestBatch]]. Keeps the
+    * Hadoop checksum twin aligned with the rename (LocalFileSystem
+    * verifies `.name.crc` on read); if the crc rename fails it is
+    * dropped instead. Returns the staged file. */
+  private def stageOneFile(dir: File, name: String, write: String => Unit): File = {
+    dir.mkdirs()
+    def partFiles() = Option(dir.listFiles())
+      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
+    val seen = partFiles().map(_.getName).toSet
+    write(dir.toString)
+    val fresh = partFiles().filterNot(f => seen(f.getName))
+    require(fresh.length == 1,
+      s"staged batch wrote ${fresh.length} part files into $dir (expected exactly 1)")
+    val part = fresh.head
+    val target = new File(dir, name)
+    Files.move(part.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    val crc = new File(dir, s".${part.getName}.crc")
+    if (crc.exists()) {
+      val crcTarget = new File(dir, s".${target.getName}.crc")
+      try Files.move(crc.toPath, crcTarget.toPath, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Throwable => crc.delete() }
+    }
+    target
+  }
+
+  /** Publish `df` into `dir` as staged MANIFEST batch `index` —
+    * `batch-<index padded>.jsonl`, one JSON object per row, timestamps
+    * encoded as epoch-micros longs. Arrival order for these spools is
+    * the lexicographic FILENAME order served by
+    * [[ManifestReplaySource]]; no mtime is pinned or consulted
+    * (VERDICT r12 #1b: the order contract is code, not filesystem
+    * metadata). An empty batch still stages one (empty) file, so the
+    * trigger structure is preserved regardless of data. */
+  def writeManifestBatch(dir: File, df: DataFrame, index: Int): Unit = {
+    val enc = df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampType => d.withColumn(f.name, unix_micros(col(f.name)))
+        case _ => d
+      }
+    }
+    stageOneFile(dir, f"batch-$index%05d.jsonl",
+      d => enc.toJSON.coalesce(1).write.mode("append").text(d))
+  }
+
+  /** Manifest twin of [[writeTimeSplit]]: split `ev` into
+    * `cuts.length + 1` staged manifest batches on a timestamp column —
+    * batch i = rows in `[cut(i-1), cut(i))` — named by index so
+    * [[ManifestReplaySource]] serves them in time order by construction. */
+  def writeTimeSplitManifest(spool: File, ev: DataFrame, tsCol: String,
+      cuts: Seq[String]): Unit = {
+    val cutCols = cuts.map(c => expr(s"TIMESTAMP '$c'"))
+    val preds = (0 to cuts.length).map { i =>
+      val lo = if (i == 0) lit(true) else col(tsCol) >= cutCols(i - 1)
+      val hi = if (i == cuts.length) lit(true) else col(tsCol) < cutCols(i)
+      lo && hi
+    }
+    preds.zipWithIndex.foreach { case (p, i) =>
+      writeManifestBatch(spool, ev.filter(p), i)
+    }
+  }
+
+  /** Open `spool` as a manifest-ordered replay stream: one staged batch
+    * per trigger, in filename order, via [[ManifestReplaySource]]. */
+  def manifestStream(spark: SparkSession, spool: File, schema: StructType): DataFrame =
+    spark.readStream.format(classOf[ManifestReplaySource].getName)
+      .schema(schema).option("path", spool.toString).load()
 
   /** The shared time-split instants for the cross-batch state replays
     * (q86/q88/q89) — one source of truth so tuning batch sizes cannot
@@ -174,8 +236,10 @@ object ReplayScaffold {
 
   /** Post-build invariants: expected batch count (when the caller
     * declares one) and, per directory, strictly distinct pinned mtimes
-    * — equal mtimes would leave the file source's batch order to an
-    * implementation-defined tiebreak. */
+    * for PARQUET batches — equal mtimes would leave the file source's
+    * batch order to an implementation-defined tiebreak. Manifest
+    * (`.jsonl`) batches are name-ordered; their mtimes carry no order
+    * and are exempt. */
   private def assertSpool(spool: File, expectedFiles: Int): Unit = {
     def dirs(f: File): Seq[File] =
       if (!f.isDirectory) Seq.empty
@@ -188,7 +252,8 @@ object ReplayScaffold {
         s"spool $spool has ${batchFiles.length} staged batches, expected $expectedFiles")
     dirs(spool).foreach { d =>
       val ms = Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("batch-")).map(_.lastModified())
+        .filter(f => f.isFile && f.getName.startsWith("batch-") &&
+          f.getName.endsWith(".parquet")).map(_.lastModified())
       require(ms.distinct.length == ms.length,
         s"spool dir $d has non-distinct batch mtimes ${ms.mkString(",")}")
     }
@@ -197,6 +262,14 @@ object ReplayScaffold {
   // serializes same-JVM builders (sbt runs suites in parallel; FileLock
   // throws OverlappingFileLockException on same-JVM re-entry)
   private val buildLock = new Object
+
+  // private-path build memo: (kind, key) -> stamp of the spool already
+  // built by THIS process. A live process's private dir is immutable to
+  // everyone else (the sweep only removes dead owners' dirs), so a
+  // same-stamp re-request within the JVM can reuse instead of rebuild —
+  // without this, privateSpools-by-default would re-pay every generator
+  // on every call (e.g. the q88 gap sweep, or a spec calling run() twice)
+  private val privateBuilt = scala.collection.mutable.Map.empty[(String, String), String]
 
   /** Build-or-reuse the spool for `kind` over `dir`, fingerprinting
     * `dir/sourceFile` and `extraStamp` (generator knobs that change the
@@ -227,22 +300,30 @@ object ReplayScaffold {
     if (privateSpools) {
       val pid = ProcessHandle.current().pid()
       val prefix = s"graft-$kind-$key-p"
-      // sweep private dirs owned by this or dead processes (bounded tmp)
-      Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith(prefix))
-        .filter { f =>
-          val p = f.getName.stripPrefix(prefix)
-          p.nonEmpty && p.forall(_.isDigit) && {
-            val owner = p.toLong
-            owner == pid ||
-              !ProcessHandle.of(owner).map[Boolean](_.isAlive).orElse(false)
-          }
-        }.foreach(rmTree)
       val base = new File(tmp, s"$prefix$pid")
       val spool = new File(base, "spool")
-      spool.mkdirs()
-      write(spark, dir, spool)
-      assertSpool(spool, expectedFiles)
+      buildLock.synchronized {
+        val memoKey = (kind, key)
+        if (privateBuilt.get(memoKey).contains(stamp) && spool.isDirectory) {
+          assertSpool(spool, expectedFiles)
+          return spool
+        }
+        // sweep private dirs owned by this or dead processes (bounded tmp)
+        Option(tmp.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(prefix))
+          .filter { f =>
+            val p = f.getName.stripPrefix(prefix)
+            p.nonEmpty && p.forall(_.isDigit) && {
+              val owner = p.toLong
+              owner == pid ||
+                !ProcessHandle.of(owner).map[Boolean](_.isAlive).orElse(false)
+            }
+          }.foreach(rmTree)
+        spool.mkdirs()
+        write(spark, dir, spool)
+        assertSpool(spool, expectedFiles)
+        privateBuilt(memoKey) = stamp
+      }
       return spool
     }
 

@@ -94,20 +94,21 @@ object SlidingStateReplay {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("value"))
-    ReplayScaffold.writeTimeSplit(spool, ev, "ts", Cuts)
+    ReplayScaffold.writeTimeSplitManifest(spool, ev, "ts", Cuts)
   }
 
   /** Run the replay; returns `(user_id, ts, value, n_win, sum_win)`. */
   def run(spark: SparkSession, dir: String): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q86", "events.parquet",
-      s"cuts=${Cuts.mkString("|")};win=24h", writeSpool,
+      s"cuts=${Cuts.mkString("|")};win=24h;manifest", writeSpool,
       expectedFiles = Cuts.length + 1)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._
-    val in = spark.readStream.schema(SpoolSchema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    // manifest-ordered arrival: trailing windows straddle the time cuts,
+    // so batch order is part of the operator's semantics under test
+    val in = ReplayScaffold.manifestStream(spark, spool, SpoolSchema)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
       .as[SlidePoint]
     val out = slidingStats(in, windowUs = 24L * 3600 * 1000 * 1000)

@@ -304,7 +304,15 @@ object Selection {
     val h = Dedup.h60(concat(lit(salt), lit(":"), col(keyCol).cast("string")))
     val u = (h.cast("double") + lit(0.5)) / lit(math.pow(2, 60))
     val nl = (-log(u)).cast(DecimalType(27, 12))
-    docs.withColumn("es_key", nl.cast("double") / weight.cast("double"))
+    // enforce the documented strictly-positive weight contract at run
+    // time (ADVICE r12 #5): a zero/negative weight would yield an
+    // Infinity/negative es_key that sorts first and silently poisons
+    // the sample — fail loudly instead, mirroring the require() style
+    val w = when(weight.cast("double") > 0.0, weight.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("weightedSample: weight must be strictly positive, got "),
+        weight.cast("string"), lit(" for key "), col(keyCol).cast("string"))))
+    docs.withColumn("es_key", nl.cast("double") / w)
       .orderBy(col("es_key"), col(keyCol))
       .limit(k)
   }
