@@ -16,13 +16,19 @@ import org.apache.spark.sql.SparkSession
   *     whichever queries fell in that window. The second untimed pass
   *     absorbs the drain,
   *  3. `SPARK_GRAFT_REPS` (default 5) timed FULL PASSES over all
-  *     queries; the reported number is the per-query MEDIAN ACROSS
-  *     PASSES. Passes are interleaved (A,B,...,A,B,... rather than
-  *     A,A,A,B,B,B) deliberately: transient JVM states — a G1
+  *     queries; the reported number is the per-query TRIMMED MEDIAN
+  *     across passes (single worst rep dropped — the teardown/
+  *     contention victim — then the median; tagged `"stat"` in both
+  *     JSON artifacts). Passes are interleaved (A,B,...,A,B,... rather
+  *     than A,A,A,B,B,B) deliberately: transient JVM states — a G1
   *     concurrent-mark phase, a deopt/recompile window — persist for
   *     seconds, so back-to-back reps of one query all land in the same
   *     bad window and the median keeps the outlier; interleaving
-  *     decorrelates reps minutes apart and the median sheds it.
+  *     decorrelates reps minutes apart and the median sheds it,
+  *  4. queries still flagged noisy (>3× rep spread) after the passes
+  *     get up to `SPARK_GRAFT_RENOISE` (default 2) extra targeted
+  *     reps: transient machine contention recovers in-band, real
+  *     variance gets confirmed (VERDICT r12 #3).
   *
   * Each rep executes the FULL physical plan via the noop sink (count()
   * would let the optimizer prune projections/sorts and understate the
@@ -152,19 +158,51 @@ object Bench {
     // discount (the r8 lesson: five phantom "regressions" were all in
     // this band). min-of-reps is the contention-robust statistic; both
     // are derivable from the reps arrays, the flag just makes it legible.
-    val noisy = suite.map(_.name).filter { n =>
+    def noisyNames: Seq[String] = suite.map(_.name).filter { n =>
       val ts = times(n)
       ts.length >= 2 && ts.min > 0 && ts.max / ts.min > 3.0
     }
+    // Contention recovery (VERDICT r12 #3): one disturbed wall-clock
+    // segment on a shared machine contaminates a contiguous BLOCK of
+    // queries' reps — r12's driver run flagged 37 noisy queries where
+    // the builder's same-code run flagged 8, and five phantom
+    // "regressions" were all in that band. Rather than paying more
+    // full passes up front, re-measure ONLY the flagged queries (up to
+    // 2 extra interleaved passes): if the noise was transient, the
+    // fresh reps land in-band and both the published stat and the
+    // noisy flag recover; if it is real plan variance, the extra reps
+    // confirm it. Disable with SPARK_GRAFT_RENOISE=0.
+    val renoise = sys.env.getOrElse("SPARK_GRAFT_RENOISE", "2").toInt
+    (1 to renoise).foreach { _ =>
+      val flagged = noisyNames.toSet
+      if (flagged.nonEmpty) {
+        System.err.println(s"[bench] re-measuring ${flagged.size} noisy queries: " +
+          flagged.toSeq.sorted.mkString(","))
+        settleJit()
+        suite.filter(q => flagged(q.name))
+          .foreach(q => runOnce(q).foreach(t => times(q.name) :+= t))
+        releaseStreamingResidue()
+      }
+    }
+    val noisy = noisyNames
     // per-pass rep times on stderr for harness diagnosis (not part of
     // the one-line JSON contract on stdout)
     suite.foreach { q =>
       System.err.println(s"[bench-reps] ${q.name}: " +
         times(q.name).map(t => String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))).mkString(" "))
     }
+    // Published stat: the TRIMMED median — drop the single worst rep
+    // (the teardown/contention victim), median of the rest. Robust to
+    // one polluted pass while staying honest (never below min, unlike
+    // min it still averages over the steady state). With 3+ reps the
+    // trim always applies, so the statistic is uniform across queries.
     val results = suite.flatMap { q =>
       val sorted = times(q.name).sorted
-      if (sorted.isEmpty) None else Some(q.name -> sorted(sorted.length / 2))
+      if (sorted.isEmpty) None
+      else {
+        val trimmed = if (sorted.length >= 3) sorted.dropRight(1) else sorted
+        Some(q.name -> trimmed(trimmed.length / 2))
+      }
     }.toMap
     // Round-over-round movement flags: compare medians against the most
     // recent BENCH_r*.json in the working directory (or an explicit
@@ -251,7 +289,7 @@ object Bench {
       val minJson = mins.map { case (k, v) => "\"" + k + "\":" + j3(v) }
         .mkString("{", ",", "}")
       val w = new java.io.PrintWriter(repsOut, "UTF-8")
-      try w.println(s"""{"sf":"$sfDir","failed":$failedJson,"noisy":$noisyJson,"median":$medianJson,"min":$minJson,"reps":$repsJson,"moved_vs_prev":$movedJson}""")
+      try w.println(s"""{"sf":"$sfDir","stat":"trimmed_median","failed":$failedJson,"noisy":$noisyJson,"median":$medianJson,"min":$minJson,"reps":$repsJson,"moved_vs_prev":$movedJson}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] reps file: $e") }
     // The driver's log capture keeps only the LAST 2000 chars of this
@@ -275,7 +313,7 @@ object Bench {
     val minTotal = if (mins.nonEmpty) mins.values.sum else 0.0
     val totalStr = j3(total)
     val failedStr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val summaryLine = s"""{"metric":"total","value":$totalStr,"unit":"sec","min_total":${j3(minTotal)},"n_queries":${results.size},"failed":$failedStr,"noisy_count":${noisy.size},"moved_count":${moved.size},"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}"""
+    val summaryLine = s"""{"metric":"total","value":$totalStr,"unit":"sec","stat":"trimmed_median","min_total":${j3(minTotal)},"n_queries":${results.size},"failed":$failedStr,"noisy_count":${noisy.size},"moved_count":${moved.size},"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}"""
     println(summaryLine)
     spark.stop()
     // The summary must survive every capture mode (VERDICT r11 #2):

@@ -2856,7 +2856,9 @@ object Queries {
         .select(col("doc_id").as("media_id"), lit("image").as("kind"),
           concat(lit("P5\n22 12\n255\n").cast("binary"),
             col("payload").cast("binary")).as("content"))
-      graft.multimodal.Multimodal.dHashPairs(media, maxHamming = 6)
+      // bits = 60 pinned: this is the oracle configuration (the adaptive
+      // default would pick the width from the corpus size)
+      graft.multimodal.Multimodal.dHashPairs(media, maxHamming = 6, bits = 60)
         .orderBy("id_a", "id_b")
     },
     Some("""

@@ -272,16 +272,51 @@ object Dedup {
     *
     * `bits > 60` switches to the multi-word fingerprint
     * ([[withSimhashWide]], up to 120 bits) with the same output schema
-    * `(id_a, id_b, hamming)` — the opt-in scale path; the 60-bit default
-    * family stays bit-identical for the standing oracles. */
+    * `(id_a, id_b, hamming)`; `bits = AdaptiveBits` (the DEFAULT since
+    * round 13 — VERDICT r12 #4) derives the width from the corpus size
+    * via [[adaptiveFingerprintBits]], so the no-knobs call is the
+    * scale-safe one at any N. Callers that need a bit-pinned fingerprint
+    * (the standing 60-bit oracles) pass `bits` explicitly. The adaptive
+    * path costs one `count()` job on the input. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      bits: Int = 16,
+      bits: Int = AdaptiveBits,
       maxHamming: Int = 3): DataFrame = {
-    if (bits > 60) return simhashPairsWide(df, idCol, textCol, bits, maxHamming)
-    hammingPairs(withSimhash(df, idCol, textCol, bits), bits, maxHamming)
+    val b = if (bits == AdaptiveBits)
+      adaptiveFingerprintBits(df.count(), maxHamming) else bits
+    if (b > 60) return simhashPairsWide(df, idCol, textCol, b, maxHamming)
+    hammingPairs(withSimhash(df, idCol, textCol, b), b, maxHamming)
+  }
+
+  /** Sentinel `bits` value: derive the fingerprint width from the corpus
+    * size ([[adaptiveFingerprintBits]]). */
+  val AdaptiveBits: Int = 0
+
+  /** Corpus-size-adaptive fingerprint width for pigeonhole Hamming
+    * blocking — the SCALE.md block-width law productized as the default
+    * (VERDICT r12 #4), the exact analog of
+    * [[graft.similarity.Similarity.adaptiveBandPlanes]] for LSH bands:
+    * blocking splits `bits` into `maxHamming + 1` blocks and expected
+    * blocking collisions per block scale as N²/2^blockBits, so holding
+    * candidate volume ≈ O(N) needs `blockBits ≈ log₂N` — one more bit
+    * per corpus doubling. Measured (SCALE.md "simhash-width"): 60-bit /
+    * 15-bit blocks grew 13.8× for 4× data at N = 320 k, while 96-bit /
+    * 24-bit blocks grew 1.9× and held through 1.28 M docs.
+    *
+    * Returns `clamp(blocks · ceil(log₂N), baseBits, maxBits)`: small
+    * corpora stay at exactly `baseBits` (the oracle-pinned family), and
+    * the cap is [[hammingPairsWide]]'s two-word ceiling — 30-bit blocks
+    * at `maxHamming = 3`, enough for N ~ 10⁹ per the law. */
+  def adaptiveFingerprintBits(corpusCount: Long, maxHamming: Int,
+      baseBits: Int = 60, maxBits: Int = 120): Int = {
+    require(corpusCount >= 0, s"corpusCount must be >= 0, got $corpusCount")
+    val nBlocks = maxHamming + 1
+    val blockBits =
+      if (corpusCount <= 2) 1
+      else math.ceil(math.log(corpusCount.toDouble) / math.log(2.0)).toInt
+    math.max(baseBits, math.min(nBlocks * blockBits, maxBits))
   }
 
   /** Pigeonhole-blocked Hamming near-dup pairs over PRECOMPUTED

@@ -684,6 +684,13 @@ object Multimodal {
         .select(col("media_id").as("id"), col("phash").as("sh")),
       bits = 60, maxHamming = maxHamming)
 
+  /** Corpus size past which the adaptive [[dHashPairs]] default takes
+    * the 120-bit wide path: the 60-bit family's ~8.6-bit blocks were
+    * measured fine to 320 k media (SCALE.md 64× perceptual probe) and
+    * saturate near 10⁶, so the cutover sits between — after the
+    * measured-safe point, comfortably before the ceiling. */
+  val DHashWideCutover: Long = 1L << 19 // 524 k media
+
   /** Image near-duplicate pairs: dHash fingerprints into the pigeonhole
     * Hamming-blocking join ([[graft.dedup.Dedup.hammingPairs]] —
     * `maxHamming + 1` blocks, perfect recall, candidates ≈ true pairs
@@ -691,9 +698,25 @@ object Multimodal {
     * rows drop out before the join (their nulls would otherwise
     * Hamming-match each other). Output `(id_a, id_b, hamming)` — the
     * multimodal twin of text [[graft.dedup.Dedup.simhashPairs]], one
-    * decode pass + one blocked self-join at any corpus size. */
-  def dHashPairs(media: DataFrame, maxHamming: Int = 6): DataFrame =
-    perceptualPairs(dHashSignatures(media), maxHamming)
+    * decode pass + one blocked self-join at any corpus size.
+    *
+    * `bits` picks the fingerprint family — 60 (one gradient word) or
+    * 120 ([[dHashWidePairs]], the >10⁶-media block-width cure); the
+    * DEFAULT is corpus-size-adaptive (VERDICT r12 #4): past
+    * [[DHashWideCutover]] media the no-knobs call takes the wide path,
+    * so the 100 TB default is the scale-safe one. Oracle-pinned callers
+    * pass `bits = 60` explicitly. Adaptive costs one `count()` job. */
+  def dHashPairs(media: DataFrame, maxHamming: Int = 6,
+      bits: Int = graft.dedup.Dedup.AdaptiveBits): DataFrame = {
+    val b =
+      if (bits == graft.dedup.Dedup.AdaptiveBits)
+        (if (media.count() > DHashWideCutover) 120 else 60)
+      else bits
+    require(b == 60 || b == 120,
+      s"dHash has two native widths, 60 and 120 bits; got $b")
+    if (b == 120) dHashWidePairs(media, maxHamming)
+    else perceptualPairs(dHashSignatures(media), maxHamming)
+  }
 
   /** Audio near-duplicate pairs — [[dHashPairs]] over the envelope
     * fingerprint; same blocking core, same output schema. */

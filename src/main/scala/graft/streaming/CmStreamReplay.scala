@@ -75,10 +75,7 @@ object CmStreamReplay {
           j += 1
         }
       }
-      local.forEach { (k, inc) =>
-        val cur = if (counters.containsKey(k)) counters.getValue(k) else 0L
-        counters.updateValue(k, cur + inc)
-      }
+      BatchedMapState.mergeInto(counters, local, (a: Long, b: Long) => a + b)
       val b = batch
       ProbeUsers.iterator.map { u =>
         val est = (0 until Depth).map { j =>

@@ -89,15 +89,27 @@ object HllStreamReplay {
 
     override def handleInputRows(key: String, rows: Iterator[HllEvent],
         timers: TimerValues): Iterator[HllStat] = {
+      // Register max is commutative: fold the WHOLE batch into a local
+      // map (hashing each distinct user once via the memo), then touch
+      // the state store once per dirty register (≤ m = 2^p entries) —
+      // the shared BatchedMapState law, same as q110's counters
+      // (VERDICT r12 #5); the previous form paid 2-3 RocksDB point-ops
+      // + one md5 PER ROW.
       var batchRows = 0L
       var batch = 0
+      val local = new java.util.HashMap[Int, Int]()
+      val regMemo = new java.util.HashMap[Long, (Int, Int)]()
       rows.foreach { r =>
         batchRows += 1
         if (r.cut > batch) batch = r.cut
-        val (idx, rho) = regOf(r.user_id)
-        val cur = if (regs.containsKey(idx)) regs.getValue(idx) else 0
-        if (rho > cur) regs.updateValue(idx, rho)
+        var ir = regMemo.get(r.user_id)
+        if (ir == null) {
+          ir = regOf(r.user_id)
+          regMemo.put(r.user_id, ir)
+        }
+        local.merge(ir._1, ir._2, (a, b) => math.max(a, b))
       }
+      BatchedMapState.mergeInto(regs, local, (a: Int, b: Int) => math.max(a, b))
       val ranks = regs.iterator().map(_._2).toArray
       val (nReg, nZero, est) = estimate(ranks)
       Iterator.single(HllStat(key, batch, batchRows, nReg, nZero, est))

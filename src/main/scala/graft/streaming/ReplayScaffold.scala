@@ -263,6 +263,42 @@ object ReplayScaffold {
   // throws OverlappingFileLockException on same-JVM re-entry)
   private val buildLock = new Object
 
+  /** Retention for shared spool caches: a `graft-*` base whose marker
+    * has not been read (reuse touches it) or rewritten (build) for this
+    * many days is abandoned — its kind was renamed/removed, or the
+    * machine stopped running that suite — and is swept so the shared
+    * tmpdir stays bounded across a multi-round soak (VERDICT r12 #7). */
+  val SharedCacheMaxAgeDays: Int = 7
+
+  // once per JVM: the sweep is a hygiene pass, not a per-call cost
+  private lazy val staleSweepDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Sweep shared `graft-*` cache bases (and their `.lock` twins) whose
+    * marker is older than [[SharedCacheMaxAgeDays]]. Conservative: only
+    * dirs WITH an aged marker are touched — a dir mid-build has no (or
+    * a fresh) marker and is left alone; live users re-touch the marker
+    * on every reuse, so "aged" means genuinely unused. */
+  private def sweepStaleSharedCaches(tmp: File): Unit = {
+    if (!staleSweepDone.compareAndSet(false, true)) return
+    val cutoff = System.currentTimeMillis() - SharedCacheMaxAgeDays * 24L * 3600 * 1000
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if (f.isDirectory && n.startsWith("graft-") && !n.matches(".*-p\\d+$")) {
+        val marker = new File(f, "spool.ok")
+        if (marker.exists() && marker.lastModified() < cutoff) {
+          System.err.println(s"[replay-audit] sweeping stale shared spool cache $f " +
+            s"(marker age ${(System.currentTimeMillis() - marker.lastModified()) / 86400000L} days)")
+          rmTree(f)
+          val lock = new File(tmp, s"$n.lock")
+          if (lock.exists()) lock.delete()
+        }
+      } else if (f.isFile && n.startsWith("graft-") && n.endsWith(".lock") &&
+          f.lastModified() < cutoff && !new File(tmp, n.stripSuffix(".lock")).exists()) {
+        f.delete() // orphaned lock of an already-swept base
+      }
+    }
+  }
+
   // private-path build memo: (kind, key) -> stamp of the spool already
   // built by THIS process. A live process's private dir is immutable to
   // everyone else (the sweep only removes dead owners' dirs), so a
@@ -327,12 +363,17 @@ object ReplayScaffold {
       return spool
     }
 
+    sweepStaleSharedCaches(tmp)
     val base = new File(tmp, s"graft-$kind-$key")
     val spool = new File(base, "spool")
     val marker = new File(base, "spool.ok")
     def markerContent = stamp + "\n#spool#\n" + batchListing(spool)
     def fresh = marker.exists() &&
       Files.readString(marker.toPath) == markerContent
+    // touch the marker on every reuse so the retention sweep's "last
+    // used" signal is real: a cache a long-lived bench keeps hitting
+    // never ages out (content equality, not mtime, decides freshness)
+    if (fresh) marker.setLastModified(System.currentTimeMillis())
     if (!fresh) buildLock.synchronized {
       val lockFile = new File(tmp, s"graft-$kind-$key.lock")
       val ch = FileChannel.open(lockFile.toPath,

@@ -201,4 +201,27 @@ class DedupSpec extends SparkSpec {
     } yield (ia, ib)).toSet
     assert(got == truth)
   }
+
+  // Pins the adaptive-width law (VERDICT r12 #4): the no-knobs default
+  // stays bit-identical to the 60-bit oracle family on small corpora
+  // and widens one block-bit per corpus doubling once nBlocks·log2(N)
+  // clears the base — so the 100 TB default call is the scale-safe one.
+  test("adaptiveFingerprintBits: 60-bit floor, log2-tracking growth, 120-bit cap") {
+    // oracle corpora (<= ~2^15 docs at maxHamming 3) stay exactly 60
+    assert(Dedup.adaptiveFingerprintBits(0, 3) === 60)
+    assert(Dedup.adaptiveFingerprintBits(2000, 3) === 60)
+    assert(Dedup.adaptiveFingerprintBits(32768, 3) === 60)
+    // past the floor: blocks track ceil(log2 N) — 320 k docs = the
+    // measured 64x probe point, where 60-bit grew 13.8x and wide held
+    assert(Dedup.adaptiveFingerprintBits(320000, 3) === 4 * 19) // 76
+    assert(Dedup.adaptiveFingerprintBits(1280000, 3) === 4 * 21) // 84
+    // the two-word ceiling
+    assert(Dedup.adaptiveFingerprintBits(Long.MaxValue / 2, 3) === 120)
+    // adaptive default routes wide past the floor and matches the
+    // explicitly-pinned wide call bit-for-bit
+    val wideDefault = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val pinned60 = Dedup.simhashPairs(docs, "doc_id", "text", bits = 60, maxHamming = 3)
+    assert(wideDefault.collect().toSet === pinned60.collect().toSet,
+      "tiny corpus: adaptive default must equal the 60-bit oracle family")
+  }
 }
