@@ -3867,6 +3867,58 @@ object Queries {
       WHERE greatest(CAST(inter AS DOUBLE) / na, CAST(inter AS DOUBLE) / nb) >= 0.4
       ORDER BY greatest(cont_a, cont_b) DESC, id_a, id_b LIMIT 30"""))
 
+  // Leakage-safe split (Selection.leakageSafeSplit): train/val/test
+  // assignment whose unit is the NEAR-DUP CLUSTER (q44's minhash-LSH →
+  // connected components pipeline), so a near-duplicate of a test doc
+  // can never land in train — the eval-contamination guard. The oracle
+  // replays the full q44 closure, then the md5 bucket arithmetic
+  // (h60(salt:cluster) % 1000 against cumulative permille ranges).
+  val q116_leakage_safe_split = Q("q116_leakage_safe_split",
+    (s, dir) => graft.text.Selection.leakageSafeSplit(
+        documents(s, dir), "doc_id", "text",
+        Seq(("train", 800), ("val", 100), ("test", 100)))
+      .orderBy("id"),
+    Some("""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id AS id,
+          list_transform(
+            list_distinct([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                           FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]),
+            s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM documents),
+      sig AS (
+        SELECT id,
+          [list_min(list_transform(hs, h -> ((2*i+1) * h + (7919*i+1)) % 4294967311))
+           FOR i IN generate_series(0, 15)] AS sig
+        FROM sh),
+      banded AS (
+        SELECT id, sig, b, array_to_string(sig[b*4+1:b*4+4], '-') AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b ON a.b = b.b AND a.band_key = b.band_key AND a.id < b.id),
+      pairs AS (
+        SELECT id_a, id_b FROM cand
+        WHERE CAST(len(list_filter([sa[i] = sb[i] FOR i IN generate_series(1, 16)], x -> x)) AS DOUBLE) / 16 >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      clusters AS (
+        SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+      bucketed AS (
+        SELECT id, cluster,
+          CAST(('0x' || substr(md5('graft:' || CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
+        FROM clusters)
+      SELECT id, cluster,
+        CASE WHEN bucket < 800 THEN 'train'
+             WHEN bucket < 900 THEN 'val'
+             ELSE 'test' END AS split
+      FROM bucketed ORDER BY id"""))
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -3904,5 +3956,5 @@ object Queries {
     q104_pmi_collocations, q105_streaming_hll, q106_bm25_topk,
     q107_textrank, q108_random_projection, q109_phrase_search,
     q110_streaming_cm, q111_funnel, q112_retention, q113_burst_days,
-    q114_session_journeys, q115_containment_pairs)
+    q114_session_journeys, q115_containment_pairs, q116_leakage_safe_split)
 }

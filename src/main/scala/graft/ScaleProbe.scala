@@ -57,9 +57,13 @@ object ScaleProbe {
       else Seq(1, 4, 16)
     val pairsOnly = args.headOption.contains("pairs")
     val widthOnly = args.headOption.contains("simhash-width")
-    val perceptualOnly = args.headOption.contains("perceptual")
+    val perceptualOnly = args.headOption.contains("perceptual") ||
+      args.headOption.contains("containment") ||
+      args.headOption.contains("events-skew")
     val mutModulus: Int =
-      if (pairsOnly) args.lift(2).map(_.trim.toInt).getOrElse(16) else 16
+      if (pairsOnly || args.headOption.contains("containment"))
+        args.lift(2).map(_.trim.toInt).getOrElse(16)
+      else 16
     val li = Tables.lineitem(spark, dir)
     val docs = Tables.documents(spark, dir)
     val ev = Tables.events(spark, dir)
@@ -237,6 +241,73 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // `containment [factors-csv] [modulus]` — the containment-pair probe
+    // (VERDICT r12 #2): prefix-filtered containmentPairs (t = 0.4, the
+    // q115 config) vs the t=0 postings path filtered post-hoc, on the
+    // mutated corpus. The postings cell is capped at ≤16× — its
+    // candidate set is every co-occurring pair, the regime the prefix
+    // filter exists to escape.
+    if (args.headOption.contains("containment")) {
+      val factors = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(16, 64))
+      def contPref(d: DataFrame) = graft.dedup.Dedup
+        .containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.4,
+          maxShingleFreq = 100)
+      def contPost(d: DataFrame) = graft.dedup.Dedup
+        .containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.0,
+          maxShingleFreq = 100)
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.4)
+      contPref(repMutatedDocs(1)).count(); contPost(repMutatedDocs(1)).count() // warm
+      println("factor,docs,prefix_s,prefix_pairs,postings_s,postings_pairs")
+      def time2c(f: => Unit): Double = math.min(time(f), time(f))
+      for (n <- factors) {
+        val docsN = repMutatedDocs(n)
+        var pp = 0L; var qp = 0L
+        val pS = time2c { pp = contPref(docsN).count() }
+        val qS = if (n <= 16) time2c { qp = contPost(docsN).count() } else Double.NaN
+        println(f"$n,${n * 5000},$pS%.2f,$pp,$qS%.2f,$qp")
+      }
+      spark.stop(); return
+    }
+
+    // `events-skew [factors-csv] [skew-pct]` — the event-analytics skew
+    // probe (VERDICT r12 #6): funnel (q111), retention (q112) and
+    // session journeys (q114) are user-keyed, so one power user's whole
+    // event history lands on one task. Replicate events n× and reassign
+    // `skew-pct`% of ALL rows (hash-sampled) to a single user, then
+    // measure each operator with and without the skew — the delta IS
+    // the single-task tail the shapes must absorb.
+    if (args.headOption.contains("events-skew")) {
+      val factors = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(4, 16))
+      val skewPct = args.lift(2).map(_.trim.toInt).getOrElse(20)
+      def skewed(d: DataFrame): DataFrame = d.withColumn("user_id",
+        when(pmod(hash(col("event_id")), lit(100)) < skewPct, lit(99999999L))
+          .otherwise(col("user_id")))
+      def funl(d: DataFrame) = graft.events.Funnels.funnel(
+        d, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSeconds = 3600L)
+      def reten(d: DataFrame) = graft.events.Funnels.retentionCohorts(
+        d, "user_id", "ts", "2024-01-01 00:00:00")
+      def journ(d: DataFrame) = graft.events.Funnels.sessionJourneys(
+        d, "user_id", "event_type", "ts", "event_id", k = 20)
+      Seq(funl _, reten _, journ _).foreach(f => f(ev).count()) // warm
+      println("factor,events,funnel_s,funnel_skew_s,retention_s,retention_skew_s,journeys_s,journeys_skew_s")
+      def time2e(f: => Unit): Double = math.min(time(f), time(f))
+      for (n <- factors) {
+        val evN = rep(ev, n, "event_id")
+        val evS = skewed(evN)
+        val fS = time2e { funl(evN).count() }
+        val fK = time2e { funl(evS).count() }
+        val rS = time2e { reten(evN).count() }
+        val rK = time2e { reten(evS).count() }
+        val jS = time2e { journ(evN).count() }
+        val jK = time2e { journ(evS).count() }
+        println(f"$n,${n * 600000},$fS%.2f,$fK%.2f,$rS%.2f,$rK%.2f,$jS%.2f,$jK%.2f")
+      }
+      spark.stop(); return
+    }
+
     // nearDupPairs at a FIXED plane count degrades superlinearly by
     // construction: candidate volume is ~N²/2^bandPlanes per band, so
     // 2^bandPlanes (the bucket count) must track N. Since round 7 the

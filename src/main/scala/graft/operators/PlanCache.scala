@@ -48,8 +48,15 @@ object PlanCache {
       val p = df.persist()
       p.count() // materialize once, before any multi-consumer fan-out
       Option(ref.getAndSet(p)).filter(_ ne p).foreach { old =>
-        // only touch the old frame's session if it is still the live one
-        if (old.sparkSession eq df.sparkSession) old.unpersist()
+        // release the old frame ONLY if it computes a different result:
+        // CacheManager keys entries by canonicalized plan, so when the
+        // slot held a same-plan-but-externally-uncached frame (the
+        // clearCache path above), unpersisting it here would drop the
+        // very entry p just registered — the original trap, one branch
+        // over. Sessions must also match (never touch a stopped one).
+        if ((old.sparkSession eq df.sparkSession) &&
+            !old.queryExecution.analyzed.sameResult(p.queryExecution.analyzed))
+          old.unpersist()
       }
       p
     }

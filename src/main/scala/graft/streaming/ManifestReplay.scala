@@ -13,8 +13,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 micro-batch source that replays a staged spool in
-  * FILENAME-MANIFEST order: trigger i serves exactly the file named
-  * `batch-<i padded>.jsonl`, nothing else, in index order.
+  * FILENAME-MANIFEST order: trigger i serves exactly the files named
+  * `batch-<i padded>[-pJJ].jsonl` — one staged batch, possibly sharded
+  * into parts for parallel executor parse — nothing else, in index
+  * order.
   *
   * Why this exists (VERDICT r12 #1): the order-sensitive state replays
   * (q86–q89 running counters, q105/q110 running sketches) previously
@@ -79,14 +81,25 @@ object ManifestReplaySource {
       }
     }
 
-  /** The staged batch files of `path` in manifest (lexicographic name)
-    * order — the replay's arrival order, independent of any mtime. */
-  private[graft] def manifest(path: String): Seq[File] = {
+  /** Staged-batch filename shape: `batch-NNNNN[-pJJ].jsonl` — the index
+    * is the arrival order, the optional part suffix shards one batch
+    * across files for parallel executor parse. */
+  private[graft] val BatchFile = "^(batch-\\d+)(?:-p\\d+)?\\.jsonl$".r
+
+  /** The staged batches of `path` as (index key, part files) GROUPS in
+    * manifest (lexicographic index) order — the replay's arrival order,
+    * independent of any mtime. All parts of one index arrive together
+    * in one trigger. */
+  private[graft] def manifest(path: String): Seq[(String, Seq[File])] = {
     val d = new File(path)
     Option(d.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isFile && f.getName.startsWith("batch-") &&
-        f.getName.endsWith(".jsonl"))
-      .sortBy(_.getName).toSeq
+      .filter(_.isFile)
+      .flatMap(f => f.getName match {
+        case BatchFile(idx) => Some((idx, f))
+        case _ => None
+      })
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2).sortBy(_.getName).toSeq) }
   }
 }
 
@@ -116,10 +129,12 @@ final class ManifestReplayStream(path: String, schema: StructType)
   // Listed ONCE per stream: the spool is fully staged before the query
   // starts (ReplayScaffold contract), so the manifest is immutable for
   // the stream's lifetime and every restart lists the same names.
-  private lazy val files: IndexedSeq[File] = {
+  private lazy val groups: IndexedSeq[(String, Seq[File])] = {
     val m = ManifestReplaySource.manifest(path).toIndexedSeq
     System.err.println(s"[replay-audit] manifest $path: ${m.length} batches: " +
-      m.map(f => s"${f.getName}=${f.length()}b").mkString(", "))
+      m.map { case (k, fs) =>
+        s"$k[${fs.length} parts, ${fs.map(_.length()).sum}b]"
+      }.mkString(", "))
     m
   }
 
@@ -133,8 +148,8 @@ final class ManifestReplayStream(path: String, schema: StructType)
   // the replay's per-trigger grouping IS the semantics under test
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    BatchIndexOffset(math.min(start.asInstanceOf[BatchIndexOffset].n + 1, files.length.toLong))
-  override def reportLatestOffset(): Offset = BatchIndexOffset(files.length.toLong)
+    BatchIndexOffset(math.min(start.asInstanceOf[BatchIndexOffset].n + 1, groups.length.toLong))
+  override def reportLatestOffset(): Offset = BatchIndexOffset(groups.length.toLong)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
@@ -146,11 +161,13 @@ final class ManifestReplayStream(path: String, schema: StructType)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BatchIndexOffset].n.toInt
     val e = end.asInstanceOf[BatchIndexOffset].n.toInt
-    val served = files.slice(s, e)
+    val served = groups.slice(s, e)
     if (audited.synchronized(audited.add((s, e))))
       System.err.println(s"[replay-audit] trigger [$s,$e): serving " +
-        (if (served.isEmpty) "(nothing)" else served.map(_.getName).mkString(", ")))
-    served.map(f => JsonlBatchPartition(f.getAbsolutePath): InputPartition).toArray
+        (if (served.isEmpty) "(nothing)"
+         else served.map { case (k, fs) => s"$k (${fs.length} parts)" }.mkString(", ")))
+    served.flatMap(_._2)
+      .map(f => JsonlBatchPartition(f.getAbsolutePath): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

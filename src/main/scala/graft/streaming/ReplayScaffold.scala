@@ -51,7 +51,7 @@ object ReplayScaffold {
     * replay in a different arrival order. Bump on any change to
     * [[writeStagedBatch]] / [[writeTimeSplit]] / [[writeManifestBatch]]
     * or a caller's spool writer. */
-  val SpoolFormatVersion: String = "spoolfmt-3"
+  val SpoolFormatVersion: String = "spoolfmt-4" // 4: sharded manifest batches
 
   /** When true (the DEFAULT since round 13 — VERDICT r12 #1a), [[spoolFor]]
     * never touches the shared tmpdir cache: every (kind, stamp) is built
@@ -115,23 +115,47 @@ object ReplayScaffold {
     target
   }
 
-  /** Publish `df` into `dir` as staged MANIFEST batch `index` —
-    * `batch-<index padded>.jsonl`, one JSON object per row, timestamps
-    * encoded as epoch-micros longs. Arrival order for these spools is
-    * the lexicographic FILENAME order served by
-    * [[ManifestReplaySource]]; no mtime is pinned or consulted
-    * (VERDICT r12 #1b: the order contract is code, not filesystem
-    * metadata). An empty batch still stages one (empty) file, so the
-    * trigger structure is preserved regardless of data. */
-  def writeManifestBatch(dir: File, df: DataFrame, index: Int): Unit = {
+  /** Publish `df` into `dir` as staged MANIFEST batch `index` — up to
+    * `parts` files named `batch-<index padded>-p<j>.jsonl`, one JSON
+    * object per row, timestamps encoded as epoch-micros longs. Arrival
+    * order for these spools is the lexicographic order of the batch
+    * INDEX in the filename, served by [[ManifestReplaySource]] (all
+    * `-p*` parts of one index arrive in one trigger); no mtime is
+    * pinned or consulted (VERDICT r12 #1b: the order contract is code,
+    * not filesystem metadata). Multiple parts exist so the executor
+    * parse of a large staged batch is PARALLEL — one partition per
+    * part, rows within a trigger are unordered by definition (the
+    * stateful processors sort per key). An empty batch still stages
+    * one (empty) file, so the trigger structure is preserved
+    * regardless of data. */
+  def writeManifestBatch(dir: File, df: DataFrame, index: Int,
+      parts: Int = 8): Unit = {
     val enc = df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
         case TimestampType => d.withColumn(f.name, unix_micros(col(f.name)))
         case _ => d
       }
     }
-    stageOneFile(dir, f"batch-$index%05d.jsonl",
-      d => enc.toJSON.coalesce(1).write.mode("append").text(d))
+    dir.mkdirs()
+    def partFiles() = Option(dir.listFiles())
+      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
+    val seen = partFiles().map(_.getName).toSet
+    enc.toJSON.repartition(parts).write.mode("append").text(dir.toString)
+    val fresh = partFiles().filterNot(f => seen(f.getName)).sortBy(_.getName)
+    if (fresh.isEmpty) {
+      // an all-empty write may commit no files at all — stage one empty
+      // part so the trigger slot survives
+      Files.createFile(new File(dir, f"batch-$index%05d-p00.jsonl").toPath)
+    } else fresh.zipWithIndex.foreach { case (part, j) =>
+      val target = new File(dir, f"batch-$index%05d-p$j%02d.jsonl")
+      Files.move(part.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+      val crc = new File(dir, s".${part.getName}.crc")
+      if (crc.exists()) {
+        val crcTarget = new File(dir, s".${target.getName}.crc")
+        try Files.move(crc.toPath, crcTarget.toPath, StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: Throwable => crc.delete() }
+      }
+    }
   }
 
   /** Manifest twin of [[writeTimeSplit]]: split `ev` into
@@ -247,9 +271,16 @@ object ReplayScaffold {
     val batchFiles = dirs(spool).flatMap(d =>
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.startsWith("batch-")))
+    // a staged BATCH is one parquet file or one jsonl part-GROUP (all
+    // -pNN shards of one index arrive in one trigger)
+    val batchCount = batchFiles.count(_.getName.endsWith(".parquet")) +
+      batchFiles.flatMap(f => f.getName match {
+        case ManifestReplaySource.BatchFile(idx) => Some((f.getParentFile, idx))
+        case _ => None
+      }).distinct.length
     if (expectedFiles >= 0)
-      require(batchFiles.length == expectedFiles,
-        s"spool $spool has ${batchFiles.length} staged batches, expected $expectedFiles")
+      require(batchCount == expectedFiles,
+        s"spool $spool has $batchCount staged batches, expected $expectedFiles")
     dirs(spool).foreach { d =>
       val ms = Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.startsWith("batch-") &&

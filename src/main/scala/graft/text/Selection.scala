@@ -316,4 +316,43 @@ object Selection {
       .orderBy(col("es_key"), col(keyCol))
       .limit(k)
   }
+
+  /** LEAKAGE-SAFE train/val/test split: the unit of assignment is the
+    * near-duplicate CLUSTER, not the document. A per-document hash split
+    * silently leaks test data into training whenever a near-dup of a
+    * test doc lands in train — the standard eval-contamination failure
+    * every serious corpus pipeline guards against — so documents are
+    * first clustered (minhash-LSH candidate pairs → connected
+    * components, [[graft.dedup.Dedup.dedupByMinhash]]) and the whole
+    * cluster inherits the split of its canonical (minimum) id:
+    * `bucket = h60(salt:cluster) % 1000` against cumulative permille
+    * ranges. Singleton clusters degrade to the plain hash split.
+    * Deterministic across runs, partitionings and engines (the split is
+    * corpus lineage, so it must replay bit-for-bit).
+    *
+    * Output `(id, cluster, split)`, one row per document.
+    * `splits` are `(name, permille)` and must sum to 1000.
+    *
+    * Scale shape: everything is the q44 cluster pipeline (banded
+    * signatures, candidate pairs, label propagation — never all-pairs)
+    * plus one hash projection; the split assignment itself adds no
+    * exchange. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Int)], salt: String = "graft",
+      n: Int = 3, numPerm: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 1000,
+      s"split permilles must sum to 1000, got $splits")
+    require(splits.forall(_._2 > 0), s"every split needs permille > 0: $splits")
+    val clusters = Dedup.dedupByMinhash(docs, idCol, textCol,
+        n = n, numPerm = numPerm, bands = bands, threshold = threshold)
+      .select(col("id"), col("cluster"))
+    val bucket = Dedup.h60(
+      concat(lit(salt), lit(":"), col("cluster").cast("string"))) % 1000
+    val cum = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val assigned = splits.zip(cum).reverse.tail.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), hi)) => when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    clusters.select(col("id"), col("cluster"), assigned.as("split"))
+  }
 }

@@ -81,6 +81,28 @@ class DedupSpec extends SparkSpec {
       s"prefix path lost ${(truth -- pref).size} / invented ${(pref -- truth).size} pairs")
   }
 
+  test("containmentPairs prefix-filtered path (t>0) == postings path, on real documents") {
+    // same discipline for the containment form: a qualifying pair needs
+    // inter >= t·min(na, nb), so it must collide in its SHORT side's
+    // prefix — the t=0 postings path filtered post-hoc is ground truth
+    // and the prefix path must reproduce it exactly, both directions
+    val docs001 = Tables.documents(spark, sf())
+    val t = 0.4
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9), math.round(r.getDouble(3) * 1e9))
+    val truth = Dedup.containmentPairs(docs001, "doc_id", "text",
+        n = 3, threshold = 0.0, maxShingleFreq = 100)
+      .filter(greatest(col("cont_a"), col("cont_b")) >= t)
+      .collect().map(key).toSet
+    val pref = Dedup.containmentPairs(docs001, "doc_id", "text",
+        n = 3, threshold = t, maxShingleFreq = 100)
+      .collect().map(key).toSet
+    assert(truth.nonEmpty, "fixture should produce at least one qualifying pair")
+    assert(pref == truth,
+      s"prefix path lost ${(truth -- pref).size} / invented ${(pref -- truth).size} pairs")
+  }
+
   test("minhash_sig codegen expression is bit-identical to the aggregate and lambda shapes") {
     // three independent derivations of the same signature: the codegen'd
     // native expression (minhashSignature — q73's hot path), the

@@ -85,7 +85,7 @@ class ManifestReplaySpec extends SparkSpec {
           case TimestampType => f.copy(dataType = LongType) // spool encoding
           case _ => f
         })))
-      .json(dir.listFiles().filter(_.getName.endsWith(".jsonl")).head.toString)
+      .json(dir.toString + "/batch-*.jsonl")
     // spool encodes ts as micros; the stream decodes to TimestampType
     val streamed = {
       val seen = drain(dir)
@@ -110,6 +110,31 @@ class ManifestReplaySpec extends SparkSpec {
     assert(rows.head.getTimestamp(3).getTime === 5000L) // 5000007 us -> ms
     assert(rows.head.getBoolean(4) === false)
     assert(rows(1).getBoolean(4) === true)
+  }
+
+  test("checkpointed offsets resume exactly: restart serves only undelivered batches") {
+    val dir = freshDir()
+    val ckpt = new File(dir.getParentFile, dir.getName + "-ckpt-resume").toString
+    stage(dir, Seq(1L), 0)
+    stage(dir, Seq(2L), 1)
+    def drainWith(record: (Long, Seq[Long]) => Unit): Unit = {
+      val q = ReplayScaffold.manifestStream(spark, dir, schema)
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          record(id, df.select("id").collect().map(_.getLong(0)).toSeq); ()
+        }.option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val first = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    drainWith((id, ids) => first.synchronized { first += ((id, ids)) })
+    assert(first.flatMap(_._2).sorted == Seq(1L, 2L))
+    // extend the spool, restart on the SAME checkpoint: offset 2 is
+    // committed, so the resumed stream must serve ONLY batch index 2 —
+    // a replay of 0/1 would double rows, a skip would lose batch 2
+    stage(dir, Seq(3L), 2)
+    val second = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    drainWith((id, ids) => second.synchronized { second += ((id, ids)) })
+    assert(second.flatMap(_._2) == Seq(3L),
+      s"resume must deliver exactly the undelivered batch, got $second")
   }
 
   test("unsupported spool field types fail at load, not per-row") {

@@ -274,4 +274,34 @@ class SelectionSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == expect.map(_._1),
       "TakeOrdered selection differs from the replayed A-ES ranking")
   }
+
+  test("weightedSample: a non-positive weight fails loudly, not silently first") {
+    val docs = Seq((1L, 2.0), (2L, 0.0), (3L, 1.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Selection.weightedSample(docs, "id", col("w"), k = 3).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("strictly positive"),
+      s"expected the weight guard, got: ${e.getMessage}")
+  }
+
+  test("leakageSafeSplit: clusters never straddle splits; near-dups travel together") {
+    val docs001 = Tables.documents(spark, sf())
+    val out = Selection.leakageSafeSplit(docs001, "doc_id", "text",
+      Seq(("train", 800), ("val", 100), ("test", 100))).collect()
+    assert(out.length == docs001.count())
+    // the load-bearing invariant: one split per cluster
+    val splitsPerCluster = out.groupBy(_.getLong(1)).values
+      .map(_.map(_.getString(2)).distinct.length)
+    assert(splitsPerCluster.forall(_ == 1),
+      "a near-dup cluster was split across train/val/test — leakage")
+    // multi-doc clusters exist in the fixture (otherwise the test is vacuous)
+    assert(out.groupBy(_.getLong(1)).values.exists(_.length > 1),
+      "fixture has no multi-doc cluster; invariant untested")
+    // all three splits are populated at this corpus size
+    assert(out.map(_.getString(2)).distinct.sorted.toSeq == Seq("test", "train", "val"))
+    // permille validation fails fast
+    intercept[IllegalArgumentException] {
+      Selection.leakageSafeSplit(docs001, "doc_id", "text", Seq(("train", 500)))
+    }
+  }
 }
