@@ -37,12 +37,11 @@ object Q52Prof {
     val conns = sys.env.get("SPARK_GRAFT_Q52_CONNS").map(_.toInt)
       .getOrElse(math.max(32, Runtime.getRuntime.availableProcessors()))
     val spool = graft.streaming.ReplayScaffold.spoolFor(spark, sfDir, "q52",
-      "events.parquet", s"conns=$conns",
+      "events.parquet", s"conns=$conns;manifest",
       (_, _, _) => throw new IllegalStateException("spool must already exist"))
     val schema = StructType(Seq(StructField("conn", StringType),
       StructField("seq", LongType), StructField("data", StringType)))
-    def chunks = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    def chunks = graft.streaming.ReplayScaffold.manifestStream(spark, spool, schema)
       .as[StatefulOps.Chunk]
     def runStream(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
       val rd = java.nio.file.Files.createTempDirectory(s"q52prof-").toString

@@ -117,20 +117,21 @@ object ActorStreamReplay {
           col("data").as("data"), lit("b1").as("part"))))).as("c"))
       .select(col("conn"), col("c.seq").as("seq"), col("c.data").as("data"),
         col("c.part").as("part"))
-    // two sequential single-file writes -> two spool files -> two
-    // micro-batches under maxFilesPerTrigger=1. The final line's OWN two
-    // chunks are both in file b2 (same batch); the cross-batch carry is
-    // the connection STATE (nextSeq high-water + empty partial) plus, when
-    // b2 is listed first, b2's chunks waiting in `pending` for b1's.
-    // persist BEFORE the two coalesce(1) writes: coalesce collapses its
-    // whole post-shuffle stage to one task, so without the cache each
-    // write would rerun the window+explode pipeline serially.
+    // two staged manifest batches -> two micro-batches, arrival order =
+    // filename index. The final line's OWN two chunks are both in batch
+    // 1 (same trigger); the cross-batch carry is the connection STATE
+    // (nextSeq high-water + empty partial) — the reassembler is also
+    // order-TOLERANT (out-of-order chunks wait in `pending`), but the
+    // replay pins the realistic order anyway.
+    // persist BEFORE the two writes: the writer collapses its
+    // post-shuffle stage, so without the cache each write would rerun
+    // the window+explode pipeline serially.
     val cached = chunks.persist()
     try {
-      cached.filter(col("part") === "b1").select("conn", "seq", "data")
-        .coalesce(1).write.mode("overwrite").parquet(spool.toString)
-      cached.filter(col("part") === "b2").select("conn", "seq", "data")
-        .coalesce(1).write.mode("append").parquet(spool.toString)
+      ReplayScaffold.writeManifestBatch(spool,
+        cached.filter(col("part") === "b1").select("conn", "seq", "data"), 0)
+      ReplayScaffold.writeManifestBatch(spool,
+        cached.filter(col("part") === "b2").select("conn", "seq", "data"), 1)
     } finally cached.unpersist()
   }
 
@@ -158,12 +159,12 @@ object ActorStreamReplay {
     // spool reused across runs (content-keyed on events.parquet + conns);
     // checkpoint/sink always land in a fresh swept run dir
     val spool = phase("spool")(ReplayScaffold.spoolFor(spark, dir, "q52",
-      "events.parquet", s"conns=$connCount", writeSpool))
+      "events.parquet", s"conns=$connCount;manifest", writeSpool,
+      expectedFiles = 2))
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
-    val chunks = spark.readStream.schema(ChunkSchema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    val chunks = ReplayScaffold.manifestStream(spark, spool, ChunkSchema)
       .as[StatefulOps.Chunk]
     val replies = StatefulOps.reassembleLines(chunks)
       .map(lo => ReplyLine(lo.line, t0))

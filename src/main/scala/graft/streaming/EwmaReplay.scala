@@ -34,26 +34,20 @@ object EwmaReplay {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("value"))
-    def partFiles() = Option(spool.listFiles())
-      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
-    def writeBatch(df: DataFrame, mtime: Long): Unit = {
-      val seen = partFiles().map(_.getName).toSet
-      df.coalesce(1).write.mode("append").parquet(spool.toString)
-      partFiles().filterNot(f => seen(f.getName)).foreach(_.setLastModified(mtime))
-    }
-    writeBatch(ev.filter(col("event_id") % 2 === 0), 1000000000000L)
-    writeBatch(ev.filter(col("event_id") % 2 === 1), 1000000100000L)
+    ReplayScaffold.writeManifestBatch(spool, ev.filter(col("event_id") % 2 === 0), 0)
+    ReplayScaffold.writeManifestBatch(spool, ev.filter(col("event_id") % 2 === 1), 1)
   }
 
   def run(spark: SparkSession, dir: String, alpha: Double = 0.2): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q81", "events.parquet",
-      s"parity=2;alpha=$alpha", writeSpool)
+      s"parity=2;alpha=$alpha;manifest", writeSpool, expectedFiles = 2)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._
-    val in = spark.readStream.schema(SpoolSchema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    // manifest-ordered arrival: the EWMA's running (n, smoothed) state
+    // carries across the parity batches, so order is code-owned
+    val in = ReplayScaffold.manifestStream(spark, spool, SpoolSchema)
       .select(col("user_id").cast("string").as("series"), col("ts"),
         col("value"))
       .as[StatefulOps.SeriesPoint]

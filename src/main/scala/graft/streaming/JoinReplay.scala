@@ -46,11 +46,11 @@ object JoinReplay {
         col("user_id"), col("value"))
     val a = ev.filter(col("event_id") % 2 === 1)
     val b = ev.filter(col("event_id") % 2 === 0)
-    def writeBatch(df: DataFrame, sub: String, mtime: Long): Unit =
-      ReplayScaffold.writeStagedBatch(new File(spool, sub), df, mtime)
+    def writeBatch(df: DataFrame, sub: String, idx: Int): Unit =
+      ReplayScaffold.writeManifestBatch(new File(spool, sub), df, idx)
     val early = col("ts") < expr(s"TIMESTAMP '$Split'")
-    writeBatch(a.filter(early), "a", 1000000000000L)
-    writeBatch(a.filter(!early), "a", 1000000100000L)
+    writeBatch(a.filter(early), "a", 0)
+    writeBatch(a.filter(!early), "a", 1)
     // B's third file holds EARLY rows arriving at trigger 3 — two
     // triggers after their A partners. Under the replay's 60-day delay
     // the watermark is still below Jan 1 there (one-batch lag), so they
@@ -59,11 +59,9 @@ object JoinReplay {
     // dropped (JoinReplaySpec's eviction case needs ≥3 triggers — with
     // two, the lagged watermark is still empty at the last data batch
     // and a tight delay cannot drop anything).
-    writeBatch(b.filter(expr("(event_id DIV 2) % 2 = 0")), "b", 1000000000000L)
-    writeBatch(b.filter(expr("(event_id DIV 2) % 2 = 1")).filter(!early),
-      "b", 1000000100000L)
-    writeBatch(b.filter(expr("(event_id DIV 2) % 2 = 1")).filter(early),
-      "b", 1000000200000L)
+    writeBatch(b.filter(expr("(event_id DIV 2) % 2 = 0")), "b", 0)
+    writeBatch(b.filter(expr("(event_id DIV 2) % 2 = 1")).filter(!early), "b", 1)
+    writeBatch(b.filter(expr("(event_id DIV 2) % 2 = 1")).filter(early), "b", 2)
   }
 
   /** Run the replay; returns one row per matched (A, B) pair:
@@ -74,14 +72,15 @@ object JoinReplay {
   def run(spark: SparkSession, dir: String, delay: String = "60 days"): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q85", "events.parquet",
-      s"split=$Split;range=60m;b3-early;delay-independent-spool", writeSpool,
-      expectedFiles = 5)
+      s"split=$Split;range=60m;b3-early;delay-independent-spool;manifest",
+      writeSpool, expectedFiles = 5)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
+    // manifest-ordered arrival per SIDE (each sub-spool is its own
+    // manifest): B's trigger-3 early rows must arrive two triggers after
+    // their A partners for the eviction story to mean anything
     def side(sub: String, suffix: String): DataFrame =
-      spark.readStream.schema(SpoolSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(new File(spool, sub).toString)
+      ReplayScaffold.manifestStream(spark, new File(spool, sub), SpoolSchema)
         .select(col("event_id").as(s"${suffix}_id"), col("ts").as(s"ts_$suffix"),
           col("user_id").as(s"user_$suffix"), col("value").as(s"value_$suffix"))
         .withWatermark(s"ts_$suffix", delay)

@@ -17,22 +17,23 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
   * corpus path and carries a marker recording the SOURCE parquet's
   * size+mtime fingerprint, the generator's config stamp, the spool
   * WRITER code version, and the built spool's own batch-file listing
-  * (names + sizes + pinned mtimes); a marker matching ALL of those
-  * skips the rebuild, while a regenerated corpus under the same path
-  * (the r8 lesson), a changed config, an older writer, or a disturbed
-  * spool (lost mtime pin, missing file) misses and rebuilds.
+  * (names + sizes + mtimes as a freshness witness — never an order
+  * contract); a marker matching ALL of those skips the rebuild, while
+  * a regenerated corpus under the same path (the r8 lesson), a changed
+  * config, an older writer, or a disturbed spool (missing or extra
+  * file) misses and rebuilds.
   *
   * Order-sensitive replays (q86-q89 running counters, q105/q110 running
   * sketches) arrive via [[ManifestReplaySource]] since round 13: batch i
-  * of the stream IS the file named `batch-i.jsonl`, served at trigger i
-  * in lexicographic filename order — a pure code contract
+  * of the stream IS the file group named `batch-i[-pJJ].jsonl`, served
+  * at trigger i in lexicographic index order — a pure code contract
   * ([[writeManifestBatch]] writes it, the DSv2 stream serves it), with
   * no filesystem-mtime dependence left to defend (VERDICT r12 #1b; two
   * driver-red rounds against nine local greens localized the q87/q89
   * fault to the file source's mtime-derived order on the driver's
-  * tmpdir). The legacy pinned-mtime path ([[writeStagedBatch]], readback
-  * -verified) remains for the order-insensitive replays still on the
-  * built-in file source. Build-path defenses, either way:
+  * tmpdir). Since round 13 EVERY replay spool is
+  * manifest-staged — the pinned-mtime parquet path is gone, there is
+  * no mtime left to defend. Build-path defenses:
   *  - shared-cache builds run under a cross-JVM file lock, so a bench
   *    beside a verify can no longer interleave rmTree/write;
   *  - [[privateSpools]] (the DEFAULT; Bench opts out) bypasses the
@@ -47,10 +48,9 @@ object ReplayScaffold {
 
   /** Version of the spool WRITER code, folded into every [[spoolFor]]
     * stamp: a cached spool built by an older generator (different file
-    * naming, different mtime discipline) must miss and rebuild, never
-    * replay in a different arrival order. Bump on any change to
-    * [[writeStagedBatch]] / [[writeTimeSplit]] / [[writeManifestBatch]]
-    * or a caller's spool writer. */
+    * naming, different sharding) must miss and rebuild, never replay
+    * in a different arrival order. Bump on any change to
+    * [[writeManifestBatch]] or a caller's spool writer. */
   val SpoolFormatVersion: String = "spoolfmt-4" // 4: sharded manifest batches
 
   /** When true (the DEFAULT since round 13 — VERDICT r12 #1a), [[spoolFor]]
@@ -64,56 +64,6 @@ object ReplayScaffold {
     * settable via `-Dgraft.spool.private=false`. */
   @volatile var privateSpools: Boolean =
     !sys.props.get("graft.spool.private").exists(_.equalsIgnoreCase("false"))
-
-  /** Publish `df` into `dir` as ONE new file with a pinned mtime — the
-    * file source orders batches by modification time, so each staged
-    * write becomes one deterministic micro-batch. The fresh part file
-    * is renamed to `batch-<mtime>.parquet` (equal-width decimal), so
-    * lexicographic name order equals arrival order — a second,
-    * filesystem-independent witness of the intended order. The pinned
-    * mtime is VERIFIED by readback; a lost `setLastModified` throws
-    * instead of silently replaying in write order. */
-  def writeStagedBatch(dir: File, df: DataFrame, mtime: Long): Unit = {
-    val target = stageOneFile(dir, f"batch-$mtime%020d.parquet",
-      d => df.coalesce(1).write.mode("append").parquet(d))
-    var pinned = false
-    var attempt = 0
-    while (!pinned && attempt < 3) {
-      target.setLastModified(mtime)
-      pinned = target.lastModified() == mtime
-      attempt += 1
-    }
-    if (!pinned) throw new IllegalStateException(
-      s"could not pin mtime=$mtime on $target (readback=${target.lastModified()}) — " +
-        "replay arrival order would be nondeterministic")
-  }
-
-  /** Run `write` (which must produce exactly ONE fresh `part-*` file in
-    * the dir), then atomically rename it to `name` — the shared staging
-    * step of [[writeStagedBatch]] and [[writeManifestBatch]]. Keeps the
-    * Hadoop checksum twin aligned with the rename (LocalFileSystem
-    * verifies `.name.crc` on read); if the crc rename fails it is
-    * dropped instead. Returns the staged file. */
-  private def stageOneFile(dir: File, name: String, write: String => Unit): File = {
-    dir.mkdirs()
-    def partFiles() = Option(dir.listFiles())
-      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
-    val seen = partFiles().map(_.getName).toSet
-    write(dir.toString)
-    val fresh = partFiles().filterNot(f => seen(f.getName))
-    require(fresh.length == 1,
-      s"staged batch wrote ${fresh.length} part files into $dir (expected exactly 1)")
-    val part = fresh.head
-    val target = new File(dir, name)
-    Files.move(part.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
-    val crc = new File(dir, s".${part.getName}.crc")
-    if (crc.exists()) {
-      val crcTarget = new File(dir, s".${target.getName}.crc")
-      try Files.move(crc.toPath, crcTarget.toPath, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: Throwable => crc.delete() }
-    }
-    target
-  }
 
   /** Publish `df` into `dir` as staged MANIFEST batch `index` — up to
     * `parts` files named `batch-<index padded>-p<j>.jsonl`, one JSON
@@ -158,7 +108,7 @@ object ReplayScaffold {
     }
   }
 
-  /** Manifest twin of [[writeTimeSplit]]: split `ev` into
+  /** Split `ev` into
     * `cuts.length + 1` staged manifest batches on a timestamp column —
     * batch i = rows in `[cut(i-1), cut(i))` — named by index so
     * [[ManifestReplaySource]] serves them in time order by construction. */
@@ -186,23 +136,6 @@ object ReplayScaffold {
     * silently desync the three spools from their specs' straddle checks. */
   val DefaultCuts: Seq[String] =
     Seq("2024-01-08 00:00:00", "2024-01-16 00:00:00", "2024-01-23 00:00:00")
-
-  /** Split `ev` into `cuts.length + 1` staged batches on a timestamp
-    * column: batch i = rows in `[cut(i-1), cut(i))`, first open-below,
-    * last open-above — the shared time-split arrival used by the
-    * cross-batch state replays (q86/q88/q89). */
-  def writeTimeSplit(spool: File, ev: DataFrame, tsCol: String,
-      cuts: Seq[String], baseMtime: Long = 1000000000000L): Unit = {
-    val cutCols = cuts.map(c => expr(s"TIMESTAMP '$c'"))
-    val preds = (0 to cuts.length).map { i =>
-      val lo = if (i == 0) lit(true) else col(tsCol) >= cutCols(i - 1)
-      val hi = if (i == cuts.length) lit(true) else col(tsCol) < cutCols(i)
-      lo && hi
-    }
-    preds.zipWithIndex.foreach { case (p, i) =>
-      writeStagedBatch(spool, ev.filter(p), baseMtime + i * 100000L)
-    }
-  }
 
   /** The shared sink contract: append `streaming` to a parquet sink
     * under `runDir`, drain it (`processAllAvailable`), stop, and hand
@@ -258,12 +191,9 @@ object ReplayScaffold {
       .flatMap(c => walk(c, "")).sorted.mkString(",")
   }
 
-  /** Post-build invariants: expected batch count (when the caller
-    * declares one) and, per directory, strictly distinct pinned mtimes
-    * for PARQUET batches — equal mtimes would leave the file source's
-    * batch order to an implementation-defined tiebreak. Manifest
-    * (`.jsonl`) batches are name-ordered; their mtimes carry no order
-    * and are exempt. */
+  /** Post-build invariant: expected staged-batch count, when the
+    * caller declares one. Manifest batches are name-ordered — mtimes
+    * carry no order, so there is nothing else to defend. */
   private def assertSpool(spool: File, expectedFiles: Int): Unit = {
     def dirs(f: File): Seq[File] =
       if (!f.isDirectory) Seq.empty
@@ -271,23 +201,15 @@ object ReplayScaffold {
     val batchFiles = dirs(spool).flatMap(d =>
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.startsWith("batch-")))
-    // a staged BATCH is one parquet file or one jsonl part-GROUP (all
-    // -pNN shards of one index arrive in one trigger)
-    val batchCount = batchFiles.count(_.getName.endsWith(".parquet")) +
-      batchFiles.flatMap(f => f.getName match {
+    // a staged BATCH is one jsonl part-GROUP (all -pNN shards of one
+    // index arrive in one trigger)
+    val batchCount = batchFiles.flatMap(f => f.getName match {
         case ManifestReplaySource.BatchFile(idx) => Some((f.getParentFile, idx))
         case _ => None
       }).distinct.length
     if (expectedFiles >= 0)
       require(batchCount == expectedFiles,
         s"spool $spool has $batchCount staged batches, expected $expectedFiles")
-    dirs(spool).foreach { d =>
-      val ms = Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("batch-") &&
-          f.getName.endsWith(".parquet")).map(_.lastModified())
-      require(ms.distinct.length == ms.length,
-        s"spool dir $d has non-distinct batch mtimes ${ms.mkString(",")}")
-    }
   }
 
   // serializes same-JVM builders (sbt runs suites in parallel; FileLock

@@ -44,14 +44,12 @@ object SessionReplay {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("value"))
-    ReplayScaffold.writeStagedBatch(spool,
-      ev.filter(col("event_id") % 2 === 0), 1000000000000L)
-    ReplayScaffold.writeStagedBatch(spool,
-      ev.filter(col("event_id") % 2 === 1), 1000000100000L)
+    ReplayScaffold.writeManifestBatch(spool, ev.filter(col("event_id") % 2 === 0), 0)
+    ReplayScaffold.writeManifestBatch(spool, ev.filter(col("event_id") % 2 === 1), 1)
     val flush = spark.range(1).select(lit(-1L).as("event_id"),
       expr(s"TIMESTAMP '$FlushTs'").as("ts"),
       lit(-1L).as("user_id"), lit(0.0).as("value"))
-    ReplayScaffold.writeStagedBatch(spool, flush, 1000000200000L)
+    ReplayScaffold.writeManifestBatch(spool, flush, 2)
   }
 
   /** Run the replay; returns `(user_id, session_start, n_events, total)`
@@ -59,11 +57,13 @@ object SessionReplay {
   def run(spark: SparkSession, dir: String): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q84", "events.parquet",
-      s"parity=2;gap=30m;delay=1h;flush=$FlushTs", writeSpool, expectedFiles = 3)
+      s"parity=2;gap=30m;delay=1h;flush=$FlushTs;manifest", writeSpool,
+      expectedFiles = 3)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
-    val in = spark.readStream.schema(SpoolSchema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    // manifest-ordered arrival: watermark progression across the three
+    // staged batches (halves + flush) is the semantics under test
+    val in = ReplayScaffold.manifestStream(spark, spool, SpoolSchema)
     val agg = in.withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),

@@ -191,7 +191,8 @@ object StreamingDedup {
   // spool reuse + fresh run dirs: shared scaffold, see ReplayScaffold
   private def spoolFor(spark: SparkSession, dir: String, kind: String,
       write: (SparkSession, String, File) => Unit): File =
-    ReplayScaffold.spoolFor(spark, dir, kind, "documents.parquet", "", write)
+    ReplayScaffold.spoolFor(spark, dir, kind, "documents.parquet", "manifest",
+      write, expectedFiles = 2)
 
   private def freshRunDir(spool: File): File = ReplayScaffold.freshRunDir(spool)
 
@@ -209,10 +210,10 @@ object StreamingDedup {
     val parts = docs.select(col("doc_id"), col("text"),
       ((rn - 1) % 2).as("part")).persist()
     try {
-      parts.filter(col("part") === 0).select("doc_id", "text")
-        .coalesce(1).write.mode("overwrite").parquet(spool.toString)
-      parts.filter(col("part") === 1).select("doc_id", "text")
-        .coalesce(1).write.mode("append").parquet(spool.toString)
+      ReplayScaffold.writeManifestBatch(spool,
+        parts.filter(col("part") === 0).select("doc_id", "text"), 0)
+      ReplayScaffold.writeManifestBatch(spool,
+        parts.filter(col("part") === 1).select("doc_id", "text"), 1)
     } finally parts.unpersist()
   }
 
@@ -228,8 +229,7 @@ object StreamingDedup {
     val spool = spoolFor(spark, dir, "q64", writeSpool)
     val runDir = freshRunDir(spool)
 
-    val docs = spark.readStream.schema(SpoolSchema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    val docs = ReplayScaffold.manifestStream(spark, spool, SpoolSchema)
     val unique = exactDedup(keyed(docs, "text"), Seq("fingerprint"))
       .select("fingerprint", "norm_len")
     val outDir = new File(runDir, "out")
@@ -245,25 +245,14 @@ object StreamingDedup {
 
   /** Parity spool for [[runNear]]: even doc_ids are micro-batch 1, odd
     * doc_ids micro-batch 2 — a batch assignment an oracle can replay as
-    * `doc_id % 2`. Unlike [[run]]/q52 (whose state is batch-order
-    * tolerant by design), near-dup leadership DEPENDS on which batch is
-    * processed first, so the file order is pinned explicitly: the file
-    * source orders by modification time, and each spool file's mtime is
-    * set far apart (not left to write-time clock resolution). */
+    * `doc_id % 2`. Near-dup leadership DEPENDS on which batch is
+    * processed first, so the spool is MANIFEST-staged: arrival order is
+    * the filename index the writer chose, never filesystem mtimes. */
   private def writeParitySpool(spark: SparkSession, dir: String,
       spool: File): Unit = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
-    def partFiles() = Option(spool.listFiles())
-      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
-    docs.filter(col("doc_id") % 2 === 0)
-      .coalesce(1).write.mode("overwrite").parquet(spool.toString)
-    val batch1 = partFiles()
-    batch1.foreach(_.setLastModified(1000000000000L))
-    val seen = batch1.map(_.getName).toSet
-    docs.filter(col("doc_id") % 2 === 1)
-      .coalesce(1).write.mode("append").parquet(spool.toString)
-    partFiles().filterNot(f => seen(f.getName))
-      .foreach(_.setLastModified(1000000100000L))
+    ReplayScaffold.writeManifestBatch(spool, docs.filter(col("doc_id") % 2 === 0), 0)
+    ReplayScaffold.writeManifestBatch(spool, docs.filter(col("doc_id") % 2 === 1), 1)
   }
 
   /** q73 — streaming NEAR-dup dedup driven end to end: documents arrive
@@ -283,8 +272,8 @@ object StreamingDedup {
     val spool = spoolFor(spark, dir, "q73", writeParitySpool)
     val runDir = freshRunDir(spool)
 
-    val docs = spark.readStream.schema(SpoolSchema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    // manifest-ordered arrival: leadership depends on batch order
+    val docs = ReplayScaffold.manifestStream(spark, spool, SpoolSchema)
     val verdicts = nearDedupVerdicts(
       bandArrivals(docs, "doc_id", "text", n = 3, numPerm = 16, bands = 4)
         .as[BandArrival],

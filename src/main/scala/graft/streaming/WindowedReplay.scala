@@ -49,8 +49,8 @@ object WindowedReplay {
   private val Split = "2024-01-16 00:00:00"
   private val Split2 = "2024-01-23 00:00:00"
 
-  /** Three parquet files with pinned far-apart mtimes (the file source
-    * orders by modification time — same discipline as the q73 spool). */
+  /** Three staged manifest batches — arrival order is the filename
+    * index, never an mtime. */
   private def writeSpool(spark: SparkSession, dir: String, spool: File): Unit = {
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
@@ -58,16 +58,9 @@ object WindowedReplay {
     val straggler = col("event_id") % 97 === 0
     val early = col("ts") < expr(s"TIMESTAMP '$Split'")
     val mid = !early && col("ts") < expr(s"TIMESTAMP '$Split2'")
-    def partFiles() = Option(spool.listFiles())
-      .getOrElse(Array.empty[File]).filter(_.getName.startsWith("part-"))
-    def writeBatch(df: DataFrame, mtime: Long): Unit = {
-      val seen = partFiles().map(_.getName).toSet
-      df.coalesce(1).write.mode("append").parquet(spool.toString)
-      partFiles().filterNot(f => seen(f.getName)).foreach(_.setLastModified(mtime))
-    }
-    writeBatch(ev.filter(early && !straggler), 1000000000000L)
-    writeBatch(ev.filter(mid && !straggler), 1000000100000L)
-    writeBatch(ev.filter(!early && !mid || straggler), 1000000200000L)
+    ReplayScaffold.writeManifestBatch(spool, ev.filter(early && !straggler), 0)
+    ReplayScaffold.writeManifestBatch(spool, ev.filter(mid && !straggler), 1)
+    ReplayScaffold.writeManifestBatch(spool, ev.filter(!early && !mid || straggler), 2)
   }
 
   /** Run the replay; returns one row per emitted (window, event_type):
@@ -75,11 +68,13 @@ object WindowedReplay {
   def run(spark: SparkSession, dir: String): DataFrame = {
     StreamingDedup.configureStateStore(spark)
     val spool = ReplayScaffold.spoolFor(spark, dir, "q80", "events.parquet",
-      s"split=$Split;split2=$Split2;straggler=97;win=1h;delay=1h", writeSpool)
+      s"split=$Split;split2=$Split2;straggler=97;win=1h;delay=1h;manifest",
+      writeSpool, expectedFiles = 3)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
-    val in = spark.readStream.schema(SpoolSchema)
-      .option("maxFilesPerTrigger", 1).parquet(spool.toString)
+    // manifest-ordered arrival: the straggler/emit-once semantics are a
+    // pure function of which batch carries which rows — code-owned order
+    val in = ReplayScaffold.manifestStream(spark, spool, SpoolSchema)
     val agg = in.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("value")).as("vmin"),
