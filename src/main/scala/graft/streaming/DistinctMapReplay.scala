@@ -71,7 +71,7 @@ object DistinctMapReplay {
         TimeMode.None(), OutputMode.Append())
   }
 
-  private val SpoolSchema = StructType(Seq(
+  private[streaming] val SpoolSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType)))
 
@@ -84,12 +84,18 @@ object DistinctMapReplay {
     ReplayScaffold.writeTimeSplitManifest(spool, ev, "ts", Cuts)
   }
 
+  /** The q89 spool — build-or-reuse. Shared with the [[AuditProbes]]
+    * battery (q118–q120, q122) so every probe replays the SAME staged
+    * batches the failing query replays, not a lookalike. */
+  private[streaming] def acquireSpool(spark: SparkSession, dir: String): File =
+    ReplayScaffold.spoolFor(spark, dir, "q89", "events.parquet",
+      s"cuts=${Cuts.mkString("|")};manifest", writeSpool,
+      expectedFiles = Cuts.length + 1)
+
   /** Run the replay; returns `(event_type, ts, user_id, distinct_users)`. */
   def run(spark: SparkSession, dir: String): DataFrame = {
     StreamingDedup.configureStateStore(spark)
-    val spool = ReplayScaffold.spoolFor(spark, dir, "q89", "events.parquet",
-      s"cuts=${Cuts.mkString("|")};manifest", writeSpool,
-      expectedFiles = Cuts.length + 1)
+    val spool = acquireSpool(spark, dir)
     val runDir = ReplayScaffold.freshRunDir(spool)
 
     import spark.implicits._

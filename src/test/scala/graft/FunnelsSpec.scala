@@ -124,6 +124,41 @@ class FunnelsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("session boundary: an exactly-30:00 gap MERGES (touching windows), one second more splits") {
+    // Spark's session_window merges TOUCHING windows: an event landing
+    // exactly at the current session's end (gap == duration) extends
+    // it; only a gap strictly exceeding the duration starts a new
+    // session. Measured directly on this build (round 14): [10:10,
+    // 10:40] @30 min is ONE session ending 11:10, while 10:40:01
+    // splits. The q50/q114 oracles therefore compare with > (the
+    // r12-suggested >= was the opposite convention, latent only
+    // because the testdata has no exactly-on-boundary gap — this
+    // planted fixture pins the real engine behavior so a future
+    // regeneration landing a gap on the boundary cannot reopen the
+    // divergence, VERDICT r13 #5).
+    val boundary = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "b", ts("2024-01-01 10:10:00")),
+      (1L, 3L, "c", ts("2024-01-01 10:40:00")) // exactly 30:00 after b
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val atBoundary = graft.events.Funnels.sessionJourneys(
+        boundary, "user_id", "event_type", "ts", "event_id", k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+    assert(atBoundary.toSeq == Seq((("a", "b", "c"), 1L)),
+      "an exactly-30:00 gap must extend the session (touching windows merge)")
+    // one second PAST the boundary starts a new session — no trigram
+    val past = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "b", ts("2024-01-01 10:10:00")),
+      (1L, 3L, "c", ts("2024-01-01 10:40:01"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val pastGot = graft.events.Funnels.sessionJourneys(
+        past, "user_id", "event_type", "ts", "event_id", k = 10)
+      .collect()
+    assert(pastGot.isEmpty,
+      "a gap strictly past the duration must close the session: no trigram may span it")
+  }
+
   test("plan shape: no raw-event self-join, no full-stream window sort") {
     val ev = spark.read.parquet(s"${sf()}/events.parquet")
       .select(col("user_id"), col("event_type"), col("ts"))
