@@ -196,8 +196,13 @@ object ScaleProbe {
       def mediaFor(kind: String, n: Int, copy: Int => DataFrame): DataFrame =
         if (n > materializeAt) materializedMedia(spark, dir, kind, n, pModulus, copy)
         else (0 until n).map(copy).reduce(_ unionByName _)
-      // untimed warmup: codegen for all three pair plans
-      graft.multimodal.Multimodal.dHashPairs(imageCopy(0), maxHamming = 6).count()
+      // untimed warmup: codegen for all three pair plans. bits = 60
+      // pinned (ADVICE r13 #3): the adaptive default would pay a
+      // count() job inside the timed region and silently route to the
+      // wide path past the cutover factor — this column must keep
+      // measuring the NARROW family at every factor (the wide column
+      // sits right next to it).
+      graft.multimodal.Multimodal.dHashPairs(imageCopy(0), maxHamming = 6, bits = 60).count()
       graft.multimodal.Multimodal.dHashWidePairs(imageCopy(0), maxHamming = 6).count()
       graft.multimodal.Multimodal.audioAlignedPairs(audioCopy(0), maxHamming = 6).count()
       def time2p(f: => Unit): Double = math.min(time(f), time(f))
@@ -206,7 +211,7 @@ object ScaleProbe {
         val img = mediaFor("img", n, imageCopy)
         val aud = mediaFor("aud", n, audioCopy)
         var dp = 0L; var wp = 0L; var ap = 0L
-        val dS = time2p { dp = graft.multimodal.Multimodal.dHashPairs(img, maxHamming = 6).count() }
+        val dS = time2p { dp = graft.multimodal.Multimodal.dHashPairs(img, maxHamming = 6, bits = 60).count() }
         val wS = time2p { wp = graft.multimodal.Multimodal.dHashWidePairs(img, maxHamming = 6).count() }
         val aS = time2p { ap = graft.multimodal.Multimodal.audioAlignedPairs(aud, maxHamming = 6).count() }
         println(f"$n,${n * 5000},$dS%.2f,$dp,$wS%.2f,$wp,$aS%.2f,$ap")
@@ -250,12 +255,14 @@ object ScaleProbe {
     if (args.headOption.contains("containment")) {
       val factors = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
         .getOrElse(Seq(16, 64))
+      // strategies FORCED: this probe measures the two paths against
+      // each other, so neither cell may route through the auto gate
       def contPref(d: DataFrame) = graft.dedup.Dedup
         .containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.4,
-          maxShingleFreq = 100)
+          maxShingleFreq = 100, strategy = "prefix")
       def contPost(d: DataFrame) = graft.dedup.Dedup
         .containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.0,
-          maxShingleFreq = 100)
+          maxShingleFreq = 100, strategy = "postings")
         .filter(greatest(col("cont_a"), col("cont_b")) >= 0.4)
       contPref(repMutatedDocs(1)).count(); contPost(repMutatedDocs(1)).count() // warm
       println("factor,docs,prefix_s,prefix_pairs,postings_s,postings_pairs")

@@ -702,6 +702,14 @@ object Dedup {
           count(lit(1)).over(Window.partitionBy("id")))) // sort only, no exchange
   }
 
+  /** [[containmentPairs]] `auto` gate: input doc counts below this run
+    * the blocked-postings equi-join, at/above it the PPJoin-style
+    * prefix filter. Set from SCALE.md's measured crossover (between 4×
+    * = 20k and 16× = 80k docs of the mutated-corpus probe, closer to
+    * the low end since the postings path's cost grows with the SQUARE
+    * of co-occurrence). */
+  val ContainmentPrefixCutover: Long = 20000
+
   /** Directional n-gram CONTAINMENT pairs (Broder 1997's asymmetric
     * resemblance twin): cont_a = |A∩B|/|A|, cont_b = |A∩B|/|B|, pairs
     * kept when either direction reaches `threshold`. Catches what
@@ -713,18 +721,40 @@ object Dedup {
     * same PPJoin-style prefix filter in its containment form (short
     * side's prefix bounds candidates — see the branch comment); set
     * sizes count ALL distinct shingles (the df cap prunes candidate
-    * GENERATION, not the denominator). */
+    * GENERATION, not the denominator).
+    *
+    * Path choice (`strategy`): the prefix filter pays two extra
+    * exchanges (rank window + candidate distinct) to prune candidate
+    * GENERATION — a trade that only wins once the blocked equi-join's
+    * candidate set is the bottleneck. SCALE.md's "Containment pairs"
+    * table puts the crossover between 4× and 16× of the 5k-doc corpus:
+    * postings 1.39 s vs prefix 2.61 s at 1×, flipping to 6.01 vs
+    * 5.58 s by 16× (80k docs) and diverging further up. `auto` (the
+    * default) takes one `df.count()` (row-group-metadata cheap on a
+    * parquet scan) and routes below [[ContainmentPrefixCutover]] docs
+    * to the postings path, at or above it to the prefix path — the
+    * no-knobs call is right at both ends (VERDICT r13 #3). `postings` /
+    * `prefix` force a path (probes, A/B pins); both produce the
+    * IDENTICAL pair set (DedupSpec pins it across the gate). */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      maxShingleFreq: Long = 1000): DataFrame = {
+      maxShingleFreq: Long = 1000,
+      strategy: String = "auto"): DataFrame = {
     val posting = cachedShinglePosting(df, idCol, textCol, n)
     val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq)
-    if (threshold <= 0) {
+    val usePostings = strategy match {
+      case "postings" => true
+      case "prefix" => false
+      case "auto" => threshold <= 0 || df.count() < ContainmentPrefixCutover
+      case other => throw new IllegalArgumentException(
+        s"containmentPairs strategy must be auto|postings|prefix, got $other")
+    }
+    if (usePostings) {
       // no selectivity to exploit: the plain blocked equi-join,
       // aggregated (never materializing the pair set)
       val filtered = posting.join(dfreq.select("shingle"), Seq("shingle"))

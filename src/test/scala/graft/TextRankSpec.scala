@@ -55,7 +55,7 @@ class TextRankSpec extends SparkSpec {
     assert(got == Set("a", "b"), s"only the a-b edge survives minCount=2: $got")
   }
 
-  test("plan shape: iterations broadcast the rank vector; edge table persisted once and swapped on next call") {
+  test("plan shape: iterations broadcast the rank vector; edges served by exchange reuse, zero resident caches") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = TextRank.textRank(docs, "text", iterations = 5, k = 20)
@@ -66,20 +66,16 @@ class TextRankSpec extends SparkSpec {
       "rank vector must broadcast to the edges — a sort-merge join would reshuffle the edge table every iteration")
     assert("BroadcastHashJoin \\[u#".r.findAllIn(plan).size >= 5,
       "each power iteration joins the edges via broadcast")
-    assert(plan.contains("InMemoryTableScan"), "edge table must be persisted across iterations")
     df.collect()
-    // same corpus again: the one-slot PlanCache REUSES the materialized
-    // edge table (no new cache entry, previous stays — warm reps)
-    val mid = spark.sparkContext.getPersistentRDDs.keySet -- before
-    TextRank.textRank(docs, "text", iterations = 2, k = 5).collect()
-    val afterSame = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(afterSame == mid, "same-input call must reuse the cached edges, not re-persist")
-    // a DIFFERENT corpus swaps the slot: old cache released, one new one
-    import spark.implicits._
-    TextRank.textRank(Seq("a b a b a b").toDF("text"), "text",
-      iterations = 2, minCount = 2L, k = 5).collect()
-    val afterSwap = spark.sparkContext.getPersistentRDDs.keySet
-    assert(mid.forall(!afterSwap.contains(_)),
-      "previous corpus's edge cache must be released on swap")
+    // the edge subtree is deliberately NOT persisted (VERDICT r13 #2:
+    // the resident cache cost a full materialization pass per cold
+    // call); inside the one action its exchanges are served by
+    // ReuseExchange instead — visible in the post-AQE final plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("StageReuse") ||
+      finalPlan.contains("ReusedQueryStage"),
+      s"edge exchanges must be reused across iterations, got no reuse marker in plan")
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "textRank must leave no resident cache behind")
   }
 }
