@@ -72,7 +72,12 @@ object Bench {
       "q80_streaming_window", "q81_streaming_ewma",
       "q84_streaming_sessions", "q85_stream_join", "q86_sliding_state",
       "q87_bootstrap_counters", "q88_gap_timers", "q89_distinct_map",
-      "q105_streaming_hll", "q110_streaming_cm")
+      "q105_streaming_hll", "q110_streaming_cm",
+      // the q87/q89 audit probes replay the same spools — same
+      // checkpoint/state-store churn profile, same end-of-pass block
+      "q118_audit_arrival", "q119_audit_valuestate",
+      "q120_audit_firstseen", "q122_audit_fmgws",
+      "q123_audit_bootstrap_totals")
     val suite0 = only.fold(Queries.all)(names => Queries.all.filter(q => names(q.name)))
       .filterNot(q => skip(q.name))
     val suite = suite0.filterNot(q => streamingFamily(q.name)) ++
@@ -158,9 +163,20 @@ object Bench {
     // discount (the r8 lesson: five phantom "regressions" were all in
     // this band). min-of-reps is the contention-robust statistic; both
     // are derivable from the reps arrays, the flag just makes it legible.
+    //
+    // The criterion runs on the same basis as the PUBLISHED stat
+    // (ADVICE r13 #1): the most recent `reps` reps, single worst
+    // dropped. The old all-reps max/min could never unflag — appended
+    // in-band renoise reps cannot lower a historical max/min ratio, so
+    // the recovery loop below re-measured the identical set forever.
+    // With a sliding window the old spike ages out as fresh reps land
+    // (transient contention recovers, the loop converges), and the trim
+    // mirrors the trimmed median: a query is noisy iff the spread the
+    // published stat actually sees is >3x.
     def noisyNames: Seq[String] = suite.map(_.name).filter { n =>
-      val ts = times(n)
-      ts.length >= 2 && ts.min > 0 && ts.max / ts.min > 3.0
+      val recent = times(n).takeRight(reps).sorted
+      val ts = if (recent.length >= 3) recent.dropRight(1) else recent
+      ts.length >= 2 && ts.head > 0 && ts.last / ts.head > 3.0
     }
     // Contention recovery (VERDICT r12 #3): one disturbed wall-clock
     // segment on a shared machine contaminates a contiguous BLOCK of
@@ -210,8 +226,14 @@ object Bench {
     // code is how a transient-window phantom (the q15 case, VERDICT r6)
     // is told apart from a real regression — the per-rep spreads in the
     // reps file show whether the move is one polluted pass or all of
-    // them. Best-effort: no baseline, no flags.
-    val moved: Map[String, (Double, Double)] = (try {
+    // them. Best-effort: no baseline, no flags. Each flag carries
+    // cross_stat=true when the baseline artifact was published under a
+    // DIFFERENT statistic (ADVICE r13 #4: pre-r13 rounds published the
+    // plain median — for even rep counts systematically above the
+    // trimmed median — so first-round-after-merge movement flags
+    // against such a baseline are comparisons across statistics, not
+    // necessarily real movement).
+    val moved: Map[String, (Double, Double, Boolean)] = (try {
       import scala.jdk.CollectionConverters._
       def sfOf(s: String): Option[Double] =
         "sf([0-9][0-9.]*)$".r.findFirstMatchIn(s.stripSuffix("/"))
@@ -233,6 +255,11 @@ object Bench {
         // regex-recovered from the tail text
         val baseSf = Option(root.get("sf")).flatMap(n =>
           if (n.isNumber) Some(n.asDouble()) else sfOf(n.asText()))
+        val prevStat = Option(root.get("stat")).map(_.asText())
+          .orElse(Option(root.get("parsed")).filter(_.isObject)
+            .flatMap(p => Option(p.get("stat")).map(_.asText())))
+          .getOrElse("median")
+        val crossStat = prevStat != "trimmed_median"
         if (baseSf != sfOf(sfDir)) Seq.empty
         else {
           val qNode = Option(root.get("queries"))
@@ -253,11 +280,11 @@ object Bench {
           results.toSeq.flatMap { case (name, now) =>
             prev.get(short(name)).filter(p =>
               p > 0 && now > 0 && (now / p > 1.5 || p / now > 1.5))
-              .map(p => name -> (p, now))
+              .map(p => name -> (p, now, crossStat))
           }
         }
       }.toMap
-    } catch { case _: Throwable => Map.empty[String, (Double, Double)] })
+    } catch { case _: Throwable => Map.empty[String, (Double, Double, Boolean)] })
     // Per-rep arrays are a standing FILE artifact, not part of the
     // stdout line: the driver's log capture truncates long lines
     // (VERDICT r6 saw the tail cut), so the one-line contract stays
@@ -279,8 +306,9 @@ object Bench {
       val repsJson = suite.map { q =>
         "\"" + q.name + "\":[" + times(q.name).map(t => j3(t)).mkString(",") + "]"
       }.mkString("{", ",", "}")
-      val movedJson = moved.map { case (n, (p, c)) =>
-        "\"" + n + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(c) + "}"
+      val movedJson = moved.map { case (n, (p, c, x)) =>
+        "\"" + n + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(c) +
+          (if (x) ",\"cross_stat\":true" else "") + "}"
       }.mkString("{", ",", "}")
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -186,7 +186,12 @@ final case class JsonlBatchPartition(file: String) extends InputPartition
 final class JsonlBatchReader(p: JsonlBatchPartition, schema: StructType)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val source = scala.io.Source.fromFile(p.file)
+  // UTF-8 pinned (ADVICE r13 #2): the writer (Spark .write.text of
+  // toJSON) always emits UTF-8, but Source.fromFile defaults to the
+  // PLATFORM charset — on a non-UTF-8 locale non-ASCII document text
+  // would decode wrongly, environment-owned nondeterminism this source
+  // exists to remove.
+  private val source = scala.io.Source.fromFile(p.file)(scala.io.Codec.UTF8)
   private val lines = source.getLines()
   private var row: InternalRow = _
 
