@@ -390,19 +390,33 @@ object ReplayScaffold {
     * two JVMs replaying the same corpus concurrently (a bench beside a
     * test run) can no longer delete each other's live checkpoint/sink
     * mid-stream. Legacy unowned `run-<nano>` dirs are swept
-    * unconditionally (pre-ownership leftovers, by definition not live). */
+    * unconditionally (pre-ownership leftovers, by definition not live).
+    *
+    * Within ONE process, the newest own-pid dir is kept: two SAME-KIND
+    * replays overlapping in one JVM (ConcurrentReplaySpec) would
+    * otherwise each sweep the other's live checkpoint mid-stream —
+    * the second call now spares the first call's (newest) dir and only
+    * reclaims everything older, which a sequential caller has already
+    * consumed. Three-deep same-kind concurrency would still collide;
+    * the replay harnesses are at most pairwise-concurrent by
+    * construction (one bench, one verify). */
   def freshRunDir(spool: File): File = {
     val base = spool.getParentFile
     val pid = ProcessHandle.current().pid()
-    def ownerGone(name: String): Boolean = name.split("-") match {
-      case Array(_, p, _) if p.nonEmpty && p.forall(_.isDigit) =>
-        val owner = p.toLong
-        owner == pid ||
-          !ProcessHandle.of(owner).map[Boolean](_.isAlive).orElse(false)
-      case _ => true // legacy unowned dir
+    def owner(name: String): Option[Long] = name.split("-") match {
+      case Array(_, p, _) if p.nonEmpty && p.forall(_.isDigit) => Some(p.toLong)
+      case _ => None // legacy unowned dir
     }
-    Option(base.listFiles()).getOrElse(Array.empty)
+    def ownerGone(name: String): Boolean = owner(name) match {
+      case Some(o) => o == pid ||
+        !ProcessHandle.of(o).map[Boolean](_.isAlive).orElse(false)
+      case None => true
+    }
+    val sweepable = Option(base.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("run-") && ownerGone(f.getName))
+    val newestOwn = sweepable.filter(f => owner(f.getName).contains(pid))
+      .sortBy(_.getName.split("-").last.toLong).lastOption
+    sweepable.filterNot(f => newestOwn.exists(_.getAbsolutePath == f.getAbsolutePath))
       .foreach(rmTree)
     val d = new File(base, s"run-$pid-${System.nanoTime()}")
     d.mkdirs(); d

@@ -38,4 +38,17 @@ class ConcurrentReplaySpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
       "shuffle-partitions pin leaked out of the concurrent replays")
   }
+
+  test("same replay kind concurrently: the run-dir sweep spares the live sibling") {
+    // two q89 replays in one JVM share a spool base — freshRunDir's
+    // sweep must not reclaim the first call's still-streaming
+    // checkpoint when the second call starts (keep-newest-own rule)
+    def run89() = DistinctMapReplay.run(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSeq
+    val seq = run89()
+    val f1 = Future(run89())
+    val f2 = Future(run89())
+    assert(Await.result(f1, 5.minutes) == seq)
+    assert(Await.result(f2, 5.minutes) == seq)
+  }
 }
