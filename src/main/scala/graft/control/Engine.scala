@@ -143,6 +143,9 @@ final class Engine(spark: SparkSession) {
       "spool" -> (c => SpoolSource(c)),
       "tcp" -> (c => LiveSource(c)),
       "udp" -> (c => LiveSource(c)),
+      // S12/S13 live Modbus TCP (drift.py) — the tcp arm with the drift
+      // conversation; `devices:` map + optional `unit_id` in options
+      "drift" -> (c => LiveSource(c)),
       "actor" -> (c => ActorPushSource(c)))
 
   private val queries = scala.collection.mutable.Map[String, StreamingQuery]()

@@ -37,6 +37,11 @@ final case class LiveSource(conf: SourceConf) extends TelemetrySource {
   private def req(key: String): String =
     opt(key).getOrElse(throw new IllegalArgumentException(s"$name: missing option '$key'"))
 
+  /** `type: drift` implies `parser: drift` — one YAML key, not two. */
+  private def parser: String = opt("parser")
+    .orElse(Some(conf.typ).filter(_ == "drift"))
+    .getOrElse(throw new IllegalArgumentException(s"$name: missing option 'parser'"))
+
   private val started = new AtomicBoolean(false)
   @volatile private var poller: PollingSource = _
 
@@ -67,7 +72,7 @@ final case class LiveSource(conf: SourceConf) extends TelemetrySource {
       case _ =>
         val port = req("port").toInt
         val timeout = opt("timeout_ms").map(_.toInt).getOrElse(5000)
-        (opt("request"), opt("parser")) match {
+        (opt("request"), Some(parser)) match {
           case (Some(r), _) => // explicit conversation wins
             NetPoll.tcpPoll(host, port, r,
               opt("terminator").map(_.head.toByte).getOrElse('\n'.toByte), timeout)
@@ -78,6 +83,10 @@ final case class LiveSource(conf: SourceConf) extends TelemetrySource {
               opt("device_id").map(_.toInt).getOrElse(253), timeout)
           case (None, Some("ln2_scale")) =>
             NetPoll.ln2ScalePoll(host, port, timeout)
+          case (None, Some("drift")) => // S12/S13 live Modbus TCP
+            ModbusPoll.driftPoll(host, port,
+              opt("unit_id").map(_.toInt).getOrElse(1),
+              ModbusPoll.devicesConf(conf.options), timeout)
           case (None, p) => throw new IllegalArgumentException(
             s"$name: parser '${p.getOrElse("")}' has no built-in conversation; " +
               "set 'request' (and 'terminator') explicitly")
@@ -91,7 +100,7 @@ final case class LiveSource(conf: SourceConf) extends TelemetrySource {
     // turn replies into points) must fail here, NOT after the poll
     // thread has started conversing with a live device it would then
     // orphan (stopPolling is never reached on a failed start).
-    req("parser")
+    val p = parser
     val fn = pollFn()
     // idempotent across engine restarts: restart() re-calls stream(),
     // which must not spawn a second poller onto the same spool
@@ -105,7 +114,8 @@ final case class LiveSource(conf: SourceConf) extends TelemetrySource {
         retentionMs = opt("retention_ms").map(_.toLong).getOrElse(0L))
       poller.start()
     }
-    SpoolSource(conf.copy(options = conf.options + ("path" -> spoolDir)))
+    SpoolSource(conf.copy(options =
+        conf.options + ("path" -> spoolDir) + ("parser" -> p)))
       .stream(spark)
   }
 

@@ -150,6 +150,24 @@ object Parsers {
         col("snapshot"), col("recv_time"), lit(bucket)): _*)
   }
 
+  /** S12/S13 wire lines ([[ModbusPoll.DriftPollFn]] spool format
+    * `name\tvalue\tunits\toffset`, one device read per line) lifted into
+    * the [[driftDevices]] readings frame — the live-Modbus half of the
+    * drift chain; empty units become null so non-unit devices carry no
+    * units tag. */
+  def driftWire(raw: DataFrame, measurement: String = "devices",
+      bucket: String = "actors"): DataFrame = {
+    val p = split(col("raw"), "\t")
+    driftDevices(raw
+      .filter(size(p) >= 4)
+      .select(
+        p.getItem(0).as("device"),
+        p.getItem(1).as("raw_value"),
+        when(p.getItem(2) === "", lit(null)).otherwise(p.getItem(2)).as("units"),
+        p.getItem(3).cast(IntegerType).as("offset"),
+        col("recv_time")), measurement, bucket)
+  }
+
   /** T8/S12 — Modbus device reading (`drift.py:128-162`): one row per
     * `(device, value, units, offset)` read; relays (`units == "relay"`)
     * decode closed→1.0/open→0.0 into the measurement's field, others pass

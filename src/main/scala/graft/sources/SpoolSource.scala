@@ -45,6 +45,8 @@ final case class SpoolSource(conf: SourceConf) extends TelemetrySource {
           .map { case (k, v) => k -> v.toString }).getOrElse(Map.empty),
         opt("channels").map(_.toInt).getOrElse(16), b)
       case "check_file_exists" => Parsers.fileExists(raw, req("file"), b)
+      case "drift" => Parsers.driftWire(raw,
+        opt("measurement").getOrElse("devices"), b)
       case "tpm" => Parsers.tpmSnapshot(raw, b)
       // S10 from YAML: each spool line is one complete actor reply
       // (PollingSource escapes embedded newlines, so no reassembly step
