@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.yaml.snakeyaml.Yaml
 import graft.model.Point
-import graft.sources.{ActorPushSource, LiveSource, ReplaySource, SpoolSource, TelemetrySource}
+import graft.sources.{ActorPushSource, AmqpPushSource, LiveSource, ReplaySource, SpoolSource, TelemetrySource}
 import graft.sinks.TelemetrySink
 import graft.streaming.StreamOps
 
@@ -146,6 +146,10 @@ final class Engine(spark: SparkSession) {
       // S12/S13 live Modbus TCP (drift.py) — the tcp arm with the drift
       // conversation; `devices:` map + optional `unit_id` in options
       "drift" -> (c => LiveSource(c)),
+      // S11 live RabbitMQ (AMQP.py) — topic-exchange reply consumer +
+      // periodic command publishes; `exchange`, `keywords:` (required),
+      // `groupers:`, `commands:` in options
+      "amqp" -> (c => AmqpPushSource(c)),
       "actor" -> (c => ActorPushSource(c)))
 
   private val queries = scala.collection.mutable.Map[String, StreamingQuery]()

@@ -150,6 +150,48 @@ object Parsers {
         col("snapshot"), col("recv_time"), lit(bucket)): _*)
   }
 
+  /** S11 — AMQP actor replies ([[AmqpPushSource]] spool lines
+    * `routingKey\tbase64(body-json)`; reply processing per
+    * `AMQP.py:192-216`): measurement = the actor segment after the
+    * reply prefix in the routing key (else the whole key); fields = the
+    * configured dotted keyword paths extracted from the JSON body —
+    * numeric values into `fields`, non-numeric into `fields_str`
+    * (booleans/strings, the reference stores them verbatim); `groupers`
+    * paths found in the body become tags named by their last segment
+    * (AMQP.py:28-58 `flatten_dict` groupings). The static `keywords`
+    * list is the engine's declared-intent form of the reference's
+    * dynamic dict flatten — same stance as T3's keyword whitelist. */
+  def amqpReplies(raw: DataFrame, keywords: Seq[String], groupers: Seq[String],
+      measurementPrefix: String = "reply.", bucket: String = "actors"): DataFrame = {
+    val key = regexp_extract(col("raw"), "^([^\\t]+)\\t", 1)
+    val body = unbase64(regexp_replace(col("raw"), "^[^\\t]+\\t", "")).cast(StringType)
+    val prefixed = "^" + java.util.regex.Pattern.quote(measurementPrefix) + "([^.]+)"
+    val actor = regexp_extract(key, prefixed, 1)
+    val measurement = when(actor =!= "", actor).otherwise(key)
+    def pathValue(k: String): Column = get_json_object(body, "$." + k)
+    def filtered(pairs: Seq[Column]): Column =
+      if (pairs.isEmpty) lit(null).cast(MapType(StringType, StringType))
+      else map_filter(map(pairs: _*), (_, v) => v.isNotNull)
+    // try_cast: non-numeric keyword values are DATA here (they route to
+    // fields_str), not malformed input — ANSI cast would throw
+    val fields = filtered(keywords.flatMap(k =>
+      Seq(lit(k), pathValue(k).try_cast(DoubleType).cast(StringType))))
+    val fieldsStr = filtered(keywords.flatMap { k =>
+      val s = pathValue(k)
+      Seq(lit(k), when(s.isNotNull && s.try_cast(DoubleType).isNull, s))
+    })
+    val tags = filtered(groupers.flatMap(k =>
+      Seq(lit(k.split("\\.").last), pathValue(k))))
+    raw.filter(key =!= "").select(
+      measurement.as(Point.Measurement),
+      tags.as(Point.Tags),
+      fields.cast(MapType(StringType, DoubleType)).as(Point.Fields),
+      fieldsStr.as(Point.FieldsStr),
+      col("recv_time").cast(TimestampType).as(Point.Time),
+      lit(null).cast(LongType).as(Point.TimeNs),
+      lit(bucket).cast(StringType).as(Point.Bucket))
+  }
+
   /** S12/S13 wire lines ([[ModbusPoll.DriftPollFn]] spool format
     * `name\tvalue\tunits\toffset`, one device read per line) lifted into
     * the [[driftDevices]] readings frame — the live-Modbus half of the

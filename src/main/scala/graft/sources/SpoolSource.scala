@@ -47,6 +47,12 @@ final case class SpoolSource(conf: SourceConf) extends TelemetrySource {
       case "check_file_exists" => Parsers.fileExists(raw, req("file"), b)
       case "drift" => Parsers.driftWire(raw,
         opt("measurement").getOrElse("devices"), b)
+      case "amqp" => Parsers.amqpReplies(raw,
+        conf.options.get("keywords")
+          .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty),
+        conf.options.get("groupers")
+          .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty),
+        opt("measurement_prefix").getOrElse("reply."), b)
       case "tpm" => Parsers.tpmSnapshot(raw, b)
       // S10 from YAML: each spool line is one complete actor reply
       // (PollingSource escapes embedded newlines, so no reassembly step
