@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, IOException}
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, IOException}
 import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
 import java.nio.charset.StandardCharsets.UTF_8
 
@@ -59,7 +59,6 @@ object AmqpWire {
         val n = octet()
         val s = new String(payload, pos, n, UTF_8); pos += n; s
       }
-      def skip(n: Int): Unit = pos += n
     }
 
     // ---- framing -------------------------------------------------------
