@@ -201,6 +201,30 @@ class AmqpE2ESpec extends SparkSpec {
     } finally { c.close(); broker.stop() }
   }
 
+  test("randomized round-trip: arbitrary bodies and frame splits survive delivery") {
+    // seeded fuzz of the framing pair: multi-byte UTF-8, embedded
+    // newlines/tabs, bodies from 0 bytes to several frames — broker
+    // packs with its own framing, client reassembles to the byte
+    val broker = new LoopbackAmqpBroker("guest", "guest"); broker.start()
+    val c = new AmqpWire.AmqpConnection("127.0.0.1", broker.port,
+      "guest", "guest", "/", timeoutMs = 5000, connectTimeoutMs = 5000)
+    try {
+      c.connect(); c.consumeTopic("x", "#")
+      waitFor("consumer registered")(broker.hasConsumer)
+      val rnd = new scala.util.Random(7)
+      // BMP-only: char-level sampling of a surrogate pair would split it
+      val alphabet = "ab\t\n{}:\",é漢 0123456789"
+      (1 to 40).foreach { i =>
+        val body = Seq.fill(rnd.nextInt(200))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+        val split = 1 + rnd.nextInt(64)
+        broker.deliver(s"reply.fuzz$i", body, frameSplit = split)
+        assert(c.nextDelivery().contains(AmqpWire.Delivery(s"reply.fuzz$i", body)),
+          s"case $i (len ${body.length}, split $split)")
+      }
+    } finally { c.close(); broker.stop() }
+  }
+
   test("amqpReplies: keywords to fields/fields_str, groupers to tags, measurement from key") {
     val body = """{"status":{"temperature":23.5,"power":{"mod1":true}},
                    "controller":"sp1","text":"ok"}"""

@@ -135,6 +135,28 @@ class ModbusE2ESpec extends SparkSpec {
     } finally { c.close(); dev.stop() }
   }
 
+  test("randomized round-trip: arbitrary register/coil banks survive arbitrary slice reads") {
+    // seeded (deterministic) fuzz of the codec pair: the server packs
+    // from its banks with its own framing, the client decodes — any
+    // asymmetry in 16-bit packing or LSB-first coil bit order fails on
+    // some slice
+    val rnd = new scala.util.Random(42)
+    val regs = Array.fill(64)(rnd.nextInt(65536))
+    val coils = Array.fill(64)(rnd.nextBoolean())
+    val dev = new LoopbackModbusDevice(regs, coils); dev.start()
+    val c = new ModbusTcp("127.0.0.1", dev.port, 1, 5000, 5000)
+    try {
+      (1 to 50).foreach { _ =>
+        val addr = rnd.nextInt(60)
+        val count = 1 + rnd.nextInt(64 - addr)
+        assert(c.readHoldingRegisters(addr, count) ==
+          (addr until addr + count).map(regs), s"regs [$addr,+$count)")
+        assert(c.readCoils(addr, count) ==
+          (addr until addr + count).map(coils), s"coils [$addr,+$count)")
+      }
+    } finally { c.close(); dev.stop() }
+  }
+
   test("drift poll: adaptor math and relay mapping through the spool-line format") {
     val dev = device()
     val devices = Seq(
