@@ -3926,6 +3926,75 @@ object Queries {
              ELSE 'test' END AS split
       FROM bucketed ORDER BY id"""))
 
+  // Hard-negative mining over the labeled embeddings: top-5 most-similar
+  // WRONG-label candidates per query vector — the contrastive-training
+  // counterpart of q29 (same query set, label-mismatch fused before the
+  // bounded heap). Oracle = q29's window form plus the label predicate.
+  val q126_hard_negatives = Q("q126_hard_negatives",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("query_vec"),
+          col("label").as("query_label"))
+      val cs = emb.select(col("vec_id").as("cand_id"),
+        Similarity.asDouble(col("embedding")).as("cand_vec"),
+        col("label").as("cand_label"))
+      Similarity.hardNegatives(qs, cs, 5)
+        .select(col("query_id"), col("query_label"),
+          col("cand_id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                   label AS query_label
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv,
+              label AS cand_label FROM embeddings),
+      scored AS (
+        SELECT query_id, query_label, cand_id,
+          list_inner_product(qv, cv) /
+            (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cos
+        FROM q, c WHERE query_id <> cand_id AND query_label <> cand_label),
+      ranked AS (
+        SELECT query_id, query_label, cand_id, cos,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+        FROM scored)
+      SELECT query_id, query_label, cand_id, rank, round(cos, 6) AS cos
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  // Bigram LM cross-entropy (add-one smoothing, corpus-trained) — the
+  // conditional-probability upgrade of q63; one row per document with
+  // at least one interior bigram. Same DECIMAL(27,12) parity discipline.
+  val q127_bigram_entropy = Q("q127_bigram_entropy",
+    (s, dir) => graft.text.Quality.bigramCrossEntropy(documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), round(col("nats_per_bigram"), 6).as("nats_per_bigram"),
+        col("n_bigrams"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      vocab AS (
+        SELECT COUNT(DISTINCT token) AS v
+        FROM (SELECT unnest(w) AS token FROM tok)),
+      bg AS (
+        SELECT doc_id,
+          unnest([w[i] FOR i IN generate_series(1, len(w)-1)]) AS w1,
+          unnest([w[i+1] FOR i IN generate_series(1, len(w)-1)]) AS w2
+        FROM tok WHERE len(w) >= 2),
+      perdoc AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY doc_id, w1, w2),
+      cbg AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cbg FROM perdoc GROUP BY w1, w2),
+      cu AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cu FROM perdoc GROUP BY w1),
+      nll AS (
+        SELECT doc_id, c,
+          CAST(-ln(CAST(cbg + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE)) AS DECIMAL(27,12))
+            * CAST(c AS DECIMAL(10,0)) AS nllc
+        FROM perdoc JOIN cbg USING (w1, w2) JOIN cu USING (w1), vocab)
+      SELECT doc_id,
+        round(CAST(SUM(nllc) AS DOUBLE) / SUM(c), 6) AS nats_per_bigram,
+        CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM nll GROUP BY doc_id ORDER BY doc_id"""))
+
   // -------------------------------------------------------------------
   // q117–q123: the q87/q89 diagnostic probe battery (AuditProbes
   // scaladoc has the full decision table). Three rounds of driver-only
@@ -4092,5 +4161,5 @@ object Queries {
     q117_audit_split, q118_audit_arrival, q119_audit_valuestate,
     q120_audit_firstseen, q121_env_fingerprint, q122_audit_fmgws,
     q123_audit_bootstrap_totals, q124_audit_event_ties,
-    q125_audit_doc_integrity)
+    q125_audit_doc_integrity, q126_hard_negatives, q127_bigram_entropy)
 }

@@ -45,6 +45,13 @@ object SaltedJoin {
     * far fewer — at the default T=10⁷ a 10⁹-document corpus broadcasts
     * only the few-hundred-thousand-word stopword head. */
   def headBroadcast(rows: DataFrame, stats: DataFrame, key: String,
+      fanInCol: String, headFanIn: Long): DataFrame =
+    headBroadcast(rows, stats, Seq(key), fanInCol, headFanIn)
+
+  /** Multi-column-key form of [[headBroadcast]] (e.g. bigram stats keyed
+    * by (w1, w2) in [[graft.text.Quality.bigramCrossEntropy]]). Same
+    * threshold routing; the gate applies per composite key. */
+  def headBroadcast(rows: DataFrame, stats: DataFrame, keys: Seq[String],
       fanInCol: String, headFanIn: Long): DataFrame = {
     require(headFanIn > 0)
     val head = stats.filter(col(fanInCol) > headFanIn)
@@ -52,7 +59,7 @@ object SaltedJoin {
     // stats row to land on exactly one side; a three-valued `<=` alone
     // would drop NULL-fan-in keys from both)
     val tail = stats.filter(col(fanInCol) <= headFanIn || col(fanInCol).isNull)
-    rows.join(tail, Seq(key))
-      .unionByName(rows.join(broadcast(head), Seq(key)))
+    rows.join(tail, keys)
+      .unionByName(rows.join(broadcast(head), keys))
   }
 }

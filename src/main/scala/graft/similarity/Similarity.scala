@@ -76,6 +76,38 @@ object Similarity {
       scored, Seq("query_id"), "cos", "cand_id", k)
   }
 
+  /** Hard-negative mining for contrastive training data: for each query
+    * vector, the top-k most-similar candidates whose LABEL DIFFERS from
+    * the query's — the "looks right, is wrong" examples a contrastive
+    * or reranker objective learns most from (the in-batch-negatives
+    * refinement of Karpukhin et al. 2020, DPR §3.2).
+    *
+    * Shape = [[bruteForceTopKAgg]] with the label-mismatch predicate
+    * fused into the scoring pass: one broadcast of the query set, zero
+    * shuffle for scoring, and the label filter runs BEFORE the bounded
+    * heap so mismatched pairs never occupy heap slots. The only shuffle
+    * is the partial-aggregated heap merge (≤ k rows per query per map
+    * task) — at 100 TB the wire carries kilobytes, not the Q×N score
+    * matrix.
+    *
+    * Inputs: `queries(query_id, query_vec, query_label)`,
+    * `candidates(cand_id, cand_vec, cand_label)`.
+    * Output: `(query_id, query_label, cand_id, cos, rank)`, rank 1..k by
+    * cosine desc with id tiebreak. */
+  def hardNegatives(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int): DataFrame = {
+    val scored = candidates.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id") &&
+        col("cand_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("cand_id").cast("long").as("cand_id"),
+        graft.functions.VectorFunctions.cosineFast(col("query_vec"), col("cand_vec")).as("cos"))
+    graft.operators.TopKByScore.topKPerGroup(
+      scored, Seq("query_id", "query_label"), "cos", "cand_id", k)
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed) as literal
     * arrays, generated at plan time on the driver. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

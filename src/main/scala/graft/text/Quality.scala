@@ -300,6 +300,65 @@ object Quality {
       .select(col("id").as(idCol), col("nats_per_token"), col("n_tokens"))
   }
 
+  /** BIGRAM LM cross-entropy with add-one (Laplace) smoothing, trained on
+    * the scored corpus itself — the conditional-probability upgrade of
+    * [[unigramCrossEntropy]] (CCNet / Wenzek et al. 2019 score documents
+    * with a KenLM n-gram model; the bigram-with-Laplace form keeps every
+    * count integral so both engines derive bit-identical probabilities):
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V)
+    *
+    * with c(w₁w₂) the corpus bigram count, c(w₁·) the corpus count of w₁
+    * as a bigram prefix, and V the corpus unigram vocabulary size. Output
+    * `(idCol, nats_per_bigram, n_bigrams)` — one row per document with
+    * ≥ 2 tokens (a one-token document has no bigram to score).
+    *
+    * Float parity (the q63 discipline): numerator and denominator are
+    * exact BIGINTs, so the double division and `-ln` are deterministic;
+    * each bigram's nll is cast to DECIMAL(27,12) and weighted by its
+    * DECIMAL(10,0) count so the per-document sum is exact and
+    * order-independent under any partial-aggregation schedule.
+    *
+    * Scale shape: per-document bigram counts are the only token-granular
+    * rows; they join corpus bigram stats on the (w₁,w₂) key and prefix
+    * stats on w₁ through the [[graft.operators.SaltedJoin.headBroadcast]]
+    * gate (fan-in per key ≤ its corpus count, same cure as
+    * [[unigramCrossEntropy]] — a Zipf-head prefix like "the" broadcasts
+    * instead of stacking one reducer), and V arrives as a broadcast
+    * 1-row frame. Nothing shuffles ungrouped token rows. */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec27 = org.apache.spark.sql.types.DecimalType(27, 12)
+    val dec10 = org.apache.spark.sql.types.DecimalType(10, 0)
+    val toks = docs.select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("w"))
+    // interior bigrams: zip w[0..n-2] with w[1..n-1] (codegen generators —
+    // slice/arrays_zip/explode all stay inside whole-stage codegen)
+    val bg = toks.filter(size(col("w")) >= 2)
+      .select(col("id"), explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val perDoc = bg.groupBy("id", "w1", "w2").agg(count(lit(1)).as("c"))
+    val cbg = perDoc.groupBy("w1", "w2").agg(sum(col("c")).cast("long").as("cbg"))
+    val cu = perDoc.groupBy("w1").agg(sum(col("c")).cast("long").as("cu"))
+    val vocab = docs.select(explode(TextStats.tokens(col(textCol))).as("token"))
+      .agg(count_distinct(col("token")).as("v"))
+    // (w1,w2)-keyed join: fan-in per bigram key ≤ cbg; w1-keyed join:
+    // fan-in ≤ cu. Gate both on their own corpus counts.
+    val joined = graft.operators.SaltedJoin
+      .headBroadcast(perDoc, cbg, Seq("w1", "w2"), "cbg", HeadTokenFanIn)
+    val withCu = graft.operators.SaltedJoin
+      .headBroadcast(joined, cu, Seq("w1"), "cu", HeadTokenFanIn)
+    withCu.crossJoin(broadcast(vocab))
+      .select(col("id"), col("c"),
+        ((-log((col("cbg") + lit(1L)).cast("double") /
+          (col("cu") + col("v")).cast("double"))).cast(dec27) *
+          col("c").cast(dec10)).as("nllc"))
+      .groupBy("id")
+      .agg((sum(col("nllc")).cast("double") / sum(col("c"))).as("nats_per_bigram"),
+        sum(col("c")).cast("long").as("n_bigrams"))
+      .select(col("id").as(idCol), col("nats_per_bigram"), col("n_bigrams"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.3, the
     * step after LM scoring): split the corpus into head / middle /
     * tail at the `cuts` quantiles of the [[unigramCrossEntropy]]

@@ -226,6 +226,49 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q126: hard negatives broadcast the query set and heap-aggregate, no window") {
+    val p = plan("q126_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query set must broadcast")
+    assert(p.contains("partial_topkbyscore") || p.toLowerCase.contains("partial_topk"),
+      "top-k must partial-aggregate (bounded heap), not window-sort")
+    assert(!p.contains("Window"), "q126 must not fall back to a window sort")
+  }
+
+  test("q127: bigram occurrences never shuffle on bare (w1,w2) or w1 keys") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = text.Quality.bigramCrossEntropy(
+        Tables.documents(spark, sf()), "doc_id", "text")
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    // same Zipf contract as q63, on both stats keys: any exchange hashed
+    // purely on token columns (w1 / (w1,w2)) must carry aggregated rows,
+    // never raw exploded bigram occurrences.
+    def aggregatedBelow(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: GenerateExec => false
+      case other => other.children.forall(aggregatedBelow)
+    }
+    val tokenKeyed = root.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning match {
+        case h: HashPartitioning if h.expressions.nonEmpty &&
+            h.expressions.forall(_.references.map(_.name).forall(Set("w1", "w2"))) =>
+          Some(e)
+        case _ => None
+      }
+    }.flatten
+    assert(tokenKeyed.nonEmpty, "expected bigram-stats exchanges keyed on w1/(w1,w2)")
+    tokenKeyed.foreach { e =>
+      assert(aggregatedBelow(e.child),
+        s"bigram-keyed exchange carries occurrence rows (Zipf-skew scale killer):\n$e")
+    }
+  }
+
   test("q72: bucketing reads the persisted score frame — scoring runs once") {
     val p = plan("q72_ppl_buckets")
     assert(p.contains("InMemoryTableScan"),

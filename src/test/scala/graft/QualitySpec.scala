@@ -380,6 +380,25 @@ class QualitySpec extends SparkSpec {
     assert(m(1L)._2 == 4L && m(2L)._2 == 4L)
   }
 
+  test("bigramCrossEntropy: hand-computed Laplace probabilities; one-token docs drop") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: (a,b)x2, (b,a)x1
+      (2L, "a c"),     // bigram: (a,c)x1
+      (3L, "solo")     // no bigram -> no output row
+    ).toDF("doc_id", "text")
+    val m = Quality.bigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // corpus: cbg(a,b)=2, cbg(b,a)=1, cbg(a,c)=1; cu(a)=3, cu(b)=1;
+    // V = |{a,b,c,solo}| = 4 (vocab counts ALL tokens, not just prefixes)
+    // P(b|a) = (2+1)/(3+4) = 3/7 ; P(a|b) = (1+1)/(1+4) = 2/5 ; P(c|a) = (1+1)/(3+4) = 2/7
+    val d1 = (2 * -math.log(3.0 / 7) + -math.log(2.0 / 5)) / 3
+    val d2 = -math.log(2.0 / 7)
+    assert(math.abs(m(1L)._1 - d1) < 1e-9)
+    assert(math.abs(m(2L)._1 - d2) < 1e-9)
+    assert(m(1L)._2 == 3L && m(2L)._2 == 1L)
+    assert(!m.contains(3L))
+  }
+
   // -------------------------------------------------------------------
   // NFC normalization expression
   // -------------------------------------------------------------------

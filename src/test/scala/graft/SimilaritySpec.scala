@@ -31,6 +31,43 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq(1L, 2L)) // 1 is closest; 2 and 3 tie at 0, id breaks tie
   }
 
+  test("hardNegatives: only wrong-label candidates, ranked like the window form") {
+    // labels: 0/1 alternating-ish — query 0 (label 0) must never surface
+    // candidates 1,3 (label 0); its nearest WRONG-label vec is 2.
+    val labeled = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 0),
+      (1L, Seq(0.9, 0.1, 0.0, 0.0), 0),
+      (2L, Seq(0.8, 0.2, 0.0, 0.0), 1),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0), 0),
+      (4L, Seq(0.0, 0.9, 0.1, 0.0), 1),
+      (5L, Seq(-1.0, 0.0, 0.0, 0.0), 1))
+    val q = labeled.take(2).toDF("query_id", "query_vec", "query_label")
+    val c = labeled.toDF("cand_id", "cand_vec", "cand_label")
+    val out = Similarity.hardNegatives(q, c, 3)
+      .select("query_id", "cand_id", "rank", "cos")
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    val byLabel = labeled.map(v => v._1 -> v._3).toMap
+    // every mined negative has a label different from its query's
+    out.foreach { case (qid, cid, _, _) => assert(byLabel(qid) != byLabel(cid)) }
+    // query 0 (label 0): wrong-label candidates are 2, 4, 5 — ranked by cosine
+    val q0 = out.filter(_._1 == 0L).map(_._2).toSeq
+    assert(q0 == Seq(2L, 4L, 5L))
+    // parity with the window form restricted to wrong-label pairs
+    val ref = Similarity.bruteForceTopK(
+        q.select("query_id", "query_vec"), c.select("cand_id", "cand_vec"), 5)
+      .join(c.select(col("cand_id"), col("cand_label")), Seq("cand_id"))
+      .join(q.select(col("query_id"), col("query_label")), Seq("query_id"))
+      .filter(col("cand_label") =!= col("query_label"))
+      .withColumn("rr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rr") <= 3)
+      .select("query_id", "cand_id", "rr", "cos")
+      .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq == ref.map(r => (r._1, r._2, r._3)).toSeq)
+    out.zip(ref).foreach { case (a, b) => assert(math.abs(a._4 - b._4) < 1e-12) }
+  }
+
   test("lshTopK returns a subset of brute-force candidates with same scores") {
     val q = vecs.take(2).toDF("query_id", "query_vec")
     val c = vecs.toDF("cand_id", "cand_vec")

@@ -42,6 +42,23 @@ class SkewJoinSpec extends SparkSpec {
       "head branch must broadcast")
   }
 
+  test("headBroadcast composite key (w1,w2) equals the plain join across the gate") {
+    // bigram-shaped fixture: one Zipf-head bigram ("of the") in every
+    // doc, the rest unique — the shape bigramCrossEntropy gates on.
+    val rows = (0 until 100).flatMap { id =>
+      Seq((id.toLong, "of", "the", 3L), (id.toLong, s"w$id", s"x$id", 1L))
+    }.toDF("id", "w1", "w2", "c")
+    val stats = rows.groupBy("w1", "w2").agg(sum("c").as("cbg"))
+    val plain = rows.join(stats, Seq("w1", "w2"))
+    val hybrid = SaltedJoin.headBroadcast(rows, stats, Seq("w1", "w2"), "cbg", headFanIn = 50)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("w1", "w2", "id", "c", "cbg").as[(String, String, Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(key(hybrid) == key(plain))
+    // the hot composite key crossed the gate onto the broadcast branch
+    assert(stats.filter(col("cbg") > 50).count() == 1)
+  }
+
   test("headBroadcast below threshold: identical output, empty head branch") {
     val (rows, stats) = fixture(40) // max df = 40 < 100
     val plain = rows.join(stats, Seq("token")).count()
