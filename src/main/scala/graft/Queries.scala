@@ -3995,6 +3995,45 @@ object Queries {
         CAST(SUM(c) AS BIGINT) AS n_bigrams
       FROM nll GROUP BY doc_id ORDER BY doc_id"""))
 
+  // Centroid-margin mislabel scoring: cosine to the own-label centroid
+  // minus the best cosine to any other label's centroid (prototype-
+  // distance pruning + confusion margin). Negative margin ⇒ the vector
+  // sits closer to another class's prototype.
+  val q128_centroid_margins = Q("q128_centroid_margins",
+    (s, dir) => Similarity.centroidMargins(embeddings(s, dir), "vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label"),
+        round(col("cos_own"), 6).as("cos_own"),
+        round(col("cos_other"), 6).as("cos_other"),
+        round(col("margin"), 6).as("margin"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ex AS (SELECT vec_id, label, i AS dim, v[i] AS val
+             FROM e, generate_series(1, 64) AS t(i)),
+      cent AS (
+        SELECT label AS clabel, dim,
+          CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM ex GROUP BY label, dim),
+      cnorm AS (
+        SELECT clabel, CAST(SUM(CAST(c*c AS DECIMAL(27,12))) AS DOUBLE) AS cn2
+        FROM cent GROUP BY clabel),
+      vnorm AS (
+        SELECT vec_id, CAST(SUM(CAST(val*val AS DECIMAL(27,12))) AS DOUBLE) AS vn2
+        FROM ex GROUP BY vec_id),
+      dots AS (
+        SELECT vec_id, label, clabel,
+          CAST(SUM(CAST(val*c AS DECIMAL(27,12))) AS DOUBLE) AS dp
+        FROM ex JOIN cent USING (dim) GROUP BY vec_id, label, clabel),
+      cosines AS (
+        SELECT vec_id, label, clabel, dp / (sqrt(vn2) * sqrt(cn2)) AS cos
+        FROM dots JOIN vnorm USING (vec_id) JOIN cnorm USING (clabel)),
+      own AS (SELECT vec_id, label, cos AS cos_own FROM cosines WHERE clabel = label),
+      oth AS (SELECT vec_id, MAX(cos) AS cos_other FROM cosines WHERE clabel <> label GROUP BY vec_id)
+      SELECT vec_id, label, round(cos_own, 6) AS cos_own,
+        round(cos_other, 6) AS cos_other,
+        round(cos_own - cos_other, 6) AS margin
+      FROM own JOIN oth USING (vec_id) ORDER BY vec_id"""))
+
   // -------------------------------------------------------------------
   // q117–q123: the q87/q89 diagnostic probe battery (AuditProbes
   // scaladoc has the full decision table). Three rounds of driver-only
@@ -4161,5 +4200,6 @@ object Queries {
     q117_audit_split, q118_audit_arrival, q119_audit_valuestate,
     q120_audit_firstseen, q121_env_fingerprint, q122_audit_fmgws,
     q123_audit_bootstrap_totals, q124_audit_event_ties,
-    q125_audit_doc_integrity, q126_hard_negatives, q127_bigram_entropy)
+    q125_audit_doc_integrity, q126_hard_negatives, q127_bigram_entropy,
+    q128_centroid_margins)
 }

@@ -108,6 +108,60 @@ object Similarity {
       scored, Seq("query_id", "query_label"), "cos", "cand_id", k)
   }
 
+  /** Centroid-margin mislabel/outlier scoring over a labeled embedding
+    * corpus — the prototype-distance pruning metric of Sorscher et al.
+    * 2022 ("Beyond neural scaling laws") extended with the confusion
+    * margin: for each vector, cosine to its OWN label's centroid minus
+    * the best cosine to any OTHER label's centroid. A negative margin
+    * means the vector sits closer to another class's prototype — the
+    * classic signature of a mislabeled or boundary example worth pruning
+    * (or re-labeling) before training.
+    *
+    * Output: `(idCol, labelCol, cos_own, cos_other, margin)` — one row
+    * per input vector, defined when the corpus has ≥ 2 labels.
+    *
+    * Float parity (the q45/q63 discipline): centroid components are
+    * DECIMAL-exact sums cast to double (order-independent mean); every
+    * double product (v·c, v², c²) is cast to DECIMAL(27,12) before its
+    * sum, so dots and norms are exact and schedule-independent; the
+    * final divisions/sqrt are deterministic IEEE ops both engines share.
+    *
+    * Scale shape: the exploded `(id, dim, v)` frame is scanned twice —
+    * once for per-id norms (map-side partial agg collapses the 64
+    * dims-per-id before the exchange) and once for the scoring pass,
+    * which BROADCASTS the labels×dims centroid frame onto the scan and
+    * partial-aggregates straight to N×L dot products. Nothing ever
+    * shuffles raw vector rows; the only exchanges carry per-id or
+    * per-(id,label) aggregates. L (label count) is assumed
+    * dimension-table-sized — prototypes, not clusters. */
+  def centroidMargins(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 12)
+    val ex = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim0", "v")))
+      .select(col("id"), col("label"), (col("dim0") + 1).as("dim"), col("v"))
+    val cent = ex.groupBy(col("label").as("clabel"), col("dim"))
+      .agg((sum(col("v").cast(dec)).cast("double") / count(lit(1))).as("c"))
+    val cnorm = cent.groupBy("clabel")
+      .agg(sum((col("c") * col("c")).cast(dec)).cast("double").as("cn2"))
+    val vnorm = ex.groupBy("id")
+      .agg(sum((col("v") * col("v")).cast(dec)).cast("double").as("vn2"))
+    val dots = ex.join(broadcast(cent), Seq("dim"))
+      .groupBy("id", "label", "clabel")
+      .agg(sum((col("v") * col("c")).cast(dec)).cast("double").as("dp"))
+    val cosAll = dots.join(vnorm, Seq("id")).join(broadcast(cnorm), Seq("clabel"))
+      .select(col("id"), col("label"), col("clabel"),
+        (col("dp") / (sqrt(col("vn2")) * sqrt(col("cn2")))).as("cos"))
+    val own = cosAll.filter(col("clabel") === col("label"))
+      .select(col("id"), col("label"), col("cos").as("cos_own"))
+    val oth = cosAll.filter(col("clabel") =!= col("label"))
+      .groupBy("id").agg(max(col("cos")).as("cos_other"))
+    own.join(oth, Seq("id"))
+      .select(col("id").as(idCol), col("label").as(labelCol),
+        col("cos_own"), col("cos_other"),
+        (col("cos_own") - col("cos_other")).as("margin"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed) as literal
     * arrays, generated at plan time on the driver. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -68,6 +68,38 @@ class SimilaritySpec extends SparkSpec {
     out.zip(ref).foreach { case (a, b) => assert(math.abs(a._4 - b._4) < 1e-12) }
   }
 
+  test("centroidMargins: planted mislabel gets negative margin; clean members positive") {
+    // two tight clusters on orthogonal axes; vec 5 carries label 1 but
+    // sits in cluster 0's corner of the space -> mislabeled by construction
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 1),
+      (4L, Seq(0.0f, 0.1f, 0.9f, 0.0f), 1),
+      (5L, Seq(0.95f, 0.05f, 0.0f, 0.0f), 1) // planted mislabel
+    ).toDF("vec_id", "embedding", "label")
+    val m = Similarity.centroidMargins(emb, "vec_id", "embedding", "label")
+      .select("vec_id", "label", "cos_own", "cos_other", "margin")
+      .as[(Long, Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m.size == 6, "one row per vector")
+    // the planted mislabel is the only negative margin
+    assert(m(5L)._5 < 0, s"planted mislabel must score negative, got ${m(5L)._5}")
+    Seq(0L, 1L, 2L, 3L, 4L).foreach { id =>
+      assert(m(id)._5 > 0, s"clean vector $id must have positive margin, got ${m(id)._5}")
+    }
+    // margin is exactly cos_own - cos_other and both cosines are in [-1, 1]
+    m.values.foreach { case (_, _, own, oth, mg) =>
+      assert(math.abs(mg - (own - oth)) < 1e-12)
+      assert(own <= 1.0 + 1e-9 && own >= -1.0 - 1e-9)
+      assert(oth <= 1.0 + 1e-9 && oth >= -1.0 - 1e-9)
+    }
+    // hand check vec 3: own centroid mean of vecs 3,4,5 — contaminated by
+    // the mislabel — still closer than cluster 0's centroid
+    assert(m(3L)._3 > m(3L)._4)
+  }
+
   test("lshTopK returns a subset of brute-force candidates with same scores") {
     val q = vecs.take(2).toDF("query_id", "query_vec")
     val c = vecs.toDF("cand_id", "cand_vec")
