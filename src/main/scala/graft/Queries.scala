@@ -4034,6 +4034,40 @@ object Queries {
         round(cos_own - cos_other, 6) AS margin
       FROM own JOIN oth USING (vec_id) ORDER BY vec_id"""))
 
+  // Corpus snapshot diff (CDC between two corpus versions): old = docs
+  // with doc_id % 7 != 0, texts of doc_id % 5 == 0 carrying a ' legacy'
+  // suffix; new = docs with doc_id % 3 != 0. Emits added / removed /
+  // changed rows only, keyed on the normalized-text fingerprint.
+  val q129_snapshot_diff = Q("q129_snapshot_diff",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" legacy"))).otherwise(col("text")))
+      val newSnap = docs.filter(col("doc_id") % 3 =!= 0)
+      graft.text.Quality.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH oldv AS (
+        SELECT doc_id,
+          md5(trim(regexp_replace(lower(
+            CASE WHEN doc_id % 5 = 0 THEN text || ' legacy' ELSE text END),
+            ' +', ' ', 'g'))) AS old_fp
+        FROM documents WHERE doc_id % 7 <> 0),
+      newv AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS new_fp
+        FROM documents WHERE doc_id % 3 <> 0),
+      j AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_fp, new_fp,
+          CASE WHEN old_fp IS NULL THEN 'added'
+               WHEN new_fp IS NULL THEN 'removed'
+               WHEN old_fp <> new_fp THEN 'changed'
+               ELSE 'unchanged' END AS change
+        FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+      SELECT doc_id, change, old_fp, new_fp
+      FROM j WHERE change <> 'unchanged' ORDER BY doc_id"""))
+
   // -------------------------------------------------------------------
   // q117–q123: the q87/q89 diagnostic probe battery (AuditProbes
   // scaladoc has the full decision table). Three rounds of driver-only
@@ -4201,5 +4235,5 @@ object Queries {
     q120_audit_firstseen, q121_env_fingerprint, q122_audit_fmgws,
     q123_audit_bootstrap_totals, q124_audit_event_ties,
     q125_audit_doc_integrity, q126_hard_negatives, q127_bigram_entropy,
-    q128_centroid_margins)
+    q128_centroid_margins, q129_snapshot_diff)
 }

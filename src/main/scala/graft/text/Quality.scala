@@ -359,6 +359,40 @@ object Quality {
       .select(col("id").as(idCol), col("nats_per_bigram"), col("n_bigrams"))
   }
 
+  /** Corpus snapshot diff — the change-data-capture pass between two
+    * versions of a document corpus (nightly crawl refresh, licensing
+    * takedown sweep, editorial pass): classifies every document id as
+    * `added` (only in the new snapshot), `removed` (only in the old),
+    * or `changed` (present in both with different normalized-text
+    * fingerprints — [[TextStats.fingerprint]], the same md5-of-
+    * normalized-text key the exact-dedup family groups on, so
+    * whitespace/case-only edits do NOT count as changes). Unchanged
+    * documents are not emitted — at corpus scale the delta is the
+    * interesting (and small) part, and downstream incremental passes
+    * ([[graft.dedup.Dedup.incrementalDedup]]) consume exactly this
+    * delta.
+    *
+    * Scale shape: each side reduces to `(id, fp)` IN THE SCAN (md5 is
+    * map-side, no pre-shuffle), then one full outer join co-partitioned
+    * on the id — two narrow exchanges regardless of document size, and
+    * column pruning means the text bytes never leave the scan stage.
+    * Output: `(idCol, change, old_fp, new_fp)`. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      TextStats.fingerprint(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol).as("id"),
+      TextStats.fingerprint(col(textCol)).as("new_fp"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("change",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(col("id").as(idCol), col("change"), col("old_fp"), col("new_fp"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.3, the
     * step after LM scoring): split the corpus into head / middle /
     * tail at the `cuts` quantiles of the [[unigramCrossEntropy]]

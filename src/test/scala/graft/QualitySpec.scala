@@ -399,6 +399,26 @@ class QualitySpec extends SparkSpec {
     assert(!m.contains(3L))
   }
 
+  test("snapshotDiff: added/removed/changed classified; normalization-only edits invisible") {
+    val oldSnap = Seq(
+      (1L, "kept exactly"),
+      (2L, "will change"),
+      (3L, "will be removed"),
+      (4L, "Spaced   And  CASED") // normalization-only difference in new
+    ).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "kept exactly"),
+      (2L, "has changed"),
+      (4L, "spaced and cased"), // same fingerprint as old #4
+      (5L, "brand new doc")
+    ).toDF("doc_id", "text")
+    val out = Quality.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .select("doc_id", "change").as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+    // unchanged (1) and normalization-only (4) rows are not emitted
+    assert(!out.contains(1L) && !out.contains(4L))
+  }
+
   // -------------------------------------------------------------------
   // NFC normalization expression
   // -------------------------------------------------------------------
