@@ -4068,6 +4068,128 @@ object Queries {
       SELECT doc_id, change, old_fp, new_fp
       FROM j WHERE change <> 'unchanged' ORDER BY doc_id"""))
 
+  // Near-dup pairs verified by TRUE edit distance — the rerank stage
+  // after LSH recall: MinHash estimates shingle-set overlap, Levenshtein
+  // scores the exact character edit chain. The oracle replays the full
+  // LSH candidate generation WITHOUT the implementation's length
+  // prefilter, so a recall-lossy filter would show as a row mismatch.
+  val q130_edit_verified = Q("q130_edit_verified",
+    (s, dir) => Dedup.editVerifiedPairs(documents(s, dir), "doc_id", "text",
+        n = 3, numPerm = 16, bands = 4, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), col("lev"),
+        round(col("edit_sim"), 6).as("edit_sim"))
+      .orderBy("id_a", "id_b"),
+    Some("""
+      WITH sh AS (
+        SELECT doc_id AS id,
+          list_transform(
+            list_distinct([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                           FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]),
+            s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+        FROM documents),
+      sig AS (
+        SELECT id,
+          [list_min(list_transform(hs, h -> ((2*i+1) * h + (7919*i+1)) % 4294967311))
+           FOR i IN generate_series(0, 15)] AS sig
+        FROM sh),
+      banded AS (
+        SELECT id, b, array_to_string(sig[b*4+1:b*4+4], '-') AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b ON a.b = b.b AND a.band_key = b.band_key AND a.id < b.id),
+      v AS (
+        SELECT id_a, id_b,
+          CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+          greatest(len(da.text), len(db.text)) AS mx
+        FROM cand
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b)
+      SELECT id_a, id_b, lev,
+        round(CASE WHEN mx = 0 THEN 1.0
+                   ELSE 1.0 - CAST(lev AS DOUBLE) / mx END, 6) AS edit_sim
+      FROM v
+      WHERE (CASE WHEN mx = 0 THEN 1.0 ELSE 1.0 - CAST(lev AS DOUBLE) / mx END) >= 0.8
+      ORDER BY id_a, id_b"""))
+
+  // Heaps'-law vocabulary growth: new token types and cumulative
+  // vocabulary per ingest bucket — the corpus-health curve that flattens
+  // under near-copy crawl loops and spikes under domain shift.
+  val q131_vocab_growth = Q("q131_vocab_growth",
+    (s, dir) => graft.text.TextStats.vocabGrowth(documents(s, dir), "doc_id", "text",
+        bucketDocs = 50)
+      .orderBy("bucket"),
+    Some("""
+      WITH d AS (
+        SELECT doc_id // 50 AS bucket, string_split(text, ' ') AS ws FROM documents),
+      pb AS (
+        SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(len(ws)) AS BIGINT) AS n_tokens
+        FROM d GROUP BY bucket),
+      fs AS (
+        SELECT tok, MIN(bucket) AS bucket
+        FROM (SELECT bucket, unnest(ws) AS tok FROM d) GROUP BY tok),
+      nt AS (SELECT bucket, COUNT(*) AS new_types FROM fs GROUP BY bucket)
+      SELECT bucket, n_docs, n_tokens,
+        COALESCE(new_types, 0) AS new_types,
+        CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+      FROM pb LEFT JOIN nt USING (bucket)
+      ORDER BY bucket"""))
+
+  // BPE trainer inner loop: 6 merge rounds over the word-count table —
+  // corpus scanned once, every round vocabulary-bounded (Bpe scaladoc).
+  val q132_bpe_merges = Q("q132_bpe_merges",
+    (s, dir) => graft.text.Bpe.merges(documents(s, dir), "text", rounds = 6)
+      .orderBy("round"),
+    Some(graft.text.Bpe.oracleSql(6)))
+
+  // Corpus-level overlap between SOURCES: one MinHash signature per
+  // source over the union of its documents' shingles, with the exact
+  // shingle-set Jaccard alongside as the sketch's own error report.
+  private val srcSimSigCols = (0 until 16).map(i =>
+    s"MIN((${2 * i + 1}*h + ${7919 * i + 1}) % 4294967311) AS s$i").mkString(",\n          ")
+  private val srcSimMatches = (0 until 16).map(i =>
+    s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+  val q133_source_similarity = Q("q133_source_similarity",
+    (s, dir) => Dedup.sourceMinhashSimilarity(documents(s, dir), "source", "text",
+        n = 3, numPerm = 16)
+      .select(col("g_a").as("src_a"), col("g_b").as("src_b"),
+        col("est_jaccard"), round(col("exact_jaccard"), 6).as("exact_jaccard"),
+        col("inter"), col("n_a"), col("n_b"))
+      .orderBy("src_a", "src_b"),
+    Some(s"""
+      WITH sh AS (
+        SELECT source AS g,
+          unnest([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                  FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))]) AS s
+        FROM documents),
+      hs AS (
+        SELECT g, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh),
+      sig AS (
+        SELECT g,
+          $srcSimSigCols
+        FROM hs GROUP BY g),
+      sets AS (SELECT DISTINCT g, s FROM sh),
+      sizes AS (SELECT g, COUNT(*) AS n FROM sets GROUP BY g),
+      inter AS (
+        SELECT a.g AS g_a, b.g AS g_b, COUNT(*) AS inter
+        FROM sets a JOIN sets b ON a.s = b.s AND a.g < b.g
+        GROUP BY a.g, b.g),
+      pairs AS (
+        SELECT a.g AS g_a, b.g AS g_b,
+          CAST($srcSimMatches AS DOUBLE) / 16 AS est_jaccard
+        FROM sig a JOIN sig b ON a.g < b.g)
+      SELECT g_a AS src_a, g_b AS src_b, est_jaccard,
+        round(CAST(COALESCE(inter, 0) AS DOUBLE)
+          / (na.n + nb.n - COALESCE(inter, 0)), 6) AS exact_jaccard,
+        CAST(COALESCE(inter, 0) AS BIGINT) AS inter,
+        na.n AS n_a, nb.n AS n_b
+      FROM pairs
+      LEFT JOIN inter USING (g_a, g_b)
+      JOIN sizes na ON na.g = g_a
+      JOIN sizes nb ON nb.g = g_b
+      ORDER BY src_a, src_b"""))
+
   // -------------------------------------------------------------------
   // q117–q123: the q87/q89 diagnostic probe battery (AuditProbes
   // scaladoc has the full decision table). Three rounds of driver-only
@@ -4235,5 +4357,6 @@ object Queries {
     q120_audit_firstseen, q121_env_fingerprint, q122_audit_fmgws,
     q123_audit_bootstrap_totals, q124_audit_event_ties,
     q125_audit_doc_integrity, q126_hard_negatives, q127_bigram_entropy,
-    q128_centroid_margins, q129_snapshot_diff)
+    q128_centroid_margins, q129_snapshot_diff, q130_edit_verified,
+    q131_vocab_growth, q132_bpe_merges, q133_source_similarity)
 }

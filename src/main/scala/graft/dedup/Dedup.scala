@@ -930,4 +930,114 @@ object Dedup {
         .select("id_a", "id_b", "jaccard")
     }
   }
+
+  /** Near-duplicate pairs verified by TRUE edit-distance similarity —
+    * the rerank/verify stage a production dedup pipeline runs after LSH
+    * recall (MinHash estimates set overlap of shingles; Levenshtein
+    * measures the character-level edit chain, so transpositions and
+    * small in-place rewrites that shingle sets blur are scored exactly).
+    *
+    * edit_sim = 1 − lev(a,b) / max(|a|,|b|)  (1.0 when both empty).
+    *
+    * Scale shape: the O(|a|·|b|) dynamic program runs ONLY on LSH
+    * candidate pairs (never all-pairs — candidates are banded-collision
+    * bounded), and a free length prefilter drops pairs where
+    * |len_a − len_b| alone already forces edit_sim < threshold, before
+    * any text is shuffled to the verify join: lev ≥ |len_a − len_b|, so
+    * the bound is exact and recall-lossless. The two doc-text joins are
+    * id-keyed hash joins whose probe side is the (small) candidate set.
+    */
+  def editVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerm: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val cands = minhashLshPairs(df, idCol, textCol, n, numPerm, bands, threshold = 0.0)
+      .select("id_a", "id_b")
+    // lengths travel with the candidate ids so the length prefilter runs
+    // BEFORE the text payload joins — at corpus scale the texts are the
+    // wide columns and the filter keeps them off the wire for pairs the
+    // bound already kills.
+    val lens = df.select(col(idCol).as("id"), length(col(textCol)).as("len"))
+    val sized = cands
+      .join(lens.select(col("id").as("id_a"), col("len").as("len_a")), Seq("id_a"))
+      .join(lens.select(col("id").as("id_b"), col("len").as("len_b")), Seq("id_b"))
+      .filter((greatest(col("len_a"), col("len_b")) - least(col("len_a"), col("len_b")))
+        .cast("double") <= lit(1.0 - threshold) * greatest(col("len_a"), col("len_b")))
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    sized
+      .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), Seq("id_b"))
+      .withColumn("lev", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .withColumn("edit_sim",
+        when(greatest(col("len_a"), col("len_b")) === 0, lit(1.0))
+          .otherwise(lit(1.0) - col("lev").cast("double") /
+            greatest(col("len_a"), col("len_b"))))
+      .filter(col("edit_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("lev"), col("edit_sim"))
+  }
+
+  /** Corpus-level similarity between GROUPS of documents (sources,
+    * snapshots, domains): one MinHash signature per group over the UNION
+    * of its documents' shingles, plus the exact shingle-set Jaccard as
+    * the sketch's own error report. The "which crawls overlap / which
+    * source is a re-host of which" diagnostic — pairwise DOCUMENT dedup
+    * answers a different question than pairwise SOURCE overlap.
+    *
+    * est_jaccard  = matching minhash coordinates / numPerm
+    * exact_jaccard = |A∩B| / |A∪B| over distinct shingle strings.
+    *
+    * Scale shape: the signature is ONE corpus pass — a shingle explode
+    * into a group-keyed min() aggregate (map-side partial mins make the
+    * exchange |groups|×numPerm, not corpus-sized). The pairwise stage is
+    * |groups|² sketch algebra on a broadcast-small frame. The exact path
+    * is shingle-vocabulary-bounded: distinct (group, shingle) rows joined
+    * on shingle — never doc-pairs, never text. At 100 TB with dozens of
+    * sources every stage after the scan is metadata-sized.
+    */
+  def sourceMinhashSimilarity(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 3,
+      numPerm: Int = 32): DataFrame = {
+    val posting = df
+      .select(col(groupCol).as("g"), split(col(textCol), " ").as("words"))
+      .select(col("g"), col("words"),
+        explode(sequence(lit(0), greatest(size(col("words")) - n, lit(0)))).as("i"))
+      .select(col("g"), concat_ws(" ", slice(col("words"), col("i") + 1, lit(n))).as("s"))
+    val sigs = posting.select(col("g"), h32(col("s")).as("h"))
+      .groupBy("g").agg(
+        array((0 until numPerm).map { i =>
+          min((lit(2 * i + 1).cast("long") * col("h") + lit(7919L * i + 1)) % Prime)
+        }: _*).as("sig"))
+    // exact side: distinct shingle STRINGS per group (hash-collision-free
+    // ground truth), sizes + pairwise intersections via a shingle-keyed
+    // self-join — vocabulary-bounded, the q101 HLL set-ops shape made exact.
+    val sets = posting.select(col("g"), col("s")).distinct()
+    val sizes = sets.groupBy("g").agg(count(lit(1)).as("n"))
+    val inter = sets.select(col("g").as("g_a"), col("s"))
+      .join(sets.select(col("g").as("g_b"), col("s")), Seq("s"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b").agg(count(lit(1)).as("inter"))
+    // |groups|² pair frame: a broadcast nested-loop on the < condition —
+    // both sides are |groups| rows of numPerm longs, driver-small.
+    val pairs = sigs.select(col("g").as("g_a"), col("sig").as("sig_a"))
+      .join(broadcast(sigs.select(col("g").as("g_b"), col("sig").as("sig_b"))),
+        col("g_a") < col("g_b"))
+    pairs
+      .join(broadcast(inter), Seq("g_a", "g_b"), "left")
+      .join(broadcast(sizes.select(col("g").as("g_a"), col("n").as("n_a"))), Seq("g_a"))
+      .join(broadcast(sizes.select(col("g").as("g_b"), col("n").as("n_b"))), Seq("g_b"))
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("g_a"), col("g_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / numPerm).as("est_jaccard"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("exact_jaccard"),
+        col("inter"), col("n_a"), col("n_b"))
+  }
 }

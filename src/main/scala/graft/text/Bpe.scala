@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding TRAINER inner loop (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units" §3.2) — the
+  * other half of subword tokenization next to [[Selection.subwordVocab]]
+  * (frequency-ranked piece mining) and `subword_piece_count` (the apply
+  * side): iteratively find the most frequent ADJACENT symbol pair,
+  * weighted by word frequency, merge it everywhere, repeat. The merge
+  * TABLE (ordered pair list) is what a trained BPE tokenizer ships.
+  *
+  * Scale design — the property that makes BPE trainable on 100 TB: the
+  * corpus is scanned ONCE, into a (word, count) table; every merge round
+  * after that runs on the DISTINCT-WORD table, which is
+  * vocabulary-bounded (Heaps' law: ~millions of types for trillions of
+  * tokens), never on the corpus. Each round is two vocabulary-bounded
+  * jobs: an adjacent-pair count (explode + sum, map-side partial) whose
+  * argmax is a 1-row TakeOrdered, and a merge application that rewrites
+  * each word's symbol string in place (no shuffle — the word table's
+  * partitioning is untouched). Rounds persist the rewritten table and
+  * drop the previous one, so state is one vocabulary-sized frame.
+  *
+  * Merge semantics (both engines replay it exactly): symbols of a word
+  * are folded left-to-right; when the accumulator's LAST symbol equals
+  * `left` and the next symbol equals `right`, they fuse (the fused
+  * symbol cannot fuse again as `left` in the same pass since
+  * left+right != left). "aaaaaa" under (a,a) → [aa, aa, aa] — greedy,
+  * scan-after-merge, the Sennrich reference behavior. Pair COUNTS are
+  * plain adjacent-pair occurrences ("aaa" counts (a,a) twice), also per
+  * the reference implementation.
+  *
+  * Symbols are kept as a single U+0001-joined string per word: the
+  * corpus contract is printable-ASCII tokens, so the separator is
+  * collision-free, and a string fold (`aggregate` HOF here,
+  * `list_reduce` in the DuckDB oracle) gives both engines the identical
+  * greedy semantics with no array-of-array plumbing.
+  */
+object Bpe {
+
+  /** Symbol separator inside a word's symbol string. */
+  val Sep = "\u0001"
+
+  private def symsOf(s: Column): Column = split(s, Sep)
+
+  /** Fold one merge (left, right) through a symbol string. */
+  private def applyMerge(s: Column, left: String, right: String): Column =
+    aggregate(symsOf(s), lit(""),
+      (acc, x) => when(acc === "", x)
+        .when((acc === left || acc.endsWith(Sep + left)) && x === right,
+          concat(acc, x))
+        .otherwise(concat(acc, lit(Sep), x)))
+
+  /** Adjacent symbol pairs of a symbol string, exploded. */
+  private def pairFrame(words: DataFrame): DataFrame = {
+    val y = symsOf(col("s"))
+    words
+      .select(col("c"),
+        explode(arrays_zip(
+          slice(y, lit(1), size(y) - 1),
+          slice(y, lit(2), size(y) - 1))).as("p"))
+      .select(col("p.0").as("l"), col("p.1").as("r"), col("c"))
+  }
+
+  /** Train `rounds` BPE merges over the corpus' space-tokenized words.
+    * Returns the merge table: (round, merge_left, merge_right,
+    * pair_count), one row per completed round, deterministic (count
+    * desc, then lexicographic pair) — stops early if no pair remains.
+    *
+    * Single-char words can never contribute a pair and merges cannot
+    * change that, so they are dropped from the word table up front. */
+  def merges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    val wc = docs
+      .select(explode(TextStats.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .select(concat_ws(Sep, transform(
+        sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))).as("s"), col("c"))
+    var words = wc.persist()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val top = pairFrame(words)
+          .groupBy("l", "r").agg(sum(col("c")).as("cnt"))
+          .orderBy(desc("cnt"), asc("l"), asc("r"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val row = top(0)
+          val (l, rr, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          out += ((r, l, rr, cnt))
+          if (r < rounds) {
+            val next = words.withColumn("s", applyMerge(col("s"), l, rr)).persist()
+            next.count()
+            words.unpersist()
+            words = next
+          }
+          r += 1
+        }
+      }
+    } finally words.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("round", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** The DuckDB oracle for [[merges]], generated for a fixed round count:
+    * each round recomputes the weighted adjacent-pair argmax and replays
+    * the greedy fold via `list_reduce` with the identical CASE. Kept next
+    * to the operator so the two formulations evolve together. */
+  def oracleSql(rounds: Int): String = {
+    val rounds1toN = 1 to rounds
+    val head = """
+      WITH wc AS (
+        SELECT word, COUNT(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) >= 2 GROUP BY word),
+      w0 AS (
+        SELECT array_to_string([word[i] FOR i IN generate_series(1, len(word))], chr(1)) AS s, c
+        FROM wc)"""
+    val per = rounds1toN.map { k =>
+      val prev = s"w${k - 1}"
+      val apply =
+        if (k == rounds) "" else s""",
+      w$k AS (
+        SELECT list_reduce(string_split(s, chr(1)), (acc, x) ->
+            CASE WHEN (acc = m.l OR ends_with(acc, chr(1) || m.l)) AND x = m.r
+                 THEN acc || x ELSE acc || chr(1) || x END) AS s, c
+        FROM $prev, m$k m)"""
+      s""",
+      p$k AS (
+        SELECT l, r, SUM(c) AS cnt FROM (
+          SELECT unnest(y[1:len(y)-1]) AS l, unnest(y[2:len(y)]) AS r, c FROM (
+            SELECT string_split(s, chr(1)) AS y, c FROM $prev))
+        GROUP BY l, r),
+      m$k AS (SELECT $k AS round, l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)$apply"""
+    }.mkString
+    val union = rounds1toN.map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+    s"""$head$per
+      SELECT round, l AS merge_left, r AS merge_right, cnt AS pair_count
+      FROM ($union) ORDER BY round"""
+  }
+}

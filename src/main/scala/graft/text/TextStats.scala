@@ -108,6 +108,44 @@ object TextStats {
   def qualityScore(text: Column, stopwords: Seq[String]): Column =
     qualityScoreW(text, tokens(text), stopwords)
 
+  /** Vocabulary-growth (Heaps'-law) curve: ingest documents in id order,
+    * bucket every `bucketDocs` consecutive ids, and report per bucket how
+    * many NEVER-BEFORE-SEEN token types arrive and the cumulative
+    * vocabulary size. The corpus-health monitor for a continuously-
+    * ingesting pipeline: a crawl that keeps adding near-copies flattens
+    * the new-type curve far below the Heaps V(n) ~ K·n^β expectation,
+    * while a domain shift spikes it — both visible per shard without any
+    * pairwise machinery.
+    *
+    * Output: (bucket, n_docs, n_tokens, new_types, cum_vocab) — all exact
+    * integers (cross-engine hash-stable by construction).
+    *
+    * Scale shape: ONE corpus scan → a token-keyed min() aggregate
+    * (first-seen bucket; map-side partial mins make the exchange
+    * vocabulary-bounded, never corpus-sized) → a per-bucket count and a
+    * running sum over a frame of |buckets| rows. No sort over tokens, no
+    * state proportional to corpus length. The doc-side stats ride a
+    * separate bucket-keyed aggregate over the same scan. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      bucketDocs: Long): DataFrame = {
+    require(bucketDocs > 0, s"bucketDocs must be positive, got $bucketDocs")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = floor(col(idCol) / bucketDocs).as("bucket")
+    val docs = df.select(bucket, tokens(col(textCol)).as("ws"))
+    val perBucket = docs.groupBy("bucket").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("ws")).cast("long")).as("n_tokens"))
+    val firstSeen = docs.select(col("bucket"), explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_vocab",
+        sum(col("new_types")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("bucket", "n_docs", "n_tokens", "new_types", "cum_vocab")
+  }
+
   /** All text stats in one pass over a documents table. */
   def annotate(df: DataFrame, textCol: String, stopwords: Seq[String]): DataFrame = {
     val t = col(textCol)

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.{Bpe, TextStats}
+
+/** Round-14 corpus-pipeline additions: edit-distance-verified near-dup
+  * pairs, Heaps'-law vocabulary growth, the BPE trainer loop, and
+  * source-level MinHash corpus similarity.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------------------- BPE
+
+  test("Bpe: greedy fold merges scan-after-merge (aaaaaa under (a,a) -> aa aa aa)") {
+    // one word "aaaaaa" — pair counts (a,a)=5, merge round 1 must fold
+    // into THREE "aa" symbols (never "aa a aa a"), then (aa,aa)=2, etc.
+    val docs = Seq("aaaaaa").toDF("text")
+    val m = Bpe.merges(docs, "text", rounds = 3).orderBy("round").collect()
+    assert(m.map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq((1, "a", "a", 5L), (2, "aa", "aa", 2L), (3, "aaaa", "aa", 1L)))
+  }
+
+  test("Bpe: merge order on the Sennrich corpus, lexicographic tie-break, early stop") {
+    // low x3, lower x1, lowest x1 — hand-computed merge table:
+    // r1 (l,o)=5 ties (o,w)=5, lex wins; r2 (lo,w)=5; r3 (low,e)=2;
+    // r4 three pairs tie at 1, (lowe,r) lex-min; r5 (lowe,s); r6
+    // (lowes,t); r7 nothing left -> early stop at 6 rows.
+    val docs = Seq("low low low lower lowest").toDF("text")
+    val m = Bpe.merges(docs, "text", rounds = 10).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(m == Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "e", 2L),
+      (4, "lowe", "r", 1L), (5, "lowe", "s", 1L), (6, "lowes", "t", 1L)))
+  }
+
+  test("Bpe: word counts weight pairs; single-char words contribute nothing") {
+    // "ab" x3 outweighs "cd" x2; "x" alone can never pair
+    val docs = Seq("ab ab x cd", "ab cd x x").toDF("text")
+    val m = Bpe.merges(docs, "text", rounds = 1).collect()
+    assert(m.length == 1)
+    val r = m.head
+    assert((r.getString(1), r.getString(2), r.getLong(3)) == ("a", "b", 3L))
+  }
+
+  test("Bpe: oracleSql round count drives the generated CTE chain") {
+    val sql = Bpe.oracleSql(3)
+    assert(sql.contains("m3 AS") && !sql.contains("m4 AS"))
+    assert(sql.contains("w2 AS") && !sql.contains("w3 AS"),
+      "the last round needs no merge application")
+  }
+
+  // ------------------------------------------------------ vocabGrowth
+
+  test("vocabGrowth: first-seen buckets, cumulative vocabulary, empty-bucket-safe") {
+    val docs = Seq(
+      (0L, "a b"), (1L, "b c"),   // bucket 0: types a b c
+      (60L, "c d"),               // bucket 1: new d
+      (110L, "a e")               // bucket 2: new e
+    ).toDF("doc_id", "text")
+    val g = TextStats.vocabGrowth(docs, "doc_id", "text", bucketDocs = 50)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(g.toSeq == Seq(
+      (0L, 2L, 4L, 3L, 3L),
+      (1L, 1L, 2L, 1L, 4L),
+      (2L, 1L, 2L, 1L, 5L)))
+  }
+
+  test("vocabGrowth: a bucket of pure re-treads adds zero new types") {
+    val docs = Seq((0L, "a b c"), (50L, "c b a")).toDF("doc_id", "text")
+    val g = TextStats.vocabGrowth(docs, "doc_id", "text", bucketDocs = 50)
+      .orderBy("bucket").collect()
+    assert(g(1).getLong(3) == 0L && g(1).getLong(4) == 3L)
+  }
+
+  // ------------------------------------------------ editVerifiedPairs
+
+  private val nearDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and keeps running far"),
+    (2L, "the quick brown fox jumps over the lazy cat and keeps running far"),
+    (3L, "completely unrelated content about databases and query planners"),
+    (4L, "the quick brown fox jumps over the lazy dog and keeps running far")
+  ).toDF("doc_id", "text")
+
+  test("editVerifiedPairs: exact dup scores 1.0/lev 0, near-dup exact lev, unrelated absent") {
+    // bands = numPerm -> single-row bands: one shared minhash coordinate
+    // suffices for candidacy, so recall is not the variable under test
+    val pairs = Dedup.editVerifiedPairs(nearDocs, "doc_id", "text",
+        numPerm = 16, bands = 16, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(pairs((1L, 4L)) == (0L, 1.0))
+    val (lev12, sim12) = pairs((1L, 2L))
+    assert(lev12 == 3L, s"dog->cat is 3 substitutions, got $lev12") // d->c, g->t, o==o? no: d/c, o/a, g/t
+    assert(sim12 > 0.9 && sim12 < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("editVerifiedPairs: length prefilter keeps near-boundary pairs, drops by sim") {
+    // id 2 = id 1 + " fff": pure insertion, lev = 4, max len 19,
+    // sim = 1 - 4/19 ≈ 0.789 — above a 0.75 threshold and the length
+    // diff (4) sits close under the prefilter bound (0.25·19 = 4.75),
+    // so a too-tight prefilter would lose it. id 3 adds 8 chars:
+    // sim = 1 - 8/23 ≈ 0.652 — must drop on SIM, with lev exact.
+    val base = "aaa bbb ccc ddd" // 15 chars
+    val docs = Seq((1L, base), (2L, base + " fff"), (3L, base + " ggg hhh"))
+      .toDF("doc_id", "text")
+    // bands = numPerm -> single-row bands: any shared minhash coordinate
+    // makes a candidate, so all three pairs reach the verify stage
+    val out = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+      n = 1, numPerm = 16, bands = 16, threshold = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.contains((1L, 2L)), "near-boundary pair must survive the prefilter")
+    assert(out((1L, 2L))._1 == 4L)
+    assert(math.abs(out((1L, 2L))._2 - (1.0 - 4.0 / 19.0)) < 1e-12)
+    assert(!out.contains((1L, 3L)), "below-threshold pair drops")
+  }
+
+  // ------------------------------------------- sourceMinhashSimilarity
+
+  test("sourceMinhashSimilarity: identical groups 1.0, disjoint 0.0, exact set algebra") {
+    val docs = Seq(
+      ("A", "alpha beta gamma delta epsilon"),
+      ("A", "zeta eta theta iota kappa"),
+      ("B", "alpha beta gamma delta epsilon"),
+      ("B", "zeta eta theta iota kappa"),
+      ("C", "one two three four five six")
+    ).toDF("source", "text")
+    val rows = Dedup.sourceMinhashSimilarity(docs, "source", "text", n = 3, numPerm = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.size == 3, "all group pairs present, including zero-overlap ones")
+    val (estAB, exAB, interAB, nA, nB) = rows(("A", "B"))
+    assert(estAB == 1.0 && exAB == 1.0 && interAB == nA && nA == nB)
+    val (_, exAC, interAC, _, _) = rows(("A", "C"))
+    assert(exAC == 0.0 && interAC == 0L)
+    // exact sizes: each A doc has 5 words -> 3 trigram shingles, distinct
+    assert(nA == 6L)
+  }
+}
