@@ -4190,6 +4190,92 @@ object Queries {
       JOIN sizes nb ON nb.g = g_b
       ORDER BY src_a, src_b"""))
 
+  // Winnowing fingerprints (MOSS): density-bounded k-gram selection —
+  // any shared token run of length >= w+k-1 shares a selected print.
+  val q134_winnowing = Q("q134_winnowing",
+    (s, dir) => graft.text.Winnowing.fingerprints(documents(s, dir), "doc_id", "text",
+        k = 4, w = 5)
+      .select(col("id").as("doc_id"), col("pos"), col("fp"))
+      .orderBy("doc_id", "pos", "fp"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      hs AS (
+        SELECT doc_id,
+          [CAST(('0x' || substr(md5(array_to_string(ws[i+1:i+4], ' ')), 1, 15)) AS BIGINT)
+           FOR i IN generate_series(0, greatest(len(ws) - 4, 0))] AS hs
+        FROM t),
+      sel AS (
+        SELECT doc_id,
+          unnest([struct_pack(
+              pos := j + len(hs[j+1:j+5])
+                - list_position(list_reverse(hs[j+1:j+5]), list_min(hs[j+1:j+5])),
+              fp := list_min(hs[j+1:j+5]))
+            FOR j IN generate_series(0, greatest(len(hs) - 5, 0))]) AS s
+        FROM hs)
+      SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp
+      FROM sel ORDER BY doc_id, pos, fp"""))
+
+  // Zipf rank-frequency slope per source: natural text ~ -1, templated
+  // sources flatten. ln through DECIMAL(27,12), quantized to integers,
+  // slope = one IEEE division of exact integer sums.
+  val q135_zipf_slope = Q("q135_zipf_slope",
+    (s, dir) => graft.text.CorpusStats.zipfSlope(documents(s, dir), "source", "text")
+      .select(col("g").as("source"), col("n_types"), col("n_tokens"), col("zipf_slope"))
+      .orderBy("source"),
+    Some("""
+      WITH tf AS (
+        SELECT source AS g, token, COUNT(*) AS c FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY source, token),
+      rk AS (
+        SELECT g, c,
+          row_number() OVER (PARTITION BY g ORDER BY c DESC, token) AS rank
+        FROM tf),
+      q AS (
+        SELECT g, c,
+          CAST(floor(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(27,12)) * 100000) AS BIGINT) AS x,
+          CAST(floor(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(27,12)) * 100000) AS BIGINT) AS y
+        FROM rk),
+      agg AS (
+        SELECT g, COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+          CAST(SUM(x * y) AS HUGEINT) AS sxy, CAST(SUM(x * x) AS HUGEINT) AS sxx
+        FROM q GROUP BY g)
+      SELECT g AS source, n_types, n_tokens,
+        round(CAST(n_types * sxy - sx * sy AS DOUBLE)
+          / CAST(n_types * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+      FROM agg WHERE n_types >= 2 ORDER BY source"""))
+
+  // Smoothed unigram KL(P_source || P_corpus) per source WITHOUT the
+  // vocab x sources cross frame: with D_s = n_s + V, D = N + V,
+  //   KL_s = T_s/D_s + ln D - ln D_s,
+  //   T_s  = SUM_present[(c+1)ln(c+1) - c*ln(cw+1)] - G,  G = SUM_vocab ln(cw+1)
+  // (absent-token mass folds into the present-term correction + G).
+  val q136_kl_drift = Q("q136_kl_drift",
+    (s, dir) => graft.text.CorpusStats.klDrift(documents(s, dir), "source", "text")
+      .select(col("g").as("source"), col("n_tokens"), col("n_types"), col("kl_nats"))
+      .orderBy("source"),
+    Some("""
+      WITH st AS (
+        SELECT source AS g, token, COUNT(*) AS c FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY source, token),
+      cw AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cw FROM st GROUP BY token),
+      gl AS (
+        SELECT COUNT(*) AS v, CAST(SUM(cw) AS BIGINT) AS n_total,
+          SUM(CAST(ln(CAST(cw + 1 AS DOUBLE)) AS DECIMAL(27,12))) AS g_sum
+        FROM cw),
+      ps AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+          SUM(CAST(c + 1 AS DECIMAL(10,0)) * CAST(ln(CAST(c + 1 AS DOUBLE)) AS DECIMAL(27,12))
+            - CAST(c AS DECIMAL(10,0)) * CAST(ln(CAST(cw + 1 AS DOUBLE)) AS DECIMAL(27,12))) AS s_present
+        FROM st JOIN cw USING (token) GROUP BY g)
+      SELECT g AS source, n_tokens, n_types,
+        round(CAST(s_present - g_sum AS DOUBLE) / CAST(n_tokens + v AS DOUBLE)
+          + CAST(CAST(ln(CAST(n_total + v AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE)
+          - CAST(CAST(ln(CAST(n_tokens + v AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE), 6) AS kl_nats
+      FROM ps, gl ORDER BY source"""))
+
   // -------------------------------------------------------------------
   // q117–q123: the q87/q89 diagnostic probe battery (AuditProbes
   // scaladoc has the full decision table). Three rounds of driver-only
@@ -4358,5 +4444,6 @@ object Queries {
     q123_audit_bootstrap_totals, q124_audit_event_ties,
     q125_audit_doc_integrity, q126_hard_negatives, q127_bigram_entropy,
     q128_centroid_margins, q129_snapshot_diff, q130_edit_verified,
-    q131_vocab_growth, q132_bpe_merges, q133_source_similarity)
+    q131_vocab_growth, q132_bpe_merges, q133_source_similarity,
+    q134_winnowing, q135_zipf_slope, q136_kl_drift)
 }

@@ -117,6 +117,124 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.contains((1L, 3L)), "below-threshold pair drops")
   }
 
+  // --------------------------------------------------------- winnowing
+
+  private def jvmH60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Independent JVM replay of the winnowing selection rule. */
+  private def jvmWinnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val ws = text.split(" ", -1)
+    val hs = (0 to math.max(ws.length - k, 0))
+      .map(i => jvmH60(ws.slice(i, i + k).mkString(" ")))
+    (0 to math.max(hs.length - w, 0)).flatMap { j =>
+      val win = hs.slice(j, j + w)
+      val m = win.min
+      val pos = j + win.lastIndexOf(m)
+      Some((pos.toLong, m))
+    }.toSet
+  }
+
+  test("Winnowing: matches an independent JVM replay of the rightmost-min rule") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and then the quick brown fox returns home",
+      "a b c a b c a b c a b c a b c",
+      "short one")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.text.Winnowing.fingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == jvmWinnow(t, 3, 4), s"doc $i")
+    }
+  }
+
+  test("Winnowing: shared runs >= w+k-1 tokens always share a selected fingerprint") {
+    val core = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens >= w+k-1 = 6
+    val docs = Seq(
+      (1L, s"one two three $core four five six"),
+      (2L, s"$core completely different tail words here")).toDF("doc_id", "text")
+    val fp = graft.text.Winnowing.fingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty, "detection guarantee violated")
+  }
+
+  test("Winnowing: density stays near 2/(w+1), never above the k-gram count") {
+    val text = (1 to 400).map(i => s"tok${(i * 7919) % 211}").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val n = graft.text.Winnowing.fingerprints(docs, "doc_id", "text", k = 4, w = 8).count()
+    val grams = 400 - 4 + 1
+    assert(n < grams / 2, s"selected $n of $grams k-grams — not density-bounded")
+    assert(n > grams / 12, s"selected $n of $grams k-grams — implausibly sparse")
+  }
+
+  // --------------------------------------------------- zipfSlope / KL
+
+  /** Spark's double->DECIMAL(27,12) cast semantics (shortest-string,
+    * HALF_UP), as used by the lnDec discipline. */
+  private def dec12(v: Double): BigDecimal =
+    BigDecimal(java.lang.Double.toString(v))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+
+  test("zipfSlope: exact-Zipf frequencies regress to ~ -1; JVM replay agrees") {
+    // counts 12/rank: ln c = ln 12 - ln rank, slope -1 in the reals
+    val text = List.fill(12)("a") ++ List.fill(6)("b") ++ List.fill(4)("c") ++ List.fill(3)("d")
+    val docs = Seq(("s1", text.mkString(" "))).toDF("source", "text")
+    val row = graft.text.CorpusStats.zipfSlope(docs, "source", "text").collect().head
+    val slope = row.getAs[Double]("zipf_slope")
+    assert(math.abs(slope - (-1.0)) < 1e-3, s"slope $slope")
+    // independent integer-quantized replay
+    val counts = Seq(12L, 6L, 4L, 3L)
+    val xy = counts.zipWithIndex.map { case (c, i) =>
+      val x = (dec12(math.log(i + 1.0)) * 100000).setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt
+      val y = (dec12(math.log(c.toDouble)) * 100000).setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt
+      (x, y)
+    }
+    val n = BigInt(xy.size)
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val expect = BigDecimal((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(slope == expect, s"spark $slope vs replay $expect")
+  }
+
+  test("klDrift: non-negative, zero-drift sources tie, disjoint vocab drifts hardest") {
+    val docs = Seq(
+      ("A", "a b c a b a"), ("B", "a b c a b a"), ("C", "x y z x y x"))
+      .toDF("source", "text")
+    val kl = graft.text.CorpusStats.klDrift(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("kl_nats")).toMap
+    assert(kl.values.forall(_ >= 0.0), s"KL must be non-negative: $kl")
+    assert(kl("A") == kl("B"))
+    assert(kl("C") > kl("A"))
+  }
+
+  test("klDrift: decomposed form equals the naive full-vocab smoothed sum") {
+    val corpus = Seq(
+      ("A", "a b c a b a z"), ("B", "b c d d e b"), ("C", "x y z x y x a"))
+    val docs = corpus.toDF("source", "text")
+    val got = graft.text.CorpusStats.klDrift(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("kl_nats")).toMap
+    // naive replay in plain doubles over the FULL vocab (absent included)
+    val toks = corpus.map { case (g, t) => g -> t.split(" ").toSeq }
+    val vocab = toks.flatMap(_._2).distinct
+    val cw = vocab.map(w => w -> toks.flatMap(_._2).count(_ == w).toLong).toMap
+    val bigN = cw.values.sum
+    toks.foreach { case (g, ts) =>
+      val ns = ts.size.toLong
+      val kl = vocab.map { w =>
+        val p = (ts.count(_ == w) + 1.0) / (ns + vocab.size)
+        val q = (cw(w) + 1.0) / (bigN + vocab.size)
+        p * math.log(p / q)
+      }.sum
+      assert(math.abs(got(g) - kl) < 2e-6, s"$g: got ${got(g)} naive $kl")
+    }
+  }
+
   // ------------------------------------------- sourceMinhashSimilarity
 
   test("sourceMinhashSimilarity: identical groups 1.0, disjoint 0.0, exact set algebra") {
