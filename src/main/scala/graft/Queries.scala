@@ -4276,6 +4276,113 @@ object Queries {
           - CAST(CAST(ln(CAST(n_tokens + v AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE), 6) AS kl_nats
       FROM ps, gl ORDER BY source"""))
 
+  // Gopher rule-based quality flags: per-rule audit trail + keep, all
+  // integer arithmetic (ratios cleared of division).
+  val q137_gopher_rules = Q("q137_gopher_rules",
+    (s, dir) => graft.text.Quality.gopherRules(documents(s, dir), "doc_id", "text",
+        minWords = 50, maxWords = 100000)
+      .orderBy("doc_id"),
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_word_chars,
+          CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+          CAST(len(list_filter(['the','a','of','and','is','to','in','that','it','for'],
+            sw -> list_contains(ws, sw))) AS BIGINT) AS n_stopwords,
+          CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+        FROM t)
+      SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_stopwords, n_distinct,
+        (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+        (sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words) AS rule_mean_word_len,
+        (5 * n_alpha_words >= 4 * n_words) AS rule_alpha_words,
+        (n_stopwords >= 2) AS rule_stopwords,
+        (5 * n_distinct >= n_words) AS rule_diversity,
+        ((n_words >= 50 AND n_words <= 100000)
+          AND (sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words)
+          AND (5 * n_alpha_words >= 4 * n_words)
+          AND (n_stopwords >= 2)
+          AND (5 * n_distinct >= n_words)) AS keep
+      FROM m ORDER BY doc_id"""))
+
+  // Matryoshka truncation fidelity: top-1 agreement + prefix energy per
+  // truncation width, over the probe set. Widths unrolled in the oracle.
+  private def matryoshkaTopCte(w: Int): String = s"""
+      top_$w AS (
+        SELECT $w AS width, query_id, cand_id AS top1 FROM (
+          SELECT query_id, cand_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY
+              list_inner_product(qv[1:$w], cv[1:$w]) /
+              (sqrt(list_inner_product(qv[1:$w], qv[1:$w])) *
+               sqrt(list_inner_product(cv[1:$w], cv[1:$w]))) DESC,
+              cand_id) AS rnk
+          FROM q, c WHERE query_id <> cand_id) WHERE rnk = 1)"""
+  val q138_matryoshka = Q("q138_matryoshka",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          Similarity.asDouble(col("embedding")).as("query_vec"))
+      val cs = emb.select(col("vec_id").as("cand_id"),
+        Similarity.asDouble(col("embedding")).as("cand_vec"))
+      Similarity.matryoshkaFidelity(qs, cs, Seq(8, 16, 32, 64))
+        .orderBy("width", "query_id")
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      ${Seq(8, 16, 32, 64).map(matryoshkaTopCte).mkString(",")},
+      all_w AS (SELECT * FROM top_8 UNION ALL SELECT * FROM top_16
+                UNION ALL SELECT * FROM top_32 UNION ALL SELECT * FROM top_64),
+      fullw AS (SELECT query_id, top1 AS top1_full FROM top_64)
+      SELECT a.width, a.query_id, a.top1, f.top1_full,
+        CAST(a.top1 = f.top1_full AS INTEGER) AS agree,
+        round(list_inner_product(q.qv[1:a.width], q.qv[1:a.width])
+          / list_inner_product(q.qv, q.qv), 6) AS energy
+      FROM all_w a JOIN fullw f USING (query_id) JOIN q USING (query_id)
+      ORDER BY width, query_id"""))
+
+  // CUSUM drift over daily event volumes — the sequential complement of
+  // q113's single-day z-test, via the prefix-sum identity
+  // S_d = P_d - min(0, min_j P_j): two windows, zero recursion.
+  val q139_cusum_drift = Q("q139_cusum_drift",
+    (s, dir) => graft.events.Funnels.cusumDrift(
+        events(s, dir), "event_type", "ts", "2024-01-01 00:00:00",
+        allowancePermille = 100, hMult = 3)
+      .orderBy("event_type", "day"),
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+          ((epoch_us(ts) // 1000000) -
+           (epoch_us(TIMESTAMP '2024-01-01 00:00:00') // 1000000)) // 86400 AS day,
+          COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      ref AS (
+        SELECT event_type, day, cnt,
+          (SUM(cnt) OVER (PARTITION BY event_type)
+            + COUNT(*) OVER (PARTITION BY event_type) - 1)
+            // COUNT(*) OVER (PARTITION BY event_type) AS ceil_mean
+        FROM daily),
+      kr AS (
+        SELECT event_type, day, cnt,
+          CAST(ceil_mean + (ceil_mean * 100) // 1000 AS BIGINT) AS k_ref
+        FROM ref),
+      ps AS (
+        SELECT event_type, day, cnt, k_ref,
+          SUM(cnt - k_ref) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM kr),
+      sv AS (
+        SELECT event_type, day, cnt, k_ref,
+          p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        FROM ps)
+      SELECT event_type, CAST(day AS BIGINT) AS day, cnt, k_ref,
+        CAST(s AS BIGINT) AS s, (s > k_ref * 3) AS is_drift
+      FROM sv ORDER BY event_type, day"""))
+
   // -------------------------------------------------------------------
   // q117–q123: the q87/q89 diagnostic probe battery (AuditProbes
   // scaladoc has the full decision table). Three rounds of driver-only
@@ -4445,5 +4552,6 @@ object Queries {
     q125_audit_doc_integrity, q126_hard_negatives, q127_bigram_entropy,
     q128_centroid_margins, q129_snapshot_diff, q130_edit_verified,
     q131_vocab_growth, q132_bpe_merges, q133_source_similarity,
-    q134_winnowing, q135_zipf_slope, q136_kl_drift)
+    q134_winnowing, q135_zipf_slope, q136_kl_drift, q137_gopher_rules,
+    q138_matryoshka, q139_cusum_drift)
 }

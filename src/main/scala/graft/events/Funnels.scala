@@ -155,4 +155,49 @@ object Funnels {
         (col("active_users").cast("double") / col("cohort_size").cast("double"))
           .as("retention"))
   }
+  /** CUSUM drift detector over daily event volumes (Page 1954): flags
+    * the day a type's volume has accumulated a SUSTAINED excursion above
+    * its reference rate — the sequential complement of [[burstDays]]'
+    * single-day z-test (a slow 15% ramp never trips a one-day z-test;
+    * CUSUM integrates it until it must).
+    *
+    * Entirely integer arithmetic, closed form instead of a sequential
+    * fold: with y_d = cnt_d − k_ref and P_d the running sum of y over the
+    * type's observed days, the classic recursion
+    * S_d = max(0, S_{d−1} + y_d) has the prefix-sum identity
+    * S_d = P_d − min(0, min_{j≤d} P_j) — so two window functions over the
+    * calendar-bounded daily frame compute it, no per-key recursion, no
+    * UDF, no state. Raw events are touched once (the daily aggregate).
+    *
+    * k_ref per type = ceil-mean daily count + `allowancePermille`‰ of it
+    * (integer division); alarm when S_d > hMult·k_ref. Days with zero
+    * events carry no row and so contribute nothing — the detector runs
+    * over OBSERVED days, which is the streaming-ingest reality.
+    */
+  def cusumDrift(events: DataFrame, typeCol: String, tsCol: String,
+      origin: String, allowancePermille: Long = 100, hMult: Long = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = ((unix_timestamp(col(tsCol).cast("timestamp")) -
+      unix_timestamp(lit(origin).cast("timestamp"))) / lit(86400L))
+    val daily = events
+      .select(col(typeCol).as("event_type"), floor(day).cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy("event_type")
+    // integer divisions via floor-of-double: exact while the dividends
+    // stay under 2^53 (daily sums per type; the oracle replays with //)
+    val ref = daily
+      .withColumn("ceil_mean",
+        floor((sum(col("cnt")).over(byType) + count(lit(1)).over(byType) - 1) /
+          count(lit(1)).over(byType)).cast("long"))
+      .withColumn("k_ref",
+        col("ceil_mean") +
+          floor(col("ceil_mean") * allowancePermille / 1000).cast("long"))
+    val run = byType.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref
+      .withColumn("p", sum(col("cnt") - col("k_ref")).over(run))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(run)))
+      .select(col("event_type"), col("day"), col("cnt"), col("k_ref"),
+        col("s"), (col("s") > col("k_ref") * hMult).as("is_drift"))
+  }
 }

@@ -715,4 +715,45 @@ object Similarity {
         graft.functions.VectorFunctions.cosineFast(col("query_vec"), col("cand_vec")).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+  /** Matryoshka truncation fidelity (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): how much retrieval quality survives when
+    * embeddings are truncated to prefix widths — the measurement that
+    * decides whether a 100 TB vector store can serve the 8x-cheaper
+    * prefix index. Per (probe, width): the top-1 neighbor under the
+    * truncated cosine, whether it agrees with the full-width top-1, and
+    * the prefix energy fraction ||v[1..w]||^2 / ||v||^2 (how much of the
+    * vector's mass the prefix carries).
+    *
+    * Scale shape: each width is the [[bruteForceTopK]] broadcast shape
+    * over the PROBE set (bounded), never probe-corpus x probe-corpus; a
+    * production variant swaps in [[ivfTopKPruned]] per width unchanged.
+    * Energy uses the same sequential double dot product as the cosine
+    * (dotFast == DuckDB list_inner_product, the q126-proven pairing), so
+    * every emitted double replays bit-for-bit. */
+  def matryoshkaFidelity(
+      queries: DataFrame, // (query_id, query_vec: array<double>)
+      candidates: DataFrame, // (cand_id, cand_vec: array<double>)
+      widths: Seq[Int]): DataFrame = {
+    require(widths.nonEmpty, "need at least one width")
+    val full = widths.max
+    val perWidth = widths.map { wd =>
+      val q = queries.select(col("query_id"),
+        slice(col("query_vec"), 1, wd).as("query_vec"))
+      val c = candidates.select(col("cand_id"),
+        slice(col("cand_vec"), 1, wd).as("cand_vec"))
+      bruteForceTopK(q, c, k = 1)
+        .select(lit(wd).as("width"), col("query_id"), col("cand_id").as("top1"))
+    }.reduce(_ unionAll _)
+    val fullTop = perWidth.filter(col("width") === full)
+      .select(col("query_id"), col("top1").as("top1_full"))
+    val dot = graft.functions.VectorFunctions.dotFast _
+    perWidth
+      .join(broadcast(fullTop), Seq("query_id"))
+      .join(queries.select(col("query_id"), col("query_vec")), Seq("query_id"))
+      .select(col("width"), col("query_id"), col("top1"), col("top1_full"),
+        (col("top1") === col("top1_full")).cast("int").as("agree"),
+        round(dot(slice(col("query_vec"), lit(1), col("width")),
+                  slice(col("query_vec"), lit(1), col("width"))) /
+              dot(col("query_vec"), col("query_vec")), 6).as("energy"))
+  }
 }

@@ -726,4 +726,50 @@ object Quality {
         concat_ws(" ", slice(col("ws"), col("col") + 1, lit(maxTokens))).as("chunk_text"),
         least(lit(maxTokens), size(col("ws")) - col("col").cast("int")).as("n_tokens"))
   }
+  /** Gopher-style rule-based quality flags (Rae et al. 2021, "Scaling
+    * Language Models", Table A1 filter family), adapted to the corpus'
+    * single-line space-tokenized contract: per-document PASS/FAIL per
+    * rule plus the combined keep decision — the per-rule audit trail is
+    * the point (a pipeline needs to know WHICH rule gates how much of
+    * each source, not just the survivor count).
+    *
+    * Every rule is decided in INTEGER arithmetic (ratios cleared of
+    * division: mean word length in [3,10] becomes 3n ≤ Σlen ≤ 10n), so
+    * the output is bit-stable across engines with no float discipline
+    * needed at all. One scan, no shuffle, no UDF — five rules fused into
+    * the same projection.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; ≥ 80% of words contain an alphabetic char; ≥ 2 distinct
+    * stopwords present (the Gopher "natural language" signal); lexical
+    * diversity ≥ 0.2 (distinct/total — the single-line stand-in for
+    * Gopher's duplicate-line fraction). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      stopwords: Seq[String] =
+        Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for")): DataFrame = {
+    val ws = graft.text.TextStats.tokens(col(textCol))
+    val n = size(ws).cast("long")
+    val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(typedlit(stopwords), sw => array_contains(ws, sw))).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    docs.select(col(idCol), n.as("n_words"),
+        sumLen.as("sum_word_chars"), nAlpha.as("n_alpha_words"),
+        nStop.as("n_stopwords"), nDistinct.as("n_distinct"))
+      .withColumn("rule_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("rule_mean_word_len",
+        col("sum_word_chars") >= lit(3L) * col("n_words") &&
+          col("sum_word_chars") <= lit(10L) * col("n_words"))
+      .withColumn("rule_alpha_words",
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("rule_stopwords", col("n_stopwords") >= 2)
+      .withColumn("rule_diversity",
+        lit(5L) * col("n_distinct") >= col("n_words"))
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_mean_word_len") &&
+          col("rule_alpha_words") && col("rule_stopwords") && col("rule_diversity"))
+  }
 }

@@ -235,6 +235,73 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------- gopherRules
+
+  test("gopherRules: each rule gates its planted violator; clean doc keeps") {
+    val good = (1 to 60).map(i => if (i % 7 == 0) "the" else if (i % 5 == 0) "and" else s"word$i")
+      .mkString(" ") // 60 words, stopwords present, diverse, alpha
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short the and"), // fails word count only
+      (3L, (1 to 60).map(i => if (i % 7 == 0) "the" else if (i % 5 == 0) "and"
+        else (i * 997).toString).mkString(" ")), // numbers: fails alpha
+      (4L, (("the and " * 5) + ("x " * 50)).trim) // 60 words, 3 distinct: fails diversity
+    ).toDF("doc_id", "text")
+    val r = graft.text.Quality.gopherRules(docs, "doc_id", "text", minWords = 50)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("rule_word_count") && r(2L).getAs[Boolean]("rule_stopwords"))
+    assert(!r(3L).getAs[Boolean]("rule_alpha_words") && r(3L).getAs[Boolean]("rule_word_count"))
+    assert(!r(4L).getAs[Boolean]("rule_diversity") && !r(4L).getAs[Boolean]("keep"))
+  }
+
+  // ------------------------------------------------ matryoshkaFidelity
+
+  test("matryoshkaFidelity: truncation flips top-1 where the tail decides; energy exact") {
+    val qs = Seq((1L, Seq(0.6, 0.8, 0.0, 0.2))).toDF("query_id", "query_vec")
+    val cs = Seq(
+      (2L, Seq(0.8, 0.6, 0.0, 0.0)), // full-width winner
+      (3L, Seq(0.6, 0.8, -1.0, 0.0)) // prefix-aligned, tail-penalized
+    ).toDF("cand_id", "cand_vec")
+    val r = graft.similarity.Similarity.matryoshkaFidelity(qs, cs, Seq(2, 4))
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r(2).getLong(2) == 3L && r(2).getAs[Int]("agree") == 0)
+    assert(r(4).getLong(2) == 2L && r(4).getAs[Int]("agree") == 1)
+    assert(r(2).getLong(3) == 2L, "top1_full is the max-width winner")
+    assert(r(2).getAs[Double]("energy") == 0.961538) // (0.36+0.64)/1.04
+    assert(r(4).getAs[Double]("energy") == 1.0)
+  }
+
+  // ------------------------------------------------------- cusumDrift
+
+  test("cusumDrift: sustained excursion accumulates to alarm; steady series stays zero") {
+    val origin = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(day: Int, i: Int) =
+      new java.sql.Timestamp(origin.getTime + day * 86400000L + i * 1000L)
+    val rows =
+      (for (d <- 0 until 13; i <- 0 until 5) yield ("steady", at(d, i))) ++
+      (for (d <- 0 until 10; i <- 0 until 5) yield ("drifty", at(d, i))) ++
+      (for (d <- 10 until 13; i <- 0 until 100) yield ("drifty", at(d, i)))
+    val events = rows.toDF("event_type", "ts")
+    val out = graft.events.Funnels.cusumDrift(events, "event_type", "ts",
+        "2024-01-01 00:00:00", allowancePermille = 100, hMult = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // steady: ceil_mean 5, k_ref 5, y=0 everywhere -> S=0, never drifts
+    (0 until 13).foreach { d =>
+      assert(out(("steady", d.toLong)).getLong(4) == 0L)
+      assert(!out(("steady", d.toLong)).getAs[Boolean]("is_drift"))
+    }
+    // drifty: ceil_mean 27, k_ref 29, h = 87; hand-computed S via the
+    // prefix-sum identity: 0 through day 9, then 71, 142, 213 — the
+    // first spike day does NOT alarm (71 < 87), the accumulation does
+    val dr = (0 until 13).map(d => out(("drifty", d.toLong)))
+    assert(dr.forall(_.getLong(3) == 29L), "k_ref")
+    assert((0 until 10).forall(d => dr(d).getLong(4) == 0L))
+    assert(dr(10).getLong(4) == 71L && !dr(10).getAs[Boolean]("is_drift"))
+    assert(dr(11).getLong(4) == 142L && dr(11).getAs[Boolean]("is_drift"))
+    assert(dr(12).getLong(4) == 213L && dr(12).getAs[Boolean]("is_drift"))
+  }
+
   // ------------------------------------------- sourceMinhashSimilarity
 
   test("sourceMinhashSimilarity: identical groups 1.0, disjoint 0.0, exact set algebra") {
