@@ -4383,6 +4383,70 @@ object Queries {
         CAST(s AS BIGINT) AS s, (s > k_ref * 3) AS is_drift
       FROM sv ORDER BY event_type, day"""))
 
+  // Video frame-sampling + shot-boundary detection through the REAL
+  // multi-frame decode: each doc becomes an 8-frame P5 container (22x12
+  // rasters built from the doc's ASCII projection; frames 4-7 rotate the
+  // projection by half its length — a planted mid-video scene change),
+  // the operator samples every 2nd frame, dHashes only the kept frames,
+  // and flags sampled frames > 8 bits from their predecessor. The oracle
+  // rebuilds every sampled frame's payload and replays the q92 dHash
+  // bit formula, the lag, and the cut rule.
+  val q140_video_shots = Q("q140_video_shots",
+    (s, dir) => {
+      val d0 = documents(s, dir)
+        .withColumn("a", regexp_replace(col("text"), "[^ -~]", ""))
+        .withColumn("a", when(length(col("a")) === 0, lit("x")).otherwise(col("a")))
+        .withColumn("la", length(col("a")))
+      val withFrames = (0 until 8).foldLeft(d0) { (df, f) =>
+        val shot = f / 4
+        df.withColumn(s"fr$f", expr(
+          s"""cast(concat('P5
+22 12
+255
+', substring(repeat(
+              case when (($shot * (la div 2)) % la) = 0 then a
+                   else concat(substring(a, (($shot * (la div 2)) % la) + 1),
+                               substring(a, 1, (($shot * (la div 2)) % la))) end,
+              int(ceil(264.0d / double(la)))), 1, 264)) as binary)"""))
+      }
+      val media = withFrames.select(col("doc_id").as("media_id"),
+        concat((0 until 8).map(f => col(s"fr$f")): _*).as("content"))
+      graft.multimodal.Multimodal.shotBoundaries(media, everyN = 2, cutHamming = 8)
+        .orderBy("media_id", "frame_idx")
+    },
+    Some("""
+      WITH d0 AS (
+        SELECT doc_id,
+          CASE WHEN length(regexp_replace(text, '[^ -~]', '', 'g')) = 0 THEN 'x'
+               ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS a
+        FROM documents),
+      fr AS (
+        SELECT doc_id, f,
+          substr(repeat(CASE WHEN off = 0 THEN a
+                             ELSE substr(a, off + 1) || substr(a, 1, off) END,
+            CAST(ceil(264.0 / length(a)) AS INTEGER)), 1, 264) AS payload
+        FROM (SELECT doc_id, a, f, ((f // 4) * (length(a) // 2)) % length(a) AS off
+              FROM d0, (VALUES (0), (2), (4), (6)) v(f))),
+      b AS (
+        SELECT doc_id, f,
+          [ord(substr(payload, i, 1)) FOR i IN generate_series(1, 264)] AS bs
+        FROM fr),
+      sigs AS (
+        SELECT doc_id, f,
+          CAST(list_sum([CASE WHEN bs[((j // 10) * 12 // 6) * 22 + (((j % 10) + 1) * 22 // 11) + 1]
+                              > bs[((j // 10) * 12 // 6) * 22 + ((j % 10) * 22 // 11) + 1]
+                         THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END
+                         FOR j IN generate_series(0, 59)]) AS BIGINT) AS sh
+        FROM b),
+      lagd AS (
+        SELECT doc_id, f, sh,
+          lag(sh) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+        FROM sigs)
+      SELECT doc_id AS media_id, f AS frame_idx, sh AS dhash,
+        CAST(bit_count(xor(sh, prev)) AS INTEGER) AS hamming_prev,
+        (bit_count(xor(sh, prev)) > 8) AS is_cut
+      FROM lagd ORDER BY media_id, frame_idx"""))
+
   // -------------------------------------------------------------------
   // q117–q123: the q87/q89 diagnostic probe battery (AuditProbes
   // scaladoc has the full decision table). Three rounds of driver-only
@@ -4553,5 +4617,5 @@ object Queries {
     q128_centroid_margins, q129_snapshot_diff, q130_edit_verified,
     q131_vocab_growth, q132_bpe_merges, q133_source_similarity,
     q134_winnowing, q135_zipf_slope, q136_kl_drift, q137_gopher_rules,
-    q138_matryoshka, q139_cusum_drift)
+    q138_matryoshka, q139_cusum_drift, q140_video_shots)
 }

@@ -752,4 +752,72 @@ object Multimodal {
     val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
     media.repartition(parts, col("media_id"))
   }
+  /** Split a concatenated multi-frame netpbm container into its frames.
+    * Each frame is self-describing (the P5/P6 header carries w, h,
+    * maxval, so the raster length is known without decoding pixels) —
+    * the "video" contract this engine uses for frame streams: an opaque
+    * binary column whose frames parse independently. Walking the
+    * container costs header parsing per frame; pixels are only touched
+    * by whatever the caller runs on the frames it KEEPS — that split is
+    * what makes frame SAMPLING a real saving. Stops at the first byte
+    * run that is not a complete frame (trailing garbage is ignored,
+    * loudly absent rather than mis-decoded). */
+  def splitFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 0
+    var ok = bytes != null
+    while (ok && off < bytes.length) {
+      val sub = java.util.Arrays.copyOfRange(bytes, off, bytes.length)
+      parseNetpbm(sub) match {
+        case Some((ch, w, h, _, rOff)) =>
+          val end = rOff + w * h * ch
+          out += java.util.Arrays.copyOfRange(sub, 0, end)
+          off += end
+        case None => ok = false
+      }
+    }
+    out.toSeq
+  }
+
+  /** Frame-sample a video column and fingerprint the KEPT frames: one
+    * row per sampled frame (every `everyN`-th, starting at 0) with its
+    * 60-bit dHash. One partition-local decode pass — frames that the
+    * sampler skips never reach the pixel walk, so decode work scales
+    * with frames/everyN, not frames (the mapInPandas batch shape of the
+    * image/audio families, applied to frame streams). */
+  def videoFrameHashes(media: DataFrame, everyN: Int): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "content").mapPartitions { it =>
+      it.flatMap { r =>
+        val content = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        splitFrames(content).zipWithIndex.collect {
+          case (frame, idx) if idx % everyN == 0 =>
+            Row(r.getLong(0), idx, dHash60(frame).orNull)
+        }
+      }
+    }(encoder)
+  }
+
+  /** Shot-boundary detection over sampled frames: a cut is a sampled
+    * frame whose dHash sits more than `cutHamming` bits from the
+    * PREVIOUS sampled frame — scene segmentation for video training
+    * data, the temporal cousin of [[dHashPairs]]' spatial dedup. The
+    * window partitions by video and orders by frame index: state is one
+    * video's sampled-frame count, never the corpus. First sampled frame
+    * has no predecessor → hamming_prev/is_cut are NULL (unknowable, not
+    * false). */
+  def shotBoundaries(media: DataFrame, everyN: Int, cutHamming: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    videoFrameHashes(media, everyN)
+      .withColumn("prev", lag(col("dhash"), 1).over(w))
+      .select(col("media_id"), col("frame_idx"), col("dhash"),
+        bit_count(col("dhash").bitwiseXOR(col("prev"))).cast("int").as("hamming_prev"),
+        (bit_count(col("dhash").bitwiseXOR(col("prev"))) > cutHamming).as("is_cut"))
+  }
 }

@@ -302,6 +302,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dr(12).getLong(4) == 213L && dr(12).getAs[Boolean]("is_drift"))
   }
 
+  // ------------------------------------------------- video frame ops
+
+  private def pgm(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+    (s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ payload).toArray
+
+  test("splitFrames: walks self-describing frames, stops at garbage") {
+    val f1 = pgm(Array[Byte](1, 2, 3, 4), 2, 2)
+    val f2 = pgm(Array[Byte](9, 9, 9, 9), 2, 2)
+    val f3 = pgm((1 to 6).map(_.toByte).toArray, 3, 2)
+    val frames = graft.multimodal.Multimodal.splitFrames(f1 ++ f2 ++ f3)
+    assert(frames.map(_.toSeq) == Seq(f1.toSeq, f2.toSeq, f3.toSeq))
+    val truncated = graft.multimodal.Multimodal.splitFrames(
+      (f1 ++ f2.dropRight(1)).toArray)
+    assert(truncated.map(_.toSeq) == Seq(f1.toSeq), "partial trailing frame ignored")
+    assert(graft.multimodal.Multimodal.splitFrames(null) == Seq.empty)
+  }
+
+  test("videoFrameHashes samples every Nth frame; shotBoundaries flags the scene change") {
+    // 6 frames of 22x12: frames 0-3 from raster A, frames 4-5 from a very
+    // different raster B -> sampled frames 0,2,4; cut lands at 4
+    val rasterA = Array.tabulate(264)(i => ((i * 37) % 251).toByte)
+    val rasterB = Array.tabulate(264)(i => (250 - (i * 53) % 251).toByte)
+    val video = ((0 until 4).map(_ => pgm(rasterA, 22, 12)) ++
+      (4 until 6).map(_ => pgm(rasterB, 22, 12))).reduce(_ ++ _)
+    val media = Seq((7L, video)).toDF("media_id", "content")
+    val hashes = graft.multimodal.Multimodal.videoFrameHashes(media, everyN = 2)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(hashes.keySet == Set(0, 2, 4))
+    assert(hashes(0) == graft.multimodal.Multimodal.dHash60(pgm(rasterA, 22, 12)).get)
+    assert(hashes(4) == graft.multimodal.Multimodal.dHash60(pgm(rasterB, 22, 12)).get)
+    val shots = graft.multimodal.Multimodal.shotBoundaries(media, everyN = 2, cutHamming = 8)
+      .collect().map(r => r.getInt(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Int]), Option(r.get(4)).map(_.asInstanceOf[Boolean]))).toMap
+    assert(shots(0) == (None, None), "first sampled frame has no predecessor")
+    assert(shots(2) == (Some(0), Some(false)), "same-shot frames are 0 bits apart")
+    assert(shots(4)._1.get > 8 && shots(4)._2.contains(true), "scene change flagged")
+  }
+
   // ------------------------------------------- sourceMinhashSimilarity
 
   test("sourceMinhashSimilarity: identical groups 1.0, disjoint 0.0, exact set algebra") {
