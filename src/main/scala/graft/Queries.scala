@@ -4447,6 +4447,77 @@ object Queries {
         (bit_count(xor(sh, prev)) > 8) AS is_cut
       FROM lagd ORDER BY media_id, frame_idx"""))
 
+  // Incremental IVF layout maintenance: old corpus (id%7!=0) indexed and
+  // laid out; ids%7==0 arrive, ids%11==0 leave; ivfMaintain rewrites only
+  // the affected centroid partitions. The oracle is the FULL REBUILD of
+  // the new corpus (id%11!=0) against the pinned old-corpus centroids —
+  // a hash match proves incremental == rebuild.
+  val q141_ivf_maintain = Q("q141_ivf_maintain",
+    (s, dir) => {
+      val all = embCandidates(s, dir)
+      val oldC = all.filter(col("cand_id") % 7 =!= 0)
+      val (centroids, assignedOld) = Similarity.ivfIndex(oldC, nlist = 16)
+      val layout = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ivf-maintain-${Integer.toHexString(dir.hashCode)}").toString
+      Similarity.writeIvfLayout(assignedOld, layout)
+      val added = all.filter(col("cand_id") % 7 === 0 && col("cand_id") % 11 =!= 0)
+      val removed = all.filter(col("cand_id") % 11 === 0).select("cand_id")
+      Similarity.ivfMaintain(s, layout, centroids, added, removed)
+      s.read.parquet(layout)
+        .select(col("cand_id"), col("centroid").cast("long").as("centroid"))
+        .orderBy("cand_id")
+    },
+    Some("""
+      WITH c0 AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id % 7 <> 0),
+      cent AS (SELECT cand_id AS centroid_id, cv AS centv FROM c0 ORDER BY cand_id LIMIT 16),
+      newc AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id % 11 <> 0)
+      SELECT cand_id, centroid FROM (
+        SELECT newc.cand_id, cent.centroid_id AS centroid,
+          row_number() OVER (PARTITION BY newc.cand_id ORDER BY
+            list_inner_product(newc.cv, cent.centv) /
+              (sqrt(list_inner_product(newc.cv, newc.cv)) *
+               sqrt(list_inner_product(cent.centv, cent.centv))) DESC,
+            cent.centroid_id) AS r
+        FROM newc, cent) WHERE r = 1 ORDER BY cand_id"""))
+
+  // Per-source percent-rank calibration of the q22 quality score — CDF
+  // computed on the (source, score) VALUE table (scores are rounded →
+  // bounded distinct values), never a corpus-sized window sort.
+  val q142_quality_calibration = Q("q142_quality_calibration",
+    (s, dir) => {
+      val scored = documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextStats.tokens(col("text")).as("w"))
+        .select(col("doc_id"), col("source"),
+          TextStats.qualityScoreW(col("text"), col("w"), Stopwords).as("quality"))
+      graft.text.Selection.calibratePercentRank(scored, "source", "quality")
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("n_below"), col("n_group"), col("pct"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, source, text, string_split(text, ' ') AS words FROM documents),
+      q AS (
+        SELECT doc_id, source,
+          round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+              + least(CAST(len(list_filter(words, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(words) * 5.0, 1.0) * 0.3
+              + CAST(len(list_distinct(words)) AS DOUBLE) / len(words) * 0.4, 6) AS quality
+        FROM w),
+      vals AS (SELECT source, quality, COUNT(*) AS cnt FROM q GROUP BY source, quality),
+      cdf AS (
+        SELECT source, quality,
+          SUM(cnt) OVER (PARTITION BY source ORDER BY quality
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS n_below,
+          SUM(cnt) OVER (PARTITION BY source) AS n_group
+        FROM vals)
+      SELECT doc_id, source, quality,
+        CAST(n_below AS BIGINT) AS n_below, CAST(n_group AS BIGINT) AS n_group,
+        CASE WHEN n_group = 1 THEN 0.0
+             ELSE round(CAST(n_below AS DOUBLE) / (n_group - 1), 6) END AS pct
+      FROM q JOIN cdf USING (source, quality) ORDER BY doc_id"""))
+
   // -------------------------------------------------------------------
   // q117–q123: the q87/q89 diagnostic probe battery (AuditProbes
   // scaladoc has the full decision table). Three rounds of driver-only
@@ -4617,5 +4688,6 @@ object Queries {
     q128_centroid_margins, q129_snapshot_diff, q130_edit_verified,
     q131_vocab_growth, q132_bpe_merges, q133_source_similarity,
     q134_winnowing, q135_zipf_slope, q136_kl_drift, q137_gopher_rules,
-    q138_matryoshka, q139_cusum_drift, q140_video_shots)
+    q138_matryoshka, q139_cusum_drift, q140_video_shots,
+    q141_ivf_maintain, q142_quality_calibration)
 }

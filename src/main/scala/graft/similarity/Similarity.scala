@@ -547,13 +547,19 @@ object Similarity {
     // shuffle carries N rows instead of N×nlist (the window-per-cand_id
     // form shuffled the whole scored product). Tie-break matches
     // `ORDER BY cdist DESC, centroid_id`: maximize (cdist, -centroid_id).
-    val assigned = candidates.crossJoin(broadcast(centroids))
+    (centroids, assignToCentroids(candidates, centroids))
+  }
+
+  /** Nearest-centroid assignment against PINNED centroids — the
+    * [[ivfIndex]] assignment stage factored for reuse by
+    * [[ivfMaintain]]. Max_by partial agg: the N×nlist scored rows
+    * collapse map-side, the shuffle carries N rows. */
+  def assignToCentroids(candidates: DataFrame, centroids: DataFrame): DataFrame =
+    candidates.crossJoin(broadcast(centroids))
       .select(col("cand_id"), col("cand_vec"), col("centroid_id"),
         graft.functions.VectorFunctions.cosineFast(col("cand_vec"), col("centroid_vec")).as("cdist"))
       .groupBy("cand_id", "cand_vec")
       .agg(max_by(col("centroid_id"), struct(col("cdist"), (-col("centroid_id")).as("nid"))).as("centroid"))
-    (centroids, assigned)
-  }
 
   /** Distributed spherical k-means (Lloyd iterations, cosine
     * assignment): the real "training" step [[ivfIndex]]'s
@@ -755,5 +761,53 @@ object Similarity {
         round(dot(slice(col("query_vec"), lit(1), col("width")),
                   slice(col("query_vec"), lit(1), col("width"))) /
               dot(col("query_vec"), col("query_vec")), 6).as("energy"))
+  }
+  /** Incremental maintenance of a [[writeIvfLayout]] directory under a
+    * corpus delta — the index-freshness operation a continuously-
+    * ingesting 100 TB store needs between retrains: `added` rows (new or
+    * re-embedded — any id present in `added` replaces its old row) are
+    * assigned against the PINNED centroids (delta × nlist compute, never
+    * corpus × nlist), `removedIds` rows leave, and ONLY the affected
+    * centroid partitions are rewritten (dynamic partition overwrite) —
+    * untouched inverted lists are neither read for rewrite nor written.
+    *
+    * The affected-list discovery reads the layout filtered by the delta
+    * ids (parquet row-group stats prune most files); the affected-ids
+    * collect is bounded by nlist. The rewrite set is eagerly
+    * materialized (localCheckpoint) before the overwrite so the job
+    * never reads the files it is replacing; a production deployment at
+    * full scale would instead write a new layout VERSION directory and
+    * swap a pointer — same plan, different commit protocol.
+    *
+    * Invariant (spec-pinned, oracle-checked): the maintained layout is
+    * row-identical to a full-rebuild assignment of the new corpus with
+    * the same centroids. */
+  def ivfMaintain(
+      spark: SparkSession,
+      layoutPath: String,
+      centroids: DataFrame,
+      added: DataFrame, // (cand_id, cand_vec)
+      removedIds: DataFrame): Unit = { // (cand_id)
+    val assignedNew = assignToCentroids(added, centroids)
+    val deltaIds = added.select(col("cand_id"))
+      .union(removedIds.select(col("cand_id"))).distinct()
+    val affectedOld = spark.read.parquet(layoutPath)
+      .join(broadcast(deltaIds), Seq("cand_id"), "left_semi")
+      .select(col("centroid").cast("long"))
+    val affected = assignedNew.select(col("centroid"))
+      .union(affectedOld).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (affected.nonEmpty) {
+      val keptOld = spark.read.parquet(layoutPath)
+        .filter(col("centroid").isin(affected: _*))
+        .join(broadcast(deltaIds), Seq("cand_id"), "left_anti")
+        .select(col("cand_id"), col("cand_vec"), col("centroid").cast("long").as("centroid"))
+      val rewrite = keptOld.unionByName(
+          assignedNew.select(col("cand_id"), col("cand_vec"), col("centroid")))
+        .localCheckpoint(true)
+      rewrite.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid").parquet(layoutPath)
+    }
   }
 }

@@ -355,4 +355,40 @@ object Selection {
     }
     clusters.select(col("id"), col("cluster"), assigned.as("split"))
   }
+  /** Per-group percent-rank calibration of a score column — the mixing
+    * prerequisite: a global quality threshold over raw scores lets one
+    * source's score DISTRIBUTION dominate the mix, so pipelines
+    * calibrate each document's score to its within-source quantile
+    * first (pct = fraction of the source's docs STRICTLY below, the SQL
+    * percent_rank definition; 0 when the source has one doc).
+    *
+    * Scale shape — no corpus-sized window: percent_rank over a
+    * partition sorts every row of the group, which at 100 TB is a full
+    * corpus sort. Scores arriving here are ROUNDED (bounded distinct
+    * values), so the CDF is computed on the (group, score) VALUE table
+    * instead — counts per value, a running sum over the value-bounded
+    * frame, then a join back to rows. The window sorts distinct scores
+    * per group, never documents.
+    *
+    * Emits (group, score, n_below, n_group, pct) joined onto the input
+    * rows; pct = n_below/(n_group-1) in one IEEE division, rounded. */
+  def calibratePercentRank(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.groupBy(col(groupCol).as("g"), col(scoreCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val byG = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = vals
+      .withColumn("cum", sum(col("cnt")).over(byG))
+      .withColumn("n_group", sum(col("cnt")).over(Window.partitionBy("g")))
+      .select(col("g"), col("v"), (col("cum") - col("cnt")).as("n_below"),
+        col("n_group"))
+    df.join(cdf, df(groupCol) === cdf("g") && df(scoreCol) === cdf("v"))
+      .drop("g", "v")
+      .withColumn("pct",
+        when(col("n_group") === 1, lit(0.0))
+          .otherwise(round(col("n_below").cast("double") /
+            (col("n_group") - 1).cast("double"), 6)))
+  }
 }

@@ -302,6 +302,56 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dr(12).getLong(4) == 213L && dr(12).getAs[Boolean]("is_drift"))
   }
 
+  // ------------------------------------------------------ ivfMaintain
+
+  test("ivfMaintain: incremental == rebuild; untouched partitions not rewritten") {
+    import graft.similarity.Similarity
+    val centroids = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))
+    ).toDF("centroid_id", "centroid_vec")
+    val oldC = Seq(
+      (10L, Seq(0.9, 0.1)), (11L, Seq(0.8, 0.2)), // list 1
+      (20L, Seq(0.1, 0.9)), (21L, Seq(0.2, 0.8))  // list 2
+    ).toDF("cand_id", "cand_vec")
+    val layout = java.nio.file.Files.createTempDirectory("ivf-maintain").toString
+    Similarity.writeIvfLayout(Similarity.assignToCentroids(oldC, centroids), layout)
+    def filesOf(c: Long) = {
+      val d = new java.io.File(s"$layout/centroid=$c")
+      Option(d.list()).map(_.toSet).getOrElse(Set.empty[String])
+    }
+    val before1 = filesOf(1L)
+    assert(before1.nonEmpty)
+    // delta touches ONLY list 2: id 22 arrives, id 21 leaves
+    val added = Seq((22L, Seq(0.05, 0.95))).toDF("cand_id", "cand_vec")
+    val removed = Seq(Tuple1(21L)).toDF("cand_id")
+    Similarity.ivfMaintain(spark, layout, centroids, added, removed)
+    assert(filesOf(1L) == before1, "untouched inverted list was rewritten")
+    val got = spark.read.parquet(layout)
+      .collect().map(r => r.getAs[Long]("cand_id") ->
+        r.getAs[Number]("centroid").longValue).toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L, 20L -> 2L, 22L -> 2L))
+    // invariant: identical to a full rebuild of the new corpus
+    val rebuild = Similarity.assignToCentroids(
+        oldC.filter(col("cand_id") =!= 21L).unionByName(added), centroids)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("centroid")).toMap
+    assert(got == rebuild)
+  }
+
+  // --------------------------------------------- calibratePercentRank
+
+  test("calibratePercentRank: strict-below CDF semantics, ties share, singleton 0") {
+    val rows = Seq(
+      (1L, "X", 1.0), (2L, "X", 2.0), (3L, "X", 2.0), (4L, "X", 3.0),
+      (5L, "Y", 9.0))
+      .toDF("doc_id", "g", "score")
+    val out = graft.text.Selection.calibratePercentRank(rows, "g", "score")
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_below"), r.getAs[Double]("pct"))).toMap
+    assert(out(1L) == (0L, 0.0))
+    assert(out(2L) == (1L, 0.333333) && out(3L) == (1L, 0.333333), "ties share the rank")
+    assert(out(4L) == (3L, 1.0))
+    assert(out(5L) == (0L, 0.0), "singleton group pins to 0")
+  }
+
   // ------------------------------------------------- video frame ops
 
   private def pgm(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
