@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.functions._
 
 /** Scaling probe: replicate sf0.1 inputs N× and measure the heavy
@@ -26,6 +26,15 @@ object ScaleProbe {
       val factors = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
       val which = args.lift(2).getOrElse("both")
       verifyOrder(spark, dir, factors, which); spark.stop(); return
+    }
+    if (args.headOption.contains("round14")) {
+      // round14 [factors-csv] — the round-14 operator families at corpus
+      // multiples: BPE trainer rounds, winnowing density+wall, zipf/KL
+      // corpus stats, edit-verified pairs, and the ivfMaintain
+      // delta-cost vs full-rebuild ratio.
+      val factors = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(1, 4, 16))
+      round14Probe(spark, dir, factors); spark.stop(); return
     }
     if (args.headOption.contains("sorted-contains")) {
       // sorted-contains — micro-measure the boilerplate membership probe:
@@ -474,6 +483,90 @@ object ScaleProbe {
       val (vfS, vfP) = if (doVerify) run(embN, nVec, dedupFirst = false) else (Double.NaN, -1L)
       embN.unpersist()
       println(f"$n,$nVec,$dfS%.2f,$vfS%.2f,$dfP,$vfP")
+    }
+  }
+  /** Round-14 probe: measure the new operator families on mutated-copy
+    * corpora (the pairs-probe discipline — copy i mutates ~i/modulus of
+    * token positions, so near-dup neighborhoods stay bounded and vocab
+    * actually grows with factor, which is what BPE/zipf/KL/winnowing
+    * see in a real crawl). ivfMaintain is probed as delta-cost vs the
+    * full rebuild it is proven equivalent to: the delta is ~9% of ids
+    * (%11==0 leave, %7==0 of those arriving fresh), so the maintain/
+    * rebuild wall ratio is the operator's value proposition measured. */
+  private def round14Probe(spark: SparkSession, dir: String, factors: Seq[Int]): Unit = {
+    import graft.text.{Bpe, CorpusStats, Winnowing}
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    docs.count(); emb.count()
+    val modulus = 4 * factors.max
+    def mutateText(c: org.apache.spark.sql.Column, i: Int) =
+      if (i == 0) c
+      else array_join(transform(split(c, " "), (w, p) =>
+        when(pmod(p * 37 + 11, lit(modulus)) < i, concat(w, lit(s"_m$i"))).otherwise(w)), " ")
+    def docsCopy(i: Int): DataFrame = docs.select(
+      (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+      mutateText(col("text"), i).as("text"),
+      col("source"))
+    def mutateVec(c: org.apache.spark.sql.Column, idc: org.apache.spark.sql.Column, i: Int) =
+      if (i == 0) c
+      else transform(c, (x, j) =>
+        x + lit(0.15 * i) * (pmod(hash(idc, lit(i), j), lit(1000)).cast("double") / 500.0 - 1.0))
+    def embCopy(i: Int): DataFrame = emb.select(
+      (col("vec_id") + lit(i.toLong * 100000000L)).as("cand_id"),
+      mutateVec(col("embedding").cast("array<double>"), col("vec_id"), i).as("cand_vec"))
+    def time(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    println("factor,bpe4_s,winnow_s,winnow_fp,winnow_density,zipf_s,kl_s,editv_s,editv_pairs,ivf_maintain_s,ivf_rebuild_s")
+    for (f <- factors) {
+      val docsN = (0 until f).map(docsCopy).reduce(_ unionByName _)
+        .persist()
+      docsN.count()
+      val bpeS = time { Bpe.merges(docsN, "text", rounds = 4) }
+      var fpCount = 0L
+      val winS = time {
+        fpCount = Winnowing.fingerprints(docsN, "doc_id", "text", k = 4, w = 8).count()
+      }
+      val grams = docsN.select(
+          sum(greatest(size(split(col("text"), " ")) - 4, lit(0)) + 1).as("g"))
+        .collect()(0).getLong(0)
+      val zipfS = time {
+        CorpusStats.zipfSlope(docsN, "source", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+      val klS = time {
+        CorpusStats.klDrift(docsN, "source", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+      var evPairs = 0L
+      val evS = time {
+        evPairs = graft.dedup.Dedup.editVerifiedPairs(docsN, "doc_id", "text",
+          n = 3, numPerm = 16, bands = 4, threshold = 0.8).count()
+      }
+      docsN.unpersist()
+      // ivfMaintain: build the old layout untimed, then time the delta
+      // maintenance vs the full rebuild of the same new corpus
+      val embN = (0 until f).map(embCopy).reduce(_ unionByName _).persist()
+      embN.count()
+      val oldC = embN.filter(col("cand_id") % 7 =!= 0)
+      val (centroids, assignedOld) = graft.similarity.Similarity.ivfIndex(oldC, nlist = 16)
+      val layout = java.nio.file.Files.createTempDirectory(s"r14-ivf-$f").toString
+      graft.similarity.Similarity.writeIvfLayout(assignedOld, layout)
+      val added = embN.filter(col("cand_id") % 7 === 0 && col("cand_id") % 11 =!= 0)
+      val removed = embN.filter(col("cand_id") % 11 === 0).select("cand_id")
+      val maintS = time {
+        graft.similarity.Similarity.ivfMaintain(spark, layout, centroids, added, removed)
+      }
+      // rebuild writes a full layout too, so the comparison is IO-fair
+      val rebuildDir = java.nio.file.Files.createTempDirectory(s"r14-ivf-rb-$f").toString
+      val rebuildS = time {
+        graft.similarity.Similarity.writeIvfLayout(
+          graft.similarity.Similarity.assignToCentroids(
+            embN.filter(col("cand_id") % 11 =!= 0), centroids), rebuildDir)
+      }
+      embN.unpersist()
+      val density = if (grams == 0) 0.0 else fpCount.toDouble / grams
+      println(f"$f,$bpeS%.2f,$winS%.2f,$fpCount,$density%.4f,$zipfS%.2f,$klS%.2f,$evS%.2f,$evPairs,$maintS%.2f,$rebuildS%.2f")
     }
   }
 }

@@ -343,4 +343,38 @@ class PlanShapeSpec extends SparkSpec {
       "probs side must broadcast, never shuffle the sketch")
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
   }
+
+  test("q136: KL drift never materializes the vocab x sources frame") {
+    val p = plan("q136_kl_drift")
+    // the decomposed form's only non-equi frame is the broadcast 1-row
+    // globals cross join; the naive form would show a join keyed ONLY on
+    // nothing (vocab x sources cartesian) or an exploded per-source
+    // full-vocab frame — neither may appear
+    assert(!p.contains("CartesianProduct"), "no cartesian")
+    assert(p.contains("partial_"), "present-token aggregates must partial-aggregate")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "only the 1-row globals frame may nested-loop")
+  }
+
+  test("q135: zipf regression sums partial-aggregate; rank window sorts the value table only") {
+    val p = plan("q135_zipf_slope")
+    assert(p.contains("partial_"), "regression sums must partial-aggregate")
+    // the row_number window must sit ABOVE the (g, tok) count aggregate
+    // (vocabulary-bounded), never over the exploded token stream: the
+    // window's child plan segment must contain the partial count
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0)
+    assert(p.indexOf("partial_count", winIdx) > 0 || p.lastIndexOf("partial_count") > winIdx,
+      "rank window must consume the aggregated frequency table")
+  }
+
+  test("q134: winnowing selection stays in the scan stage — one exchange total") {
+    val p = plan("q134_winnowing")
+    // per-doc array math (k-gram hashes, windows, rightmost-min) is all
+    // projection; the only exchange is the final orderBy's range
+    // partitioning (the operator itself adds none)
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"winnowing must not shuffle before the final sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
