@@ -954,7 +954,8 @@ object Dedup {
       n: Int = 3,
       numPerm: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxLenHint: Option[Int] = None): DataFrame = {
     val cands = minhashLshPairs(df, idCol, textCol, n, numPerm, bands, threshold = 0.0)
       .select("id_a", "id_b")
     // lengths travel with the candidate ids so the length prefilter runs
@@ -968,10 +969,26 @@ object Dedup {
       .filter((greatest(col("len_a"), col("len_b")) - least(col("len_a"), col("len_b")))
         .cast("double") <= lit(1.0 - threshold) * greatest(col("len_a"), col("len_b")))
     val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    // Bounded dynamic program (lossless): any pair needs
+    // lev <= (1-t)*max(len_a, len_b) <= (1-t)*maxLen to reach the sim
+    // threshold, so the DP runs banded at cap = floor((1-t)*maxLen) —
+    // O(cap*len) instead of O(len^2) cells — and the -1 overflow
+    // sentinel marks pairs that provably fail (their sim < t even
+    // against their own pair bound). maxLen comes from corpus metadata
+    // when the caller has it (maxLenHint); otherwise one max() aggregate
+    // over the already-projected lengths frame. The equality fast path
+    // skips the DP entirely for exact-duplicate candidates — in a
+    // dedup-heavy corpus those dominate the candidate set.
+    val maxLen = maxLenHint.getOrElse(
+      lens.agg(max(col("len"))).collect()(0).getInt(0))
+    val cap = math.max(0, math.floor((1.0 - threshold) * maxLen).toInt)
     sized
       .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), Seq("id_a"))
       .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), Seq("id_b"))
-      .withColumn("lev", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .withColumn("lev",
+        when(col("t_a") === col("t_b"), lit(0L))
+          .otherwise(levenshtein(col("t_a"), col("t_b"), cap).cast("long")))
+      .filter(col("lev") >= 0)
       .withColumn("edit_sim",
         when(greatest(col("len_a"), col("len_b")) === 0, lit(1.0))
           .otherwise(lit(1.0) - col("lev").cast("double") /
