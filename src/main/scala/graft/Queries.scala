@@ -4518,6 +4518,61 @@ object Queries {
              ELSE round(CAST(n_below AS DOUBLE) / (n_group - 1), 6) END AS pct
       FROM q JOIN cdf USING (source, quality) ORDER BY doc_id"""))
 
+  // Robust per-group outliers: rank-exact median + MAD in integer cents
+  // via value-table CDFs, flags beyond 3*MAD — survives heavy tails.
+  val q143_robust_outliers = Q("q143_robust_outliers",
+    (s, dir) => graft.sketch.Sketches.robustOutliers(
+        lineitem(s, dir), Seq("l_returnflag"), col("l_extendedprice"))
+      .orderBy("l_returnflag"),
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag AS g,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM lineitem),
+      v1 AS (SELECT g, cents AS v, COUNT(*) AS cnt FROM r GROUP BY g, cents),
+      c1 AS (
+        SELECT g, v,
+          SUM(cnt) OVER (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(cnt) OVER (PARTITION BY g) AS n
+        FROM v1),
+      m1 AS (SELECT g, MIN(v) AS med, CAST(MAX(n) AS BIGINT) AS n
+             FROM c1 WHERE cum * 2 >= n GROUP BY g),
+      d AS (SELECT r.g, abs(cents - med) AS adev FROM r JOIN m1 USING (g)),
+      v2 AS (SELECT g, adev AS v, COUNT(*) AS cnt FROM d GROUP BY g, adev),
+      c2 AS (
+        SELECT g, v,
+          SUM(cnt) OVER (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(cnt) OVER (PARTITION BY g) AS n
+        FROM v2),
+      m2 AS (SELECT g, MIN(v) AS mad FROM c2 WHERE cum * 2 >= n GROUP BY g)
+      SELECT g AS l_returnflag, m1.n AS n, m1.med AS median_cents,
+        m2.mad AS mad_cents,
+        CAST(SUM(CASE WHEN abs(cents - med) > mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM r JOIN m1 USING (g) JOIN m2 USING (g)
+      GROUP BY g, m1.n, m1.med, m2.mad ORDER BY l_returnflag"""))
+
+  // Per-user Shannon entropy over event types — bots collapse to ~0,
+  // engaged users spread; exact integer counts + DECIMAL(27,12) lns.
+  val q144_user_entropy = Q("q144_user_entropy",
+    (s, dir) => graft.events.Funnels.behavioralEntropy(
+        events(s, dir), "user_id", "event_type")
+      .orderBy("user_id"),
+    Some("""
+      WITH ct AS (
+        SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+      ag AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events, COUNT(*) AS n_types,
+          SUM(CAST(c AS DECIMAL(10,0))
+            * CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(27,12))) AS s
+        FROM ct GROUP BY user_id)
+      SELECT user_id, n_events, n_types,
+        round(CAST(CAST(ln(CAST(n_events AS DOUBLE)) AS DECIMAL(27,12)) AS DOUBLE)
+          - CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE), 6) AS entropy_nats
+      FROM ag ORDER BY user_id"""))
+
   // -------------------------------------------------------------------
   // q117–q123: the q87/q89 diagnostic probe battery (AuditProbes
   // scaladoc has the full decision table). Three rounds of driver-only
@@ -4689,5 +4744,6 @@ object Queries {
     q131_vocab_growth, q132_bpe_merges, q133_source_similarity,
     q134_winnowing, q135_zipf_slope, q136_kl_drift, q137_gopher_rules,
     q138_matryoshka, q139_cusum_drift, q140_video_shots,
-    q141_ivf_maintain, q142_quality_calibration)
+    q141_ivf_maintain, q142_quality_calibration, q143_robust_outliers,
+    q144_user_entropy)
 }

@@ -200,4 +200,34 @@ object Funnels {
       .select(col("event_type"), col("day"), col("cnt"), col("k_ref"),
         col("s"), (col("s") > col("k_ref") * hMult).as("is_drift"))
   }
+  /** Per-user behavioral entropy over event types — bots and scripted
+    * accounts collapse to near-zero entropy (one repeated action),
+    * engaged humans spread over the type vocabulary; the per-user
+    * quality signal event-stream curation filters on. Shannon entropy
+    * in nats from exact integer counts:
+    *
+    *   H = ln(n) − (Σ_t c_t·ln(c_t)) / n
+    *
+    * with every ln through DECIMAL(27,12) (the q63 discipline) and the
+    * Σ an exact DECIMAL sum, so the published double is engine-exact.
+    * One (user, type) count aggregate (map-side partial, key domain
+    * users × |types|) collapsed to one row per user — no window, no
+    * per-user sort. */
+  def behavioralEntropy(events: DataFrame, userCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def lnDec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      log(c.cast("double")).cast(DecimalType(27, 12))
+    events
+      .groupBy(col(userCol).as("user_id"), col(typeCol).as("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast(DecimalType(10, 0)) * lnDec(col("c"))).as("s"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(lnDec(col("n_events")).cast("double") -
+          col("s").cast("double") / col("n_events").cast("double"), 6)
+          .as("entropy_nats"))
+  }
 }

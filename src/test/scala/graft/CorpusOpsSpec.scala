@@ -302,6 +302,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dr(12).getLong(4) == 213L && dr(12).getAs[Boolean]("is_drift"))
   }
 
+  // -------------------------------------------- robustOutliers / entropy
+
+  test("robustOutliers: rank-exact median/MAD in cents, 3-MAD flags, tail-immune") {
+    // group A dollars [1,2,3,4,100]: cents median = 300 (rank 3 of 5),
+    // |dev| sorted [0,100,100,200,9700] -> MAD 100; only the 100$ row
+    // sits beyond 3*MAD. A mean/stddev z-test would have the tail drag
+    // the mean to ~2200 cents; the median does not move.
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0), ("A", 100.0),
+      ("B", 5.0), ("B", 5.0))
+      .toDF("g", "price")
+    val out = graft.sketch.Sketches.robustOutliers(df, Seq("g"), col("price"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("A") == (5L, 300L, 100L, 1L))
+    assert(out("B") == (2L, 500L, 0L, 0L), "identical values: MAD 0, no outliers")
+  }
+
+  test("behavioralEntropy: uniform two-type user ln2, single-type user 0") {
+    val origin = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a"))
+      .map { case (u, t) => (u, t, origin) }.toDF("user_id", "event_type", "ts")
+    val out = graft.events.Funnels.behavioralEntropy(df, "user_id", "event_type")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("entropy_nats"))).toMap
+    assert(out(1L)._1 == 4L && out(1L)._2 == 2L)
+    assert(math.abs(out(1L)._3 - math.log(2)) < 1e-6)
+    assert(out(2L) == (3L, 1L, 0.0))
+  }
+
   // ------------------------------------------------------ ivfMaintain
 
   test("ivfMaintain: incremental == rebuild; untouched partitions not rewritten") {
