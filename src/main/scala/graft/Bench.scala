@@ -6,18 +6,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology (stability > speed of the harness itself):
   *  1. a table-scan warmup (parquet footers + JVM classloading),
-  *  2. `SPARK_GRAFT_WARMUP` (default 2) UNTIMED full passes over every
-  *     query — pays codegen, JIT and broadcast-build costs outside the
-  *     measurement window. TWO passes, not one: the first leaves a C2
-  *     compile BACKLOG (60 queries × several generated classes queue
-  *     faster than the compiler threads drain), and with one warmup the
-  *     first ~25 s of timed reps ran interpreted/stealing cores —
-  *     measured as a contiguous band of 2-15x rep-1 outliers across
-  *     whichever queries fell in that window. The second untimed pass
-  *     absorbs the drain,
-  *  3. `SPARK_GRAFT_REPS` (default 5) timed FULL PASSES over all
-  *     queries; the reported number is the per-query TRIMMED MEDIAN
-  *     across passes (single worst rep dropped — the teardown/
+  *  2. up to `SPARK_GRAFT_WARMUP` (default 2) UNTIMED full passes over
+  *     every timed query — pays codegen, JIT and broadcast-build costs
+  *     outside the measurement window. TWO passes, not one: the first
+  *     leaves a C2 compile BACKLOG (60 queries × several generated
+  *     classes queue faster than the compiler threads drain), and with
+  *     one warmup the first ~25 s of timed reps ran interpreted/stealing
+  *     cores — measured as a contiguous band of 2-15x rep-1 outliers
+  *     across whichever queries fell in that window. The second untimed
+  *     pass absorbs the drain,
+  *  3. up to `SPARK_GRAFT_REPS` (default 5) timed FULL PASSES over all
+  *     timed queries; the reported number is the per-query TRIMMED
+  *     MEDIAN across passes (single worst rep dropped — the teardown/
   *     contention victim — then the median; tagged `"stat"` in both
   *     JSON artifacts). Passes are interleaved (A,B,...,A,B,... rather
   *     than A,A,A,B,B,B) deliberately: transient JVM states — a G1
@@ -29,6 +29,35 @@ import org.apache.spark.sql.SparkSession
   *     get up to `SPARK_GRAFT_RENOISE` (default 2) extra targeted
   *     reps: transient machine contention recovers in-band, real
   *     variance gets confirmed (VERDICT r12 #3).
+  *
+  * WALL-BUDGET GOVERNOR (round 15 — VERDICT r14 #1: the driver's r14
+  * bench timed out, rc=124, the first ungradable round, on a machine
+  * with a documented 2× slow phase and a suite grown to 147 queries).
+  * The suite must ALWAYS produce a parsed artifact, so the harness
+  * projects its own completion against `SPARK_GRAFT_BENCH_BUDGET_S`
+  * (default 1500 s) from the measured pass time and sheds load in a
+  * fixed, documented order, most-expendable first:
+  *   1. diagnostic probes ([[Queries.diagnostics]]) are NEVER timed —
+  *      they run ONCE, untimed, after the timed passes, published under
+  *      `"probes_s"` (skipped entirely, `"probes_skipped":true`, if the
+  *      budget is already blown);
+  *   2. renoise passes run only if the projection says they fit;
+  *   3. timed passes stop early once ≥2 are done and the next would
+  *      overrun — never below 2 (a median needs a spread);
+  *   4. the second warmup pass runs only if ≥2 timed passes still fit
+  *      after it.
+  * The artifact records what actually ran: `"reps_used"`,
+  * `"warmup_used"`, `"budget_s"`.
+  *
+  * CALIBRATION (VERDICT r14 #5: a machine-speed change cost a cross-jar
+  * A/B to prove): every pass starts with a fixed CPU-bound calibration
+  * query (a sum over `spark.range` — no IO, no shuffle width
+  * sensitivity); per-pass times land in the reps file (`"calib"`) and
+  * the summary carries the median (`"calib_s"`). Movement flags against
+  * a baseline that also carries `calib_s` are calibration-normalized
+  * (the prev value is scaled by calibNow/calibPrev and the flag carries
+  * `"calib_norm":true`), so the next machine change is visible in the
+  * artifact itself instead of masquerading as 80 regressions.
   *
   * Each rep executes the FULL physical plan via the noop sink (count()
   * would let the optimizer prune projections/sorts and understate the
@@ -43,9 +72,12 @@ object Bench {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1400").toDouble
     // comma-separated query-name filter for profiling single queries;
     // unset = the full suite (the driver's contract). SKIP removes named
     // queries (used by the 16x run to exclude configs that are 1x-tuned
@@ -72,16 +104,15 @@ object Bench {
       "q80_streaming_window", "q81_streaming_ewma",
       "q84_streaming_sessions", "q85_stream_join", "q86_sliding_state",
       "q87_bootstrap_counters", "q88_gap_timers", "q89_distinct_map",
-      "q105_streaming_hll", "q110_streaming_cm",
-      // the q87/q89 audit probes replay the same spools — same
-      // checkpoint/state-store churn profile, same end-of-pass block
-      "q118_audit_arrival", "q119_audit_valuestate",
-      "q120_audit_firstseen", "q122_audit_fmgws",
-      "q123_audit_bootstrap_totals")
+      "q105_streaming_hll", "q110_streaming_cm")
     val suite0 = only.fold(Queries.all)(names => Queries.all.filter(q => names(q.name)))
       .filterNot(q => skip(q.name))
-    val suite = suite0.filterNot(q => streamingFamily(q.name)) ++
-      suite0.filter(q => streamingFamily(q.name))
+    // Diagnostic probes are correctness instruments — excluded from the
+    // timed suite entirely (governor rule 1; Queries.diagnostics doc).
+    val probes = suite0.filter(q => Queries.diagnostics(q.name))
+    val suite1 = suite0.filterNot(q => Queries.diagnostics(q.name))
+    val suite = suite1.filterNot(q => streamingFamily(q.name)) ++
+      suite1.filter(q => streamingFamily(q.name))
     val spark = GraftSession.get(s"local[$cpus]", 32)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -99,6 +130,14 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some((System.nanoTime() - t0) / 1e9) else None
     }
+    // Fixed calibration: CPU-bound, no IO, no shuffle — a pure measure
+    // of "how fast is this machine right now". 256M longs keep it near
+    // ~0.5 s so five reps cost ~3 s total.
+    def calibOnce(): Double = {
+      val t = System.nanoTime()
+      spark.range(256L * 1000 * 1000).selectExpr("sum(id * 2 + 1)").collect()
+      (System.nanoTime() - t) / 1e9
+    }
     // Streaming residue release, once per pass: every streaming rep
     // leaves (a) its terminated StreamingQuery in the manager's
     // terminated list — each retains lastExecution's physical plan
@@ -115,10 +154,6 @@ object Bench {
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       catch { case e: Throwable => System.err.println(s"[bench] state-store unload: $e") }
     }
-    // Untimed full passes: codegen + JIT for every query's plan, plus
-    // one more pass so the C2 compile backlog drains before timing.
-    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
-    (1 to warmup).foreach { _ => suite.foreach(runOnce); releaseStreamingResidue() }
     // JIT-quiescence settle, run after warmup and between timed passes:
     // at 86 queries the C2 compile BACKLOG outgrew two warmup passes
     // (r10's noisy set was dominated by rep-1 spikes on late-suite
@@ -142,18 +177,56 @@ object Bench {
         }
       }
     }
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def fullPass(record: Boolean,
+        times: scala.collection.mutable.Map[String, Vector[Double]]): Unit = {
+      val p0 = System.nanoTime()
+      calibs += calibOnce()
+      suite.foreach { q =>
+        val t = runOnce(q)
+        if (record) t.foreach(v => times(q.name) :+= v)
+      }
+      releaseStreamingResidue()
+      passWalls += (System.nanoTime() - p0) / 1e9
+    }
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // ---- governed warmup ----
+    val warmupWanted = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
+    var warmupUsed = 0
+    if (warmupWanted >= 1) { fullPass(record = false, times); warmupUsed = 1 }
+    // estimated cost of one more pass = the worst of the two most RECENT
+    // passes: the first warmup is usually the slowest (codegen + JIT) so
+    // early decisions over-reserve — the safe direction — while after two
+    // timed passes the warmup spike ages out and the estimate tracks the
+    // machine's CURRENT phase (the r14 machine oscillated 5↔13 s on the
+    // streaming family at fixed code)
+    def estPass: Double =
+      if (passWalls.isEmpty) 0.0 else passWalls.takeRight(2).max
+    // the second warmup runs only if two timed passes still fit after it
+    // (governor rule 4)
+    var w = 2
+    while (w <= warmupWanted && elapsed + estPass * 3 <= budget) {
+      fullPass(record = false, times); warmupUsed = w; w += 1
+    }
+    // ---- governed timed passes (never below 2 — governor rule 3) ----
     // NO System.gc() between passes: a full GC unloads JIT'd codegen
     // classes, so the next pass re-compiles everything and its first
     // heavy query pays 4-5x (measured: q26 31.9s after a forced GC vs
     // ~7s steady-state). G1 self-regulates fine with the pinned heap;
     // the median across interleaved passes sheds any residual outlier.
-    (1 to reps).foreach { _ =>
+    var repsUsed = 0
+    while (repsUsed < reps &&
+        (repsUsed < 2 || elapsed + estPass <= budget)) {
       settleJit()
-      suite.foreach(q => runOnce(q).foreach(t => times(q.name) :+= t))
-      releaseStreamingResidue()
+      fullPass(record = true, times)
+      repsUsed += 1
     }
+    if (repsUsed < reps)
+      System.err.println(s"[bench] budget governor: stopped at $repsUsed/$reps " +
+        s"timed passes (${j3(elapsed)} s elapsed, est pass ${j3(estPass)} s, " +
+        s"budget ${j3(budget)} s)")
     // Queries with zero successful reps are published under "failed",
     // never under "queries" — absent/None, not a small number.
     val failed = suite.map(_.name).filter(n => times(n).isEmpty)
@@ -166,13 +239,10 @@ object Bench {
     //
     // The criterion runs on the same basis as the PUBLISHED stat
     // (ADVICE r13 #1): the most recent `reps` reps, single worst
-    // dropped. The old all-reps max/min could never unflag — appended
-    // in-band renoise reps cannot lower a historical max/min ratio, so
-    // the recovery loop below re-measured the identical set forever.
-    // With a sliding window the old spike ages out as fresh reps land
-    // (transient contention recovers, the loop converges), and the trim
-    // mirrors the trimmed median: a query is noisy iff the spread the
-    // published stat actually sees is >3x.
+    // dropped. With a sliding window an old spike ages out as fresh reps
+    // land (transient contention recovers, the loop converges), and the
+    // trim mirrors the trimmed median: a query is noisy iff the spread
+    // the published stat actually sees is >3x.
     def noisyNames: Seq[String] = suite.map(_.name).filter { n =>
       val recent = times(n).takeRight(reps).sorted
       val ts = if (recent.length >= 3) recent.dropRight(1) else recent
@@ -180,27 +250,49 @@ object Bench {
     }
     // Contention recovery (VERDICT r12 #3): one disturbed wall-clock
     // segment on a shared machine contaminates a contiguous BLOCK of
-    // queries' reps — r12's driver run flagged 37 noisy queries where
-    // the builder's same-code run flagged 8, and five phantom
-    // "regressions" were all in that band. Rather than paying more
-    // full passes up front, re-measure ONLY the flagged queries (up to
-    // 2 extra interleaved passes): if the noise was transient, the
-    // fresh reps land in-band and both the published stat and the
-    // noisy flag recover; if it is real plan variance, the extra reps
-    // confirm it. Disable with SPARK_GRAFT_RENOISE=0.
+    // queries' reps. Rather than paying more full passes up front,
+    // re-measure ONLY the flagged queries (up to 2 extra interleaved
+    // passes) — IF the projection says the targeted pass fits the
+    // budget (governor rule 2; the renoise pass cost is estimated from
+    // the flagged queries' own latest reps plus settle slack). Disable
+    // with SPARK_GRAFT_RENOISE=0.
     val renoise = sys.env.getOrElse("SPARK_GRAFT_RENOISE", "2").toInt
+    var renoiseUsed = 0
     (1 to renoise).foreach { _ =>
       val flagged = noisyNames.toSet
-      if (flagged.nonEmpty) {
+      val flaggedCost = suite.filter(q => flagged(q.name))
+        .map(q => times(q.name).lastOption.getOrElse(0.0)).sum + 10.0
+      if (flagged.nonEmpty && elapsed + flaggedCost <= budget) {
         System.err.println(s"[bench] re-measuring ${flagged.size} noisy queries: " +
           flagged.toSeq.sorted.mkString(","))
         settleJit()
         suite.filter(q => flagged(q.name))
           .foreach(q => runOnce(q).foreach(t => times(q.name) :+= t))
         releaseStreamingResidue()
+        renoiseUsed += 1
+      } else if (flagged.nonEmpty) {
+        System.err.println(s"[bench] budget governor: skipping renoise of " +
+          s"${flagged.size} queries (est ${j3(flaggedCost)} s, " +
+          s"${j3(elapsed)} s elapsed, budget ${j3(budget)} s)")
       }
     }
     val noisy = noisyNames
+    // ---- diagnostic probes: ONCE, untimed per-query, walled as a block
+    // (governor rule 1) ----
+    var probesS = -1.0
+    var probesFailed = Seq.empty[String]
+    // ~40 s of replays at sf0.1 — reserve a little headroom, but don't
+    // let them overshoot an already-spent budget
+    if (probes.nonEmpty && elapsed + 90 <= budget) {
+      val p0 = System.nanoTime()
+      probesFailed = probes.flatMap(q =>
+        if (runOnce(q).isEmpty) Some(q.name) else None)
+      releaseStreamingResidue()
+      probesS = (System.nanoTime() - p0) / 1e9
+    } else if (probes.nonEmpty) {
+      System.err.println(s"[bench] budget governor: skipping the " +
+        s"${probes.size} diagnostic probes (${j3(elapsed)} s elapsed)")
+    }
     // per-pass rep times on stderr for harness diagnosis (not part of
     // the one-line JSON contract on stdout)
     suite.foreach { q =>
@@ -220,6 +312,8 @@ object Bench {
         Some(q.name -> trimmed(trimmed.length / 2))
       }
     }.toMap
+    val calibMedian =
+      if (calibs.isEmpty) 0.0 else calibs.sorted.apply(calibs.length / 2)
     // Round-over-round movement flags: compare medians against the most
     // recent BENCH_r*.json in the working directory (or an explicit
     // SPARK_GRAFT_BASELINE path). A >1.5x move either way on unchanged
@@ -228,12 +322,12 @@ object Bench {
     // reps file show whether the move is one polluted pass or all of
     // them. Best-effort: no baseline, no flags. Each flag carries
     // cross_stat=true when the baseline artifact was published under a
-    // DIFFERENT statistic (ADVICE r13 #4: pre-r13 rounds published the
-    // plain median — for even rep counts systematically above the
-    // trimmed median — so first-round-after-merge movement flags
-    // against such a baseline are comparisons across statistics, not
-    // necessarily real movement).
-    val moved: Map[String, (Double, Double, Boolean)] = (try {
+    // DIFFERENT statistic (ADVICE r13 #4). When the baseline also
+    // carries "calib_s", the prev value is machine-normalized by
+    // calibNow/calibPrev first and the flag carries calib_norm=true —
+    // an r14-style machine-speed change then stops reading as a wall of
+    // phantom movement (VERDICT r14 #5).
+    val moved: Map[String, (Double, Double, Boolean, Boolean)] = (try {
       import scala.jdk.CollectionConverters._
       def sfOf(s: String): Option[Double] =
         "sf([0-9][0-9.]*)$".r.findFirstMatchIn(s.stripSuffix("/"))
@@ -255,16 +349,20 @@ object Bench {
         // regex-recovered from the tail text
         val baseSf = Option(root.get("sf")).flatMap(n =>
           if (n.isNumber) Some(n.asDouble()) else sfOf(n.asText()))
-        val prevStat = Option(root.get("stat")).map(_.asText())
+        def field(name: String) = Option(root.get(name))
           .orElse(Option(root.get("parsed")).filter(_.isObject)
-            .flatMap(p => Option(p.get("stat")).map(_.asText())))
-          .getOrElse("median")
+            .flatMap(p => Option(p.get(name))))
+        val prevStat = field("stat").map(_.asText()).getOrElse("median")
         val crossStat = prevStat != "trimmed_median"
+        val prevCalib = field("calib_s").map(_.asDouble()).filter(_ > 0)
+        val calibScale = prevCalib match {
+          case Some(pc) if calibMedian > 0 => calibMedian / pc
+          case _ => 1.0
+        }
+        val calibNorm = prevCalib.isDefined && calibMedian > 0
         if (baseSf != sfOf(sfDir)) Seq.empty
         else {
-          val qNode = Option(root.get("queries"))
-            .orElse(Option(root.get("parsed")).filter(_.isObject)
-              .flatMap(p => Option(p.get("queries"))))
+          val qNode = field("queries")
           // keys normalized to the short form (name up to the first
           // underscore): old rounds' files carry full names, the compact
           // stdout contract carries short ones — compare on the common key
@@ -276,15 +374,15 @@ object Bench {
               val tail = Option(root.get("tail")).map(_.asText()).getOrElse("")
               "\"(q[0-9]+[a-z]?(?:_[A-Za-z0-9_]+)?)\":([0-9.]+)".r.findAllMatchIn(tail)
                 .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
-          }).map { case (k, v) => short(k) -> v }
+          }).map { case (k, v) => short(k) -> v * calibScale }
           results.toSeq.flatMap { case (name, now) =>
             prev.get(short(name)).filter(p =>
               p > 0 && now > 0 && (now / p > 1.5 || p / now > 1.5))
-              .map(p => name -> (p, now, crossStat))
+              .map(p => name -> (p, now, crossStat, calibNorm))
           }
         }
       }.toMap
-    } catch { case _: Throwable => Map.empty[String, (Double, Double, Boolean)] })
+    } catch { case _: Throwable => Map.empty[String, (Double, Double, Boolean, Boolean)] })
     // Per-rep arrays are a standing FILE artifact, not part of the
     // stdout line: the driver's log capture truncates long lines
     // (VERDICT r6 saw the tail cut), so the one-line contract stays
@@ -306,9 +404,10 @@ object Bench {
       val repsJson = suite.map { q =>
         "\"" + q.name + "\":[" + times(q.name).map(t => j3(t)).mkString(",") + "]"
       }.mkString("{", ",", "}")
-      val movedJson = moved.map { case (n, (p, c, x)) =>
+      val movedJson = moved.map { case (n, (p, c, x, cn)) =>
         "\"" + n + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(c) +
-          (if (x) ",\"cross_stat\":true" else "") + "}"
+          (if (x) ",\"cross_stat\":true" else "") +
+          (if (cn) ",\"calib_norm\":true" else "") + "}"
       }.mkString("{", ",", "}")
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -316,8 +415,11 @@ object Bench {
         .mkString("{", ",", "}")
       val minJson = mins.map { case (k, v) => "\"" + k + "\":" + j3(v) }
         .mkString("{", ",", "}")
+      val calibJson = calibs.map(j3).mkString("[", ",", "]")
+      val passJson = passWalls.map(j3).mkString("[", ",", "]")
+      val probesFailedJson = probesFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val w = new java.io.PrintWriter(repsOut, "UTF-8")
-      try w.println(s"""{"sf":"$sfDir","stat":"trimmed_median","failed":$failedJson,"noisy":$noisyJson,"median":$medianJson,"min":$minJson,"reps":$repsJson,"moved_vs_prev":$movedJson}""")
+      try w.println(s"""{"sf":"$sfDir","stat":"trimmed_median","budget_s":${j3(budget)},"warmup_used":$warmupUsed,"reps_used":$repsUsed,"renoise_used":$renoiseUsed,"probes_s":${j3(probesS)},"probes_failed":$probesFailedJson,"calib":$calibJson,"pass_walls":$passJson,"failed":$failedJson,"noisy":$noisyJson,"median":$medianJson,"min":$minJson,"reps":$repsJson,"moved_vs_prev":$movedJson}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] reps file: $e") }
     // The driver's log capture keeps only the LAST 2000 chars of this
@@ -341,7 +443,7 @@ object Bench {
     val minTotal = if (mins.nonEmpty) mins.values.sum else 0.0
     val totalStr = j3(total)
     val failedStr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val summaryLine = s"""{"metric":"total","value":$totalStr,"unit":"sec","stat":"trimmed_median","min_total":${j3(minTotal)},"n_queries":${results.size},"failed":$failedStr,"noisy_count":${noisy.size},"moved_count":${moved.size},"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}"""
+    val summaryLine = s"""{"metric":"total","value":$totalStr,"unit":"sec","stat":"trimmed_median","min_total":${j3(minTotal)},"n_queries":${results.size},"reps_used":$repsUsed,"warmup_used":$warmupUsed,"budget_s":${j3(budget)},"calib_s":${j3(calibMedian)},"probes_s":${j3(probesS)},"failed":$failedStr,"noisy_count":${noisy.size},"moved_count":${moved.size},"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}"""
     println(summaryLine)
     spark.stop()
     // The summary must survive every capture mode (VERDICT r11 #2):

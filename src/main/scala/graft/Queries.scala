@@ -4698,6 +4698,92 @@ object Queries {
         SELECT 'null_n_chars', CAST(doc_id AS VARCHAR) FROM documents WHERE n_chars IS NULL)
       SELECT kind, k FROM anomalies ORDER BY kind, k"""))
 
+  // -------------------------------------------------------------------
+  // q145–q150: the round-15 TWO-HANDLE A/B (VERDICT r14 #2). q87/q89
+  // now run single-handle reimplementations (BootstrapCounters /
+  // DistinctMapReplay scaladoc); the ORIGINAL two-handle formulations
+  // survive as q146/q147 with the same oracles, and q145/q149/q150 each
+  // add exactly ONE suspect feature to the driver-green q119 counter.
+  // AuditProbes has the full decision table.
+  // -------------------------------------------------------------------
+
+  // Two ValueState handles (both primitive, String key) — handle COUNT
+  // alone. Same oracle as q119 (the shadow state never reaches output).
+  val q145_audit_twovalue = Q("q145_audit_twovalue",
+    (s, dir) => graft.streaming.AuditProbes.twoValueAudit(s, dir),
+    q119_audit_valuestate.oracle)
+
+  // The ORIGINAL q89 (MapState + ValueState, two handles) — same oracle
+  // as q89.
+  val q146_audit_twostate_distinct = Q("q146_audit_twostate_distinct",
+    (s, dir) => graft.streaming.DistinctMapReplay.runTwoState(s, dir),
+    q89_distinct_map.oracle)
+
+  // The ORIGINAL q87 (StatefulProcessorWithInitialState + tuple
+  // ValueState + tuple key) — same oracle as q87.
+  val q147_audit_initialstate = Q("q147_audit_initialstate",
+    (s, dir) => graft.streaming.BootstrapCounters.runInitialState(s, dir),
+    q87_bootstrap_counters.oracle)
+
+  // Tuple-valued ValueState via Encoders.tuple (one handle, String key)
+  // — the tuple VALUE encoder alone. Same oracle as q119.
+  val q149_audit_tuplestate = Q("q149_audit_tuplestate",
+    (s, dir) => graft.streaming.AuditProbes.tupleValueAudit(s, dir),
+    q119_audit_valuestate.oracle)
+
+  // Tuple GROUPING KEY (one primitive ValueState) — the key encoder
+  // alone; key domain identical to q119's so the oracle is unchanged.
+  val q150_audit_tuplekey = Q("q150_audit_tuplekey",
+    (s, dir) => graft.streaming.AuditProbes.tupleKeyAudit(s, dir),
+    q119_audit_valuestate.oracle)
+
+  // -------------------------------------------------------------------
+  // q148 + q151: ORACLE-ENGINE observability (VERDICT r14 #3). q121
+  // fingerprints the driver's Spark; nothing fingerprinted its DuckDB —
+  // and q132's red leaned on the newest DuckDB SQL surface in the suite.
+  // -------------------------------------------------------------------
+
+  // The driver's DuckDB version, reported through the one numeric
+  // channel CORRECTNESS returns verbatim: oracle_rows = major·10000 +
+  // minor·100 + patch (the mirror of q121's spark_rows). The Spark side
+  // pins the builder's DuckDB 1.0.0 ⇒ 10000; a red row's oracle_rows
+  // NAMES the driver's version. Conservative SQL only: regexp_extract /
+  // CAST / range + filter (no subquery table-function args).
+  val q148_oracle_fingerprint = Q("q148_oracle_fingerprint",
+    (s, dir) => s.range(10000).toDF("id"),
+    Some("""
+      SELECT range AS id FROM range(1000000)
+      WHERE range < (
+        SELECT 10000 * CAST(regexp_extract(version(), '(\d+)\.(\d+)\.(\d+)', 1) AS BIGINT)
+             +   100 * CAST(regexp_extract(version(), '(\d+)\.(\d+)\.(\d+)', 2) AS BIGINT)
+             +         CAST(regexp_extract(version(), '(\d+)\.(\d+)\.(\d+)', 3) AS BIGINT))
+      ORDER BY id"""))
+
+  // q132 stage probe: the FULL round-1 adjacent-pair count table,
+  // order-insensitive, on the same conservative oracle primitives as
+  // the rewritten q132 oracle (Bpe.oracleSql scaladoc). Green here with
+  // q132 red localizes the divergence past the pair-count base.
+  val q151_bpe_pairs = Q("q151_bpe_pairs",
+    (s, dir) => graft.text.Bpe.round1Pairs(documents(s, dir), "text"),
+    Some(graft.text.Bpe.Round1PairsOracle))
+
+  /** Diagnostic probes — correctness INSTRUMENTS, not operators: the
+    * q87/q89 localization battery, the environment/oracle fingerprints,
+    * the data-integrity reports, and the q132 stage probe. Verify runs
+    * them like any query (they ARE the diagnosis channel); Bench runs
+    * them ONCE untimed and reports their wall under `probes_s` instead
+    * of timing them per pass — at ~19 s/pass they were a third of the
+    * r14 driver bench's timeout budget for zero latency signal
+    * (VERDICT r14 #1). */
+  val diagnostics: Set[String] = Set(
+    "q117_audit_split", "q118_audit_arrival", "q119_audit_valuestate",
+    "q120_audit_firstseen", "q121_env_fingerprint", "q122_audit_fmgws",
+    "q123_audit_bootstrap_totals", "q124_audit_event_ties",
+    "q125_audit_doc_integrity", "q145_audit_twovalue",
+    "q146_audit_twostate_distinct", "q147_audit_initialstate",
+    "q148_oracle_fingerprint", "q149_audit_tuplestate",
+    "q150_audit_tuplekey", "q151_bpe_pairs")
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_top_customers, q03_shipping_priority,
     q04_order_priority, q05_region_revenue, q06_revenue_forecast,
@@ -4745,5 +4831,7 @@ object Queries {
     q134_winnowing, q135_zipf_slope, q136_kl_drift, q137_gopher_rules,
     q138_matryoshka, q139_cusum_drift, q140_video_shots,
     q141_ivf_maintain, q142_quality_calibration, q143_robust_outliers,
-    q144_user_entropy)
+    q144_user_entropy, q145_audit_twovalue, q146_audit_twostate_distinct,
+    q147_audit_initialstate, q148_oracle_fingerprint,
+    q149_audit_tuplestate, q150_audit_tuplekey, q151_bpe_pairs)
 }

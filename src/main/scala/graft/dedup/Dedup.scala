@@ -978,9 +978,16 @@ object Dedup {
     // when the caller has it (maxLenHint); otherwise one max() aggregate
     // over the already-projected lengths frame. The equality fast path
     // skips the DP entirely for exact-duplicate candidates — in a
-    // dedup-heavy corpus those dominate the candidate set.
-    val maxLen = maxLenHint.getOrElse(
-      lens.agg(max(col("len"))).collect()(0).getInt(0))
+    // dedup-heavy corpus those dominate the candidate set. NOTE: the
+    // fallback is an EAGER driver job at plan-construction time (one
+    // max over a projected length column); pass maxLenHint to keep
+    // plan building lazy. An empty corpus / all-null text column yields
+    // a null max — cap 0, and the (already-empty) candidate set flows
+    // through instead of an NPE (ADVICE r15).
+    val maxLen = maxLenHint.getOrElse {
+      val row = lens.agg(max(col("len"))).collect()(0)
+      if (row.isNullAt(0)) 0 else row.getInt(0)
+    }
     val cap = math.max(0, math.floor((1.0 - threshold) * maxLen).toInt)
     sized
       .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), Seq("id_a"))

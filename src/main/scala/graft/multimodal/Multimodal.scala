@@ -88,14 +88,22 @@ object Multimodal {
   /** Parsed binary-netpbm header: channels (1 = P5 gray, 3 = P6 RGB),
     * dimensions, maxval, and the raster's byte offset. None on anything
     * that is not a complete, in-bounds P5/P6 with maxval ≤ 255. */
-  private[multimodal] def parseNetpbm(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
-    if (bytes == null || bytes.length < 2 || bytes(0) != 'P') return None
-    val channels = bytes(1) match {
+  private[multimodal] def parseNetpbm(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    parseNetpbm(bytes, 0)
+
+  /** Header parse at an OFFSET into a shared buffer — no copy: the
+    * returned raster offset is RELATIVE to `base`, so the zero-base
+    * overload above is unchanged. This is what lets [[splitFrames]]
+    * walk a long frame stream in O(total bytes) instead of copying the
+    * remaining container per frame (ADVICE r15). */
+  private[multimodal] def parseNetpbm(bytes: Array[Byte], base: Int): Option[(Int, Int, Int, Int, Int)] = {
+    if (bytes == null || bytes.length - base < 2 || bytes(base) != 'P') return None
+    val channels = bytes(base + 1) match {
       case '5' => 1
       case '6' => 3
       case _ => return None
     }
-    var i = 2
+    var i = base + 2
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
     // whitespace/comment skipper, then one decimal token
     def nextInt(): Option[Int] = {
@@ -116,7 +124,7 @@ object Multimodal {
       // exactly one whitespace byte separates header from raster
       if i < bytes.length && isWs(bytes(i))
       if bytes.length - (i + 1) >= w.toLong * h * channels // raster in bounds
-    } yield (channels, w, h, maxval, i + 1)
+    } yield (channels, w, h, maxval, i + 1 - base)
   }
 
   def decodePgm(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
@@ -767,12 +775,14 @@ object Multimodal {
     var off = 0
     var ok = bytes != null
     while (ok && off < bytes.length) {
-      val sub = java.util.Arrays.copyOfRange(bytes, off, bytes.length)
-      parseNetpbm(sub) match {
+      // header parsed AT the offset — only the frame's exact [off, end)
+      // range is ever copied, so the walk is O(container bytes), not
+      // O(frames x container bytes) (ADVICE r15)
+      parseNetpbm(bytes, off) match {
         case Some((ch, w, h, _, rOff)) =>
-          val end = rOff + w * h * ch
-          out += java.util.Arrays.copyOfRange(sub, 0, end)
-          off += end
+          val end = off + rOff + w * h * ch
+          out += java.util.Arrays.copyOfRange(bytes, off, end)
+          off = end
         case None => ok = false
       }
     }

@@ -735,7 +735,16 @@ object Similarity {
     * production variant swaps in [[ivfTopKPruned]] per width unchanged.
     * Energy uses the same sequential double dot product as the cosine
     * (dotFast == DuckDB list_inner_product, the q126-proven pairing), so
-    * every emitted double replays bit-for-bit. */
+    * every emitted double replays bit-for-bit.
+    *
+    * CONTRACT (ADVICE r15): `widths` MUST include the true embedding
+    * dimension — `widths.max` is taken as the full-width baseline that
+    * `top1_full`/`agree` measure against. A widths list that omits the
+    * real dimension would silently score agreement against a truncated
+    * "baseline". This is a contract rather than a derivation because
+    * sniffing the dimension from data would cost an eager job per call
+    * and still misfire on ragged input; callers know their index
+    * dimension. */
   def matryoshkaFidelity(
       queries: DataFrame, // (query_id, query_vec: array<double>)
       candidates: DataFrame, // (cand_id, cand_vec: array<double>)
@@ -762,6 +771,10 @@ object Similarity {
                   slice(col("query_vec"), lit(1), col("width"))) /
               dot(col("query_vec"), col("query_vec")), 6).as("energy"))
   }
+  /** [[ivfMaintain]]'s broadcast gate: delta-id sets at or below this
+    * row count broadcast; larger ones shuffle-join. */
+  val DeltaBroadcastMax: Long = 1000000L
+
   /** Incremental maintenance of a [[writeIvfLayout]] directory under a
     * corpus delta — the index-freshness operation a continuously-
     * ingesting 100 TB store needs between retrains: `added` rows (new or
@@ -779,6 +792,21 @@ object Similarity {
     * full scale would instead write a new layout VERSION directory and
     * swap a pointer — same plan, different commit protocol.
     *
+    * The delta-id set is broadcast only below [[DeltaBroadcastMax]]
+    * rows — an index-maintenance delta normally is — and joins as a
+    * shuffle semi/anti join above it, so a caller handing a
+    * corpus-sized delta degrades to a plan that still completes instead
+    * of one that collects the corpus to the driver (ADVICE r14 /
+    * VERDICT r14 #6).
+    *
+    * EMPTIED lists (ADVICE r15 medium): dynamic partition overwrite
+    * only rewrites partitions PRESENT in the written data — a delta
+    * whose removals clear an entire inverted list (no additions land
+    * there) would leave that directory untouched and silently resurrect
+    * the removed vectors. Affected centroids absent from the rewrite
+    * set are therefore deleted explicitly after the overwrite
+    * (CorpusOpsSpec pins the emptied-list case).
+    *
     * Invariant (spec-pinned, oracle-checked): the maintained layout is
     * row-identical to a full-rebuild assignment of the new corpus with
     * the same centroids. */
@@ -789,10 +817,14 @@ object Similarity {
       added: DataFrame, // (cand_id, cand_vec)
       removedIds: DataFrame): Unit = { // (cand_id)
     val assignedNew = assignToCentroids(added, centroids)
-    val deltaIds = added.select(col("cand_id"))
+    val deltaIds0 = added.select(col("cand_id"))
       .union(removedIds.select(col("cand_id"))).distinct()
+      .localCheckpoint(true) // reused by three joins + the size gate
+    val deltaIds =
+      if (deltaIds0.count() <= DeltaBroadcastMax) broadcast(deltaIds0)
+      else deltaIds0
     val affectedOld = spark.read.parquet(layoutPath)
-      .join(broadcast(deltaIds), Seq("cand_id"), "left_semi")
+      .join(deltaIds, Seq("cand_id"), "left_semi")
       .select(col("centroid").cast("long"))
     val affected = assignedNew.select(col("centroid"))
       .union(affectedOld).distinct()
@@ -800,14 +832,24 @@ object Similarity {
     if (affected.nonEmpty) {
       val keptOld = spark.read.parquet(layoutPath)
         .filter(col("centroid").isin(affected: _*))
-        .join(broadcast(deltaIds), Seq("cand_id"), "left_anti")
+        .join(deltaIds, Seq("cand_id"), "left_anti")
         .select(col("cand_id"), col("cand_vec"), col("centroid").cast("long").as("centroid"))
       val rewrite = keptOld.unionByName(
           assignedNew.select(col("cand_id"), col("cand_vec"), col("centroid")))
         .localCheckpoint(true)
-      rewrite.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("centroid").parquet(layoutPath)
+      // nlist-bounded: which affected lists still have rows after the
+      // delta — the rest must be DELETED, not left to dynamic overwrite
+      val present = rewrite.select(col("centroid")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      if (present.nonEmpty)
+        rewrite.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("centroid").parquet(layoutPath)
+      val root = new org.apache.hadoop.fs.Path(layoutPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.filterNot(present).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"centroid=$c"), true)
+      }
     }
   }
 }

@@ -357,10 +357,137 @@ object AuditProbes {
     * here while q87 is red ⇒ bootstrap landed and state carried across
     * batches, only the per-row cumulative attribution drifts; red here
     * ⇒ the initial-state seed or the cross-batch carry itself is broken
-    * in the driver env. */
+    * in the driver env. (Since round 15 this rides q87's NEW seeded
+    * single-handle implementation, so it doubles as that formulation's
+    * order-insensitive check.) */
   def bootstrapTotalsAudit(spark: SparkSession, dir: String): DataFrame =
     BootstrapCounters.run(spark, dir)
       .groupBy("lang", "source")
       .agg(max("run_docs").as("fin_docs"), max("run_chars").as("fin_chars"))
       .orderBy("lang", "source")
+
+  // ------------------------------------------------------------------
+  // q145 / q149 / q150 — round-15 discriminators for the two-handle
+  // hypothesis (VERDICT r14 "Next round #2"). The r14 battery proved
+  // every ONE-handle, primitive-encoded, String-keyed probe green in
+  // the driver env while both red operators had structural extras:
+  // q87 = {initial-state leg, tuple-valued ValueState, tuple key},
+  // q89 = {second state handle}. Each probe below adds exactly ONE of
+  // those features to the proven-green q119 counter, so CORRECTNESS_r15
+  // names the diverging feature:
+  //  - q145 red → a SECOND handle alone breaks it (type-independent);
+  //  - q149 red → the tuple VALUE encoder alone breaks it;
+  //  - q150 red → the tuple GROUPING KEY alone breaks it;
+  //  - q146 (old q89) / q147 (old q87) red with q87/q89 green → the
+  //    round-15 reimplementation is confirmed as the cure;
+  //  - all five green AND q87/q89 green → driver-env divergence gone
+  //    entirely (environment drift, not code, was the cause).
+  // ------------------------------------------------------------------
+
+  /** q145: q119's counter plus a second, dummy `ValueState[Long]`
+    * updated every row (stores the last seen ts). TWO handles, both
+    * primitive ValueState, String key — isolates handle COUNT. Same
+    * oracle as q119: the shadow state never affects output. */
+  final class TwoValueProcessor
+      extends StatefulProcessor[String, KeyedTs, CountedRow] {
+    @transient private var n: ValueState[Long] = _
+    @transient private var shadow: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      shadow = getHandle.getValueState[Long]("shadow",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedTs],
+        timers: TimerValues): Iterator[CountedRow] = {
+      var c = if (n.exists()) n.get() else 0L
+      val out = rows.toArray.sortBy(_.ts_us).map { r =>
+        c += 1; shadow.update(r.ts_us); CountedRow(key, r.ts_us, c)
+      }
+      n.update(c)
+      out.iterator
+    }
+  }
+
+  /** q149: q119's counter with the count held in a TUPLE-valued
+    * `ValueState[(Long, Long)]` via `Encoders.tuple` — q87's exact
+    * value-state shape. ONE handle, String key — isolates the tuple
+    * value encoder. Same oracle as q119 (the second slot carries the
+    * last ts and never reaches the output). */
+  final class TupleValueProcessor
+      extends StatefulProcessor[String, KeyedTs, CountedRow] {
+    @transient private var s: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      s = getHandle.getValueState[(Long, Long)]("s",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedTs],
+        timers: TimerValues): Iterator[CountedRow] = {
+      var (c, last) = if (s.exists()) s.get() else (0L, 0L)
+      val out = rows.toArray.sortBy(_.ts_us).map { r =>
+        c += 1; last = r.ts_us; CountedRow(key, r.ts_us, c)
+      }
+      s.update((c, last))
+      out.iterator
+    }
+  }
+
+  private def replayCounter(spark: SparkSession, dir: String,
+      processor: StatefulProcessor[String, KeyedTs, CountedRow]): DataFrame = {
+    StreamingDedup.configureStateStore(spark)
+    val spool = DistinctMapReplay.acquireSpool(spark, dir)
+    val runDir = ReplayScaffold.freshRunDir(spool)
+    import spark.implicits._
+    val out = spoolEvents(spark, dir).groupByKey(_.event_type)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+    ReplayScaffold.runToParquet(out.toDF(), runDir)
+      .select(col("event_type"), timestamp_micros(col("ts_us")).as("ts"),
+        col("row_idx"))
+      .orderBy("event_type", "ts")
+  }
+
+  def twoValueAudit(spark: SparkSession, dir: String): DataFrame =
+    replayCounter(spark, dir, new TwoValueProcessor)
+
+  def tupleValueAudit(spark: SparkSession, dir: String): DataFrame =
+    replayCounter(spark, dir, new TupleValueProcessor)
+
+  /** q150: q119's counter grouped by a TUPLE key `(event_type,
+    * event_type)` — q87's exact key shape with an identical key domain,
+    * so the oracle is unchanged. ONE primitive ValueState — isolates
+    * the tuple grouping-key encoder. */
+  final class TupleKeyProcessor
+      extends StatefulProcessor[(String, String), KeyedTs, CountedRow] {
+    @transient private var n: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, String), rows: Iterator[KeyedTs],
+        timers: TimerValues): Iterator[CountedRow] = {
+      var c = if (n.exists()) n.get() else 0L
+      val out = rows.toArray.sortBy(_.ts_us).map { r =>
+        c += 1; CountedRow(key._1, r.ts_us, c)
+      }
+      n.update(c)
+      out.iterator
+    }
+  }
+
+  def tupleKeyAudit(spark: SparkSession, dir: String): DataFrame = {
+    StreamingDedup.configureStateStore(spark)
+    val spool = DistinctMapReplay.acquireSpool(spark, dir)
+    val runDir = ReplayScaffold.freshRunDir(spool)
+    import spark.implicits._
+    val out = spoolEvents(spark, dir)
+      .groupByKey(e => (e.event_type, e.event_type))
+      .transformWithState(new TupleKeyProcessor,
+        TimeMode.None(), OutputMode.Append())
+    ReplayScaffold.runToParquet(out.toDF(), runDir)
+      .select(col("event_type"), timestamp_micros(col("ts_us")).as("ts"),
+        col("row_idx"))
+      .orderBy("event_type", "ts")
+  }
 }

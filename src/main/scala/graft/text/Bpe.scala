@@ -109,34 +109,63 @@ object Bpe {
     out.toSeq.toDF("round", "merge_left", "merge_right", "pair_count")
   }
 
-  /** The DuckDB oracle for [[merges]], generated for a fixed round count:
-    * each round recomputes the weighted adjacent-pair argmax and replays
-    * the greedy fold via `list_reduce` with the identical CASE. Kept next
-    * to the operator so the two formulations evolve together. */
+  /** The DuckDB oracle for [[merges]], generated for a fixed round count.
+    *
+    * CONSERVATIVE SQL ONLY (round 15): the original oracle drove the
+    * greedy fold through `list_reduce` with a correlated lambda and
+    * built the char split with a list comprehension — the newest SQL
+    * surface in the whole suite, and semantics that have shifted across
+    * DuckDB releases (the `->` lambda syntax is deprecated-then-removed
+    * after 1.2; list comprehensions postdate 1.0). q132 came back
+    * driver-red with rows green and err null — two deterministic
+    * engines disagreeing on integer arithmetic — and the driver's
+    * DuckDB version is the one engine q121 does not fingerprint
+    * (VERDICT r14 "What's wrong #2"; q148 now reports it). This rewrite
+    * keeps the identical merge semantics on ancient, version-stable
+    * primitives: `regexp_replace` / `replace` / `string_split` / slices.
+    *
+    * Representation: a word's symbol list is a WRAPPED string — every
+    * symbol enclosed in chr(1) markers, `"ab","c"` ⇒ `␁ab␁␁c␁`. Then:
+    *  - adjacent pairs = zip of the split-on-`␁␁` list with its tail
+    *    (after trimming the outer markers);
+    *  - applying merge (l, r) = plain `replace(s, '␁l␁␁r␁', '␁lr␁')`,
+    *    which IS the greedy left-to-right fold: `replace` scans
+    *    non-overlapping occurrences and resumes AFTER each replacement,
+    *    so a fused symbol cannot re-fuse as LEFT in the same pass —
+    *    exactly [[applyMerge]]'s accumulator rule — and the full
+    *    per-symbol wrapping makes boundary false-matches impossible
+    *    (symbols never contain chr(1)).
+    * The per-symbol wrapping (rather than single separators) is what
+    * makes consecutive merges correct: `aaaa` wrapped is
+    * `␁a␁␁a␁␁a␁␁a␁`; replacing `␁a␁␁a␁` consumes symbols pairwise and
+    * yields `␁aa␁␁aa␁` = `[aa, aa]`, matching the fold — with single
+    * separators the first replacement would eat the shared separator
+    * and the second pair would never merge. */
   def oracleSql(rounds: Int): String = {
     val rounds1toN = 1 to rounds
-    val head = """
+    // every symbol wrapped: "abc" -> ␁a␁␁b␁␁c␁  ([\s\S] so a token
+    // containing \n still splits per char, matching Spark's substr)
+    val head = s"""
       WITH wc AS (
         SELECT word, COUNT(*) AS c FROM (
           SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         WHERE len(word) >= 2 GROUP BY word),
       w0 AS (
-        SELECT array_to_string([word[i] FOR i IN generate_series(1, len(word))], chr(1)) AS s, c
+        SELECT regexp_replace(word, '([\\s\\S])', chr(1) || '\\1' || chr(1), 'g') AS s, c
         FROM wc)"""
     val per = rounds1toN.map { k =>
       val prev = s"w${k - 1}"
       val apply =
         if (k == rounds) "" else s""",
       w$k AS (
-        SELECT list_reduce(string_split(s, chr(1)), (acc, x) ->
-            CASE WHEN (acc = m.l OR ends_with(acc, chr(1) || m.l)) AND x = m.r
-                 THEN acc || x ELSE acc || chr(1) || x END) AS s, c
+        SELECT replace(s, chr(1) || m.l || chr(1) || chr(1) || m.r || chr(1),
+                          chr(1) || m.l || m.r || chr(1)) AS s, c
         FROM $prev, m$k m)"""
       s""",
       p$k AS (
         SELECT l, r, SUM(c) AS cnt FROM (
           SELECT unnest(y[1:len(y)-1]) AS l, unnest(y[2:len(y)]) AS r, c FROM (
-            SELECT string_split(s, chr(1)) AS y, c FROM $prev))
+            SELECT string_split(trim(s, chr(1)), chr(1) || chr(1)) AS y, c FROM $prev))
         GROUP BY l, r),
       m$k AS (SELECT $k AS round, l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)$apply"""
     }.mkString
@@ -145,4 +174,37 @@ object Bpe {
       SELECT round, l AS merge_left, r AS merge_right, cnt AS pair_count
       FROM ($union) ORDER BY round"""
   }
+
+  /** q151 stage probe — the FULL round-1 adjacent-pair count table,
+    * order-insensitive. Decomposes q132: green here while q132 is red
+    * localizes the divergence to the argmax or merge-application stage;
+    * red here means the tokenization/pair-count base itself differs. */
+  def round1Pairs(docs: DataFrame, textCol: String): DataFrame = {
+    val wc = docs
+      .select(explode(TextStats.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .select(concat_ws(Sep, transform(
+        sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))).as("s"), col("c"))
+    pairFrame(wc)
+      .groupBy("l", "r").agg(sum(col("c")).as("cnt"))
+      .orderBy("l", "r")
+  }
+
+  /** Conservative oracle for [[round1Pairs]] (no comprehensions, no
+    * lambdas — same primitives as [[oracleSql]]). */
+  val Round1PairsOracle: String = """
+      WITH wc AS (
+        SELECT word, COUNT(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) >= 2 GROUP BY word),
+      cs AS (
+        SELECT string_split(trim(
+            regexp_replace(word, '([\s\S])', chr(1) || '\1' || chr(1), 'g'),
+            chr(1)), chr(1) || chr(1)) AS y, c
+        FROM wc)
+      SELECT l, r, SUM(c) AS cnt FROM (
+        SELECT unnest(y[1:len(y)-1]) AS l, unnest(y[2:len(y)]) AS r, c FROM cs)
+      GROUP BY l, r ORDER BY l, r"""
 }

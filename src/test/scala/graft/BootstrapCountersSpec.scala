@@ -58,4 +58,14 @@ class BootstrapCountersSpec extends SparkSpec {
     assert(out.length.toLong == streamN)
     assert(out.map(_.getLong(0)).distinct.length == out.length)
   }
+
+  test("seeded single-handle impl ≡ initial-state formulation (r15 A/B)") {
+    // the q147 probe path must stay row-identical to the operator — the
+    // driver-side A/B is only meaningful if the two formulations agree
+    // everywhere the builder can observe
+    val old = BootstrapCounters.runInitialState(spark, sf()).collect()
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
+    assert(out.map(keyOf).toSeq.sorted == old.map(keyOf).toSeq.sorted)
+  }
 }

@@ -97,6 +97,11 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("editVerifiedPairs: empty corpus returns empty, no NPE on the max-len probe") {
+    val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.editVerifiedPairs(empty, "doc_id", "text").count() == 0L)
+  }
+
   test("editVerifiedPairs: length prefilter keeps near-boundary pairs, drops by sim") {
     // id 2 = id 1 + " fff": pure insertion, lev = 4, max len 19,
     // sim = 1 - 4/19 ≈ 0.789 — above a 0.75 threshold and the length
@@ -365,6 +370,31 @@ class CorpusOpsSpec extends SparkSpec {
         oldC.filter(col("cand_id") =!= 21L).unionByName(added), centroids)
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("centroid")).toMap
     assert(got == rebuild)
+  }
+
+  test("ivfMaintain: removals that EMPTY an inverted list delete its partition") {
+    // ADVICE r15 medium: dynamic overwrite only rewrites partitions
+    // present in the written data — an all-removal delta on one list
+    // must not resurrect the removed vectors
+    import graft.similarity.Similarity
+    val centroids = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))
+    ).toDF("centroid_id", "centroid_vec")
+    val oldC = Seq(
+      (10L, Seq(0.9, 0.1)), // list 1 — untouched
+      (20L, Seq(0.1, 0.9)), (21L, Seq(0.2, 0.8)) // list 2 — fully removed
+    ).toDF("cand_id", "cand_vec")
+    val layout = java.nio.file.Files.createTempDirectory("ivf-empty").toString
+    Similarity.writeIvfLayout(Similarity.assignToCentroids(oldC, centroids), layout)
+    val added = spark.emptyDataset[(Long, Seq[Double])].toDF("cand_id", "cand_vec")
+    val removed = Seq(Tuple1(20L), Tuple1(21L)).toDF("cand_id")
+    Similarity.ivfMaintain(spark, layout, centroids, added, removed)
+    assert(!new java.io.File(s"$layout/centroid=2").exists(),
+      "emptied inverted list's partition directory must be deleted")
+    val got = spark.read.parquet(layout)
+      .collect().map(r => r.getAs[Long]("cand_id") ->
+        r.getAs[Number]("centroid").longValue).toMap
+    assert(got == Map(10L -> 1L))
   }
 
   // --------------------------------------------- calibratePercentRank

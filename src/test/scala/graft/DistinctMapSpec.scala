@@ -48,4 +48,12 @@ class DistinctMapSpec extends SparkSpec {
     }
     assert(reSeen.nonEmpty, "no user re-seen across a cut — map carry untested")
   }
+
+  test("single-map impl ≡ two-handle formulation (r15 A/B)") {
+    // the q146 probe path must stay row-identical to the operator
+    val old = DistinctMapReplay.runTwoState(spark, sf()).collect()
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getLong(3))
+    assert(out.map(keyOf).toSeq.sorted == old.map(keyOf).toSeq.sorted)
+  }
 }
