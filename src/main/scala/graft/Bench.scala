@@ -192,6 +192,40 @@ object Bench {
     }
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // Last-resort timeout insurance (VERDICT r14 #1: the driver's
+    // `timeout` SIGTERM left rc=124 and parsed:null): after every pass a
+    // PARTIAL summary line is staged, and a shutdown hook prints it —
+    // marked "partial":true — if the JVM dies before the normal summary.
+    // A killed bench then still leaves a parseable artifact on stdout,
+    // stderr AND in BENCH.json, with whatever medians existed at kill
+    // time. The hook is disarmed right before the normal summary prints.
+    val partialLine = new java.util.concurrent.atomic.AtomicReference[String](null)
+    def stagePartial(): Unit = {
+      val res = suite.flatMap { q =>
+        val sorted = times(q.name).sorted
+        if (sorted.isEmpty) None
+        else {
+          val trimmed = if (sorted.length >= 3) sorted.dropRight(1) else sorted
+          Some(q.name.takeWhile(_ != '_') -> trimmed(trimmed.length / 2))
+        }
+      }
+      val qs = res.map { case (k, v) => "\"" + k + "\":" + j3(v) }
+        .mkString("{", ",", "}")
+      val total = res.map(_._2).sum
+      partialLine.set(s"""{"metric":"total","value":${j3(total)},"unit":"sec","stat":"trimmed_median","partial":true,"n_queries":${res.size},"sf":"$sfDir","queries":$qs}""")
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val line = partialLine.get()
+      if (line != null) {
+        System.out.println(line); System.out.flush()
+        System.err.println(line); System.err.flush()
+        try {
+          val w = new java.io.PrintWriter(
+            if (only.isDefined) "BENCH_subset.json" else "BENCH.json", "UTF-8")
+          try w.println(line) finally w.close()
+        } catch { case _: Throwable => () }
+      }
+    }))
     // ---- governed warmup ----
     val warmupWanted = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
     var warmupUsed = 0
@@ -222,6 +256,7 @@ object Bench {
       settleJit()
       fullPass(record = true, times)
       repsUsed += 1
+      stagePartial()
     }
     if (repsUsed < reps)
       System.err.println(s"[bench] budget governor: stopped at $repsUsed/$reps " +
@@ -444,6 +479,7 @@ object Bench {
     val totalStr = j3(total)
     val failedStr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val summaryLine = s"""{"metric":"total","value":$totalStr,"unit":"sec","stat":"trimmed_median","min_total":${j3(minTotal)},"n_queries":${results.size},"reps_used":$repsUsed,"warmup_used":$warmupUsed,"budget_s":${j3(budget)},"calib_s":${j3(calibMedian)},"probes_s":${j3(probesS)},"failed":$failedStr,"noisy_count":${noisy.size},"moved_count":${moved.size},"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}"""
+    partialLine.set(null) // disarm the timeout hook — the real line follows
     println(summaryLine)
     spark.stop()
     // The summary must survive every capture mode (VERDICT r11 #2):

@@ -4759,6 +4759,15 @@ object Queries {
              +         CAST(regexp_extract(version(), '(\d+)\.(\d+)\.(\d+)', 3) AS BIGINT))
       ORDER BY id"""))
 
+  // LSH band-geometry planner (the q130 knob, computed not hand-tuned):
+  // per (bands, rows) factorization of a 16-permutation budget at
+  // threshold 0.8, the S-curve's sub-threshold candidate mass and
+  // above-threshold recall loss — DECIMAL-exact repeated-multiply
+  // powers, integer outputs, recursive-CTE oracle (Dedup.lshPlan doc).
+  val q152_lsh_plan = Q("q152_lsh_plan",
+    (s, dir) => Dedup.lshPlan(numPerm = 16, threshold = 0.8),
+    Some(Dedup.lshPlanOracle(16, 0.8)))
+
   // q132 stage probe: the FULL round-1 adjacent-pair count table,
   // order-insensitive, on the same conservative oracle primitives as
   // the rewritten q132 oracle (Bpe.oracleSql scaladoc). Green here with
@@ -4833,5 +4842,6 @@ object Queries {
     q141_ivf_maintain, q142_quality_calibration, q143_robust_outliers,
     q144_user_entropy, q145_audit_twovalue, q146_audit_twostate_distinct,
     q147_audit_initialstate, q148_oracle_fingerprint,
-    q149_audit_tuplestate, q150_audit_tuplekey, q151_bpe_pairs)
+    q149_audit_tuplestate, q150_audit_tuplekey, q151_bpe_pairs,
+    q152_lsh_plan)
 }

@@ -36,6 +36,19 @@ object ScaleProbe {
         .getOrElse(Seq(1, 4, 16))
       round14Probe(spark, dir, factors); spark.stop(); return
     }
+    if (args.headOption.contains("editband")) {
+      // editband [factors-csv] — the q130 candidate-volume KNOB,
+      // measured (VERDICT r14 #7): editVerifiedPairs' 16× growth is
+      // candidate-intrinsic on the mutated-copy corpus, and the scaladoc
+      // claims LSH band geometry bounds candidates independent of corpus
+      // size. Evidence that row: same corpus, same threshold, rows-per-
+      // band 4 (numPerm 16 / bands 4) vs 8 (numPerm 32 / bands 4) —
+      // per-band collision probability falls s^4 → s^8, so sub-threshold
+      // collision noise collapses while true near-dups (s ≈ 1) survive.
+      val factors = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(4, 16))
+      editBandProbe(spark, dir, factors); spark.stop(); return
+    }
     if (args.headOption.contains("sorted-contains")) {
       // sorted-contains — micro-measure the boilerplate membership probe:
       // per-line binary search (sorted_contains) vs linear array_contains
@@ -568,5 +581,56 @@ object ScaleProbe {
       val density = if (grams == 0) 0.0 else fpCount.toDouble / grams
       println(f"$f,$bpeS%.2f,$winS%.2f,$fpCount,$density%.4f,$zipfS%.2f,$klS%.2f,$evS%.2f,$evPairs,$maintS%.2f,$rebuildS%.2f")
     }
+  }
+
+  /** The q130 band-geometry knob at corpus multiples (VERDICT r14 #7):
+    * editVerifiedPairs under the default rows-per-band (numPerm 16 /
+    * bands 4 → 4) vs a stricter 8 (numPerm 32 / bands 4) on the same
+    * mutated replication. Columns report wall AND verified pair output
+    * for both, so the SCALE.md row shows the knob cutting candidate
+    * volume (wall) without losing the near-dup families the verify
+    * stage exists to keep. */
+  private def editBandProbe(spark: SparkSession, dir: String,
+      factors: Seq[Int]): Unit = {
+    import graft.dedup.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source").persist()
+    docs.count()
+    val modulus = 4 * factors.max
+    def mutateText(c: org.apache.spark.sql.Column, i: Int) =
+      if (i == 0) c
+      else array_join(transform(split(c, " "), (w, p) =>
+        when(pmod(p * 37 + 11, lit(modulus)) < i, concat(w, lit(s"_m$i"))).otherwise(w)), " ")
+    def docsCopy(i: Int): DataFrame = docs.select(
+      (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+      mutateText(col("text"), i).as("text"))
+    def time(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    // candidates = banded-collision pairs BEFORE the verify stage (the
+    // volume the geometry actually governs); pairs = verified output
+    // (recall at the edit threshold). First factor in the list doubles
+    // as the JIT/codegen warmup — pass `1,16` and read the 16 row.
+    println("factor,rows4_s,rows4_cands,rows4_pairs,rows8_s,rows8_cands,rows8_pairs")
+    for (f <- factors) {
+      val docsN = (0 until f).map(docsCopy).reduce(_ unionByName _).persist()
+      docsN.count()
+      var c4 = 0L; var p4 = 0L; var c8 = 0L; var p8 = 0L
+      val s4 = time {
+        c4 = Dedup.minhashLshPairs(docsN, "doc_id", "text",
+          n = 3, numPerm = 16, bands = 4, threshold = 0.0).count()
+        p4 = Dedup.editVerifiedPairs(docsN, "doc_id", "text",
+          n = 3, numPerm = 16, bands = 4, threshold = 0.8).count()
+      }
+      val s8 = time {
+        c8 = Dedup.minhashLshPairs(docsN, "doc_id", "text",
+          n = 3, numPerm = 32, bands = 4, threshold = 0.0).count()
+        p8 = Dedup.editVerifiedPairs(docsN, "doc_id", "text",
+          n = 3, numPerm = 32, bands = 4, threshold = 0.8).count()
+      }
+      docsN.unpersist()
+      println(f"$f,$s4%.2f,$c4,$p4,$s8%.2f,$c8,$p8")
+    }
+    docs.unpersist()
   }
 }

@@ -1064,4 +1064,120 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter"))).as("exact_jaccard"),
         col("inter"), col("n_a"), col("n_b"))
   }
+
+  /** LSH band-geometry PLANNER — the knob that governs every banded
+    * operator's candidate volume ([[minhashLshPairs]],
+    * [[editVerifiedPairs]], the streaming near-dup family), computed
+    * instead of hand-tuned. For a signature budget of `numPerm`
+    * permutations and a similarity threshold `t`, every factorization
+    * `numPerm = bands x rows` induces the S-curve
+    * `p(s) = 1 - (1 - s^rows)^bands` (probability a pair at Jaccard `s`
+    * becomes a candidate). The planner reports, per factorization:
+    *
+    *  - `fp_e12` — left-Riemann sum of p(s) BELOW the threshold on a
+    *    1/grid lattice, in units of 1e-12 (divide by 1e12·grid for the
+    *    area): expected candidate volume from sub-threshold pairs — the
+    *    wasted verify work that drove q130's 16x growth;
+    *  - `fn_e12` — sum of 1 − p(s) at/above the threshold, same units:
+    *    recall lost to the banding;
+    *  - `chosen` — the factorization minimizing fp + fn.
+    *
+    * At 100 TB the planner is the difference between a verify stage
+    * sized by math and one sized by folklore: SCALE.md's editband probe
+    * measures exactly this trade (rows-per-band 4 vs 8 on the same
+    * corpus) and the planner names the crossover without a probe run.
+    *
+    * Numerics (the q90 integer-exact discipline): every power is
+    * computed by REPEATED MULTIPLICATION in DECIMAL(14,12), rounded to
+    * scale 12 per step (`round` is half-up in both engines for positive
+    * values), sums stay in DECIMAL, and the outputs are INTEGERS —
+    * no float `pow` (libm rounding differs across platforms), no
+    * decimal division (DuckDB performs it in floating point). The
+    * oracle drives the same recurrence through recursive CTEs —
+    * conservative, version-stable SQL, no lambdas, no comprehensions. */
+  def lshPlan(numPerm: Int, threshold: Double, grid: Int = 1000): DataFrame = {
+    require(numPerm >= 1 && grid >= 10, s"numPerm=$numPerm grid=$grid")
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold")
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val configs = (1 to numPerm).filter(numPerm % _ == 0)
+      .map(b => (b, numPerm / b))
+    // threshold snapped to the grid so the fp/fn split is an INTEGER
+    // comparison in both engines (s_i = i/grid < t  <=>  i < tIdx)
+    val tIdx = math.round(threshold * grid).toInt
+    val dec = "decimal(14,12)"
+    val one = lit(new java.math.BigDecimal(1).setScale(12)).cast(dec)
+    val step = lit(new java.math.BigDecimal(1)
+      .divide(new java.math.BigDecimal(grid), 12, java.math.RoundingMode.HALF_UP))
+    val e12 = lit(new java.math.BigDecimal(10).pow(12))
+    def pw(base: Column, n: Column): Column =
+      aggregate(sequence(lit(1), n), one,
+        (acc, _) => round(acc * base, 12).cast(dec))
+    val curve = configs.toDF("bands", "rows_per_band")
+      .crossJoin(spark.range(0, grid).toDF("i"))
+      .withColumn("s", round(col("i").cast("decimal(16,0)") * step, 12).cast(dec))
+      .withColumn("sr", pw(col("s"), col("rows_per_band")))
+      .withColumn("qb", pw((one - col("sr")).cast(dec), col("bands")))
+      .withColumn("p", (one - col("qb")).cast(dec))
+    val zero = lit(new java.math.BigDecimal(0).setScale(12)).cast(dec)
+    val areas = curve.groupBy("bands", "rows_per_band").agg(
+      (sum(when(col("i") < tIdx, col("p")).otherwise(zero)) * e12)
+        .cast("long").as("fp_e12"),
+      (sum(when(col("i") >= tIdx, (one - col("p")).cast(dec)).otherwise(zero)) * e12)
+        .cast("long").as("fn_e12"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      (col("fp_e12") + col("fn_e12")).asc, col("bands").asc)
+    areas
+      .withColumn("chosen", (row_number().over(w) === 1).cast("int"))
+      .select(col("bands"), col("rows_per_band"),
+        col("fp_e12"), col("fn_e12"), col("chosen"))
+      .orderBy("bands")
+  }
+
+  /** Conservative DuckDB oracle for [[lshPlan]] — the same DECIMAL
+    * recurrence via recursive CTEs (power = repeated multiply rounded to
+    * scale 12 per step). Generated for fixed (numPerm, threshold, grid)
+    * so the two formulations evolve together. */
+  def lshPlanOracle(numPerm: Int, threshold: Double, grid: Int = 1000): String = {
+    val configs = (1 to numPerm).filter(numPerm % _ == 0)
+      .map(b => s"($b, ${numPerm / b})").mkString(", ")
+    val tIdx = math.round(threshold * grid).toInt
+    s"""
+      WITH RECURSIVE cfg AS (SELECT * FROM (VALUES $configs) v(bands, rows_per_band)),
+      pts AS (
+        SELECT bands, rows_per_band, i,
+          CAST(round(i / $grid.0, 12) AS DECIMAL(14,12)) AS s
+        FROM cfg, range(0, $grid) t(i)),
+      powr(bands, rows_per_band, i, k, v) AS (
+        SELECT bands, rows_per_band, i, 0, CAST(1 AS DECIMAL(14,12)) FROM pts
+        UNION ALL
+        SELECT p.bands, p.rows_per_band, p.i, k + 1,
+          CAST(round(v * s, 12) AS DECIMAL(14,12))
+        FROM powr p JOIN pts USING (bands, rows_per_band, i)
+        WHERE k < p.rows_per_band),
+      sr AS (
+        SELECT bands, rows_per_band, i, v AS srv
+        FROM powr p WHERE k = p.rows_per_band),
+      powb(bands, rows_per_band, i, k, v) AS (
+        SELECT bands, rows_per_band, i, 0, CAST(1 AS DECIMAL(14,12)) FROM sr
+        UNION ALL
+        SELECT p.bands, p.rows_per_band, p.i, k + 1,
+          CAST(round(v * (1 - srv), 12) AS DECIMAL(14,12))
+        FROM powb p JOIN sr USING (bands, rows_per_band, i)
+        WHERE k < p.bands),
+      curve AS (
+        SELECT bands, rows_per_band, i, CAST(1 - v AS DECIMAL(14,12)) AS p
+        FROM powb b WHERE k = b.bands),
+      areas AS (
+        SELECT bands, rows_per_band,
+          CAST(SUM(CASE WHEN i < $tIdx THEN p
+                        ELSE CAST(0 AS DECIMAL(14,12)) END) * 1000000000000 AS BIGINT) AS fp_e12,
+          CAST(SUM(CASE WHEN i >= $tIdx THEN CAST(1 - p AS DECIMAL(14,12))
+                        ELSE CAST(0 AS DECIMAL(14,12)) END) * 1000000000000 AS BIGINT) AS fn_e12
+        FROM curve GROUP BY bands, rows_per_band)
+      SELECT bands, rows_per_band, fp_e12, fn_e12,
+        CASE WHEN row_number() OVER (ORDER BY fp_e12 + fn_e12, bands) = 1
+             THEN 1 ELSE 0 END AS chosen
+      FROM areas ORDER BY bands"""
+  }
 }

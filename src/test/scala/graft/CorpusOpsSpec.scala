@@ -97,6 +97,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("lshPlan: S-curve areas track an independent double computation; chosen = argmin") {
+    val grid = 1000
+    val t = 0.8
+    val out = Dedup.lshPlan(numPerm = 16, threshold = t, grid = grid)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(out.keySet == Set((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)))
+    // independent float reference: the DECIMAL per-step rounding drifts
+    // at most ~1e-12 per multiply, invisible at 1e-4 relative tolerance
+    def ref(b: Int, r: Int): (Double, Double) = {
+      var fp = 0.0; var fn = 0.0
+      for (i <- 0 until grid) {
+        val s = i.toDouble / grid
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (i < (t * grid).round) fp += p else fn += 1.0 - p
+      }
+      (fp, fn)
+    }
+    out.foreach { case ((b, r), (fpE12, fnE12, _)) =>
+      val (fp, fn) = ref(b, r)
+      assert(math.abs(fpE12 / 1e12 - fp) < 1e-4, s"fp($b,$r): ${fpE12 / 1e12} vs $fp")
+      assert(math.abs(fnE12 / 1e12 - fn) < 1e-4, s"fn($b,$r): ${fnE12 / 1e12} vs $fn")
+    }
+    val chosen = out.toSeq.collect { case (k, (_, _, 1)) => k }.toSet
+    val best = out.minBy { case ((b, _), (fp, fn, _)) => (fp + fn, b) }._1
+    assert(chosen == Set(best), s"chosen $chosen != argmin $best")
+    assert(out.values.count(_._3 == 1) == 1, "exactly one chosen config")
+  }
+
   test("editVerifiedPairs: empty corpus returns empty, no NPE on the max-len probe") {
     val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.editVerifiedPairs(empty, "doc_id", "text").count() == 0L)

@@ -150,31 +150,38 @@ class PollingE2ESpec extends SparkSpec {
     // 1 Hz-style device at 25 ms: without retention this spool grows one
     // file per poll forever (the VERDICT r10 defect); with it, files
     // older than the window are swept ON PUBLISH while a concurrently
-    // RUNNING stream (lag << window) loses nothing.
+    // RUNNING stream loses nothing. Window 4 s, run 10 s (VERDICT r14
+    // #4 deflake): the old 2.5 s window required the streaming reader's
+    // lag to stay under 2.5 s for the whole run, which a full-suite GC
+    // pause or leftover state-store maintenance stall could exceed —
+    // green isolated, red once per few full runs. 4 s tolerates a
+    // doubled stall while still sweeping ~2.5 windows in-run.
+    val retention = 4000
     val src = new PollingSource("ret-dev", spool, () => Seq(s"v${n.incrementAndGet()}"),
-      delayMs = 25, retentionMs = 2500)
+      delayMs = 25, retentionMs = retention)
     src.start()
     val q = src.rawStream(spark).writeStream.format("parquet")
       .option("path", s"$out/data")
       .option("checkpointLocation", s"$out/ckpt")
       .outputMode("append").start()
     try {
-      // run for ~3 retention windows of continuous polling + streaming
-      // (window sized so a full-suite load spike's reader lag stays
-      // inside it — the "misses nothing" half of the contract)
-      val until = System.currentTimeMillis() + 7000
+      // run for ~2.5 retention windows of continuous polling + streaming
+      val until = System.currentTimeMillis() + 10000
       while (System.currentTimeMillis() < until) Thread.sleep(100)
       def files = Option(new java.io.File(spool).listFiles())
         .getOrElse(Array.empty).filter(_.getName.endsWith(".txt"))
       val midRun = n.get()
       assert(midRun >= 60, s"expected a busy poller, got $midRun polls")
-      // bounded: ~window/delay files survive, not one per poll
+      // bounded: ~window/delay files survive, not one per poll (under
+      // contention polls AND the sweep slow together, so the bound is
+      // proportional, with headroom for a stalled tail)
       val surviving = files.length
-      assert(surviving < midRun / 2,
+      assert(surviving < midRun * 2 / 3,
         s"retention never deleted: $surviving files for $midRun polls")
-      // the sweep only removes files older than the window
+      // the sweep only removes files older than the window (slack for a
+      // publish stall between sweeps)
       val mtimes = files.map(_.lastModified()).filter(_ > 0)
-      assert(mtimes.nonEmpty && System.currentTimeMillis() - mtimes.min < 5500,
+      assert(mtimes.nonEmpty && System.currentTimeMillis() - mtimes.min < retention + 4000,
         "old files must be gone")
       src.stop() // joins the poll thread, so the spool is frozen here
       val polled = n.get()
