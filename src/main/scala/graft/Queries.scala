@@ -4768,6 +4768,15 @@ object Queries {
     (s, dir) => Dedup.lshPlan(numPerm = 16, threshold = 0.8),
     Some(Dedup.lshPlanOracle(16, 0.8)))
 
+  // The planner's a-posteriori companion: banded-collision candidate
+  // volume per band, measured from signatures without materializing a
+  // pair — bucket count, max bucket (verify-stage straggler), exact
+  // sum C(bucket,2) per band (Dedup.bandCandidateVolume doc).
+  val q153_lsh_volume = Q("q153_lsh_volume",
+    (s, dir) => Dedup.bandCandidateVolume(documents(s, dir), "doc_id", "text",
+      n = 3, numPerm = 16, bands = 4),
+    Some(Dedup.bandCandidateVolumeOracle(16, 4)))
+
   // q132 stage probe: the FULL round-1 adjacent-pair count table,
   // order-insensitive, on the same conservative oracle primitives as
   // the rewritten q132 oracle (Bpe.oracleSql scaladoc). Green here with
@@ -4843,5 +4852,5 @@ object Queries {
     q144_user_entropy, q145_audit_twovalue, q146_audit_twostate_distinct,
     q147_audit_initialstate, q148_oracle_fingerprint,
     q149_audit_tuplestate, q150_audit_tuplekey, q151_bpe_pairs,
-    q152_lsh_plan)
+    q152_lsh_plan, q153_lsh_volume)
 }

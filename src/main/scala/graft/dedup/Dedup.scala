@@ -1065,6 +1065,74 @@ object Dedup {
         col("inter"), col("n_a"), col("n_b"))
   }
 
+  /** Banded-collision candidate VOLUME, measured from signatures
+    * without materializing a single pair — [[lshPlan]]'s a-posteriori
+    * companion: the planner integrates the S-curve a priori, this
+    * operator reports what a given geometry would actually generate on
+    * THIS corpus. Per band: the bucket count, the largest bucket (the
+    * skew that decides the verify stage's straggler), and
+    * `sum C(bucket, 2)` — the exact number of banded collision pairs
+    * the verify join would receive from that band (the distinct-pair
+    * candidate set is upper-bounded by the sum over bands).
+    *
+    * Scale shape: one signature pass + one groupBy per band slice —
+    * O(docs x bands) rows, never pairs; at 100 TB this is the cheap
+    * dry-run that decides whether [[editVerifiedPairs]]' verify stage
+    * is sized by [[lshPlan]]'s chosen geometry or needs tighter rows —
+    * the measurement SCALE.md's editband probe takes, as an operator. */
+  def bandCandidateVolume(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerm: Int = 16, bands: Int = 4): DataFrame = {
+    require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    val r = numPerm / bands
+    val sigs = withMinhashSignature(df, idCol, textCol, n, numPerm)
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * r + 1, lit(r)))))
+      .select(col("pos").cast("int").as("band_idx"), col("col").as("bucket"))
+    banded.groupBy("band_idx", "bucket").agg(count(lit(1)).as("sz"))
+      .groupBy("band_idx")
+      .agg(expr("count(*) AS n_buckets"),
+        expr("max(sz) AS max_bucket"),
+        expr("CAST(sum(sz * (sz - 1)) DIV 2 AS BIGINT) AS cand_pairs"))
+      .orderBy("band_idx")
+  }
+
+  /** DuckDB oracle for [[bandCandidateVolume]], generated for fixed
+    * (n=3, numPerm, bands). Signatures via the q27/q133-proven
+    * group-by-MIN form; band keys as joined strings (injective, so the
+    * grouping is identical to Spark's array keys, which never reach the
+    * output). */
+  def bandCandidateVolumeOracle(numPerm: Int, bands: Int): String = {
+    require(numPerm % bands == 0)
+    val r = numPerm / bands
+    val sigCols = (0 until numPerm).map(i =>
+      s"MIN((${2 * i + 1} * h + ${7919 * i + 1}) % 4294967311) AS s$i")
+      .mkString(",\n          ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (b * r until (b + 1) * r)
+        .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT $b AS band_idx, $key AS bucket FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH sh AS (
+        SELECT doc_id,
+          unnest(list_distinct([array_to_string((string_split(text,' '))[i:i+2], ' ')
+                 FOR i IN generate_series(1, greatest(len(string_split(text,' ')) - 2, 1))])) AS s
+        FROM documents),
+      hs AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh),
+      sig AS (
+        SELECT doc_id,
+          $sigCols
+        FROM hs GROUP BY doc_id),
+      banded AS (
+        $bandSelects),
+      b AS (SELECT band_idx, bucket, COUNT(*) AS sz FROM banded GROUP BY 1, 2)
+      SELECT band_idx, COUNT(*) AS n_buckets, MAX(sz) AS max_bucket,
+        CAST(SUM(sz * (sz - 1)) // 2 AS BIGINT) AS cand_pairs
+      FROM b GROUP BY band_idx ORDER BY band_idx"""
+  }
+
   /** LSH band-geometry PLANNER — the knob that governs every banded
     * operator's candidate volume ([[minhashLshPairs]],
     * [[editVerifiedPairs]], the streaming near-dup family), computed

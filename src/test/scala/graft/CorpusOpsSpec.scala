@@ -126,6 +126,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.values.count(_._3 == 1) == 1, "exactly one chosen config")
   }
 
+  test("bandCandidateVolume: exact C(n,2) per band; sum over bands bounds the candidate set") {
+    // 3 exact copies + 1 unrelated: every band's copy-bucket holds the 3
+    // copies (identical signatures), so each band contributes >= C(3,2)=3
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "totally different words having nothing shared here")
+    ).toDF("doc_id", "text")
+    val vol = Dedup.bandCandidateVolume(docs, "doc_id", "text",
+        n = 3, numPerm = 16, bands = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(vol.keySet == Set(0, 1, 2, 3))
+    vol.values.foreach { case (nBuckets, maxBucket, candPairs) =>
+      assert(maxBucket == 3L, s"copy bucket must hold the 3 copies, got $maxBucket")
+      assert(candPairs == 3L, s"each band contributes C(3,2)=3, got $candPairs")
+      assert(nBuckets == 2L) // the copy bucket + the unrelated doc's
+    }
+    // the union-bounded distinct candidate set: 3 pairs, <= sum over bands
+    val cands = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numPerm = 16, bands = 4, threshold = 0.0).count()
+    assert(cands == 3L)
+    assert(cands <= vol.values.map(_._3).sum)
+  }
+
   test("editVerifiedPairs: empty corpus returns empty, no NPE on the max-len probe") {
     val empty = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.editVerifiedPairs(empty, "doc_id", "text").count() == 0L)

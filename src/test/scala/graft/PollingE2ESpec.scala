@@ -95,10 +95,13 @@ class PollingE2ESpec extends SparkSpec {
       bucket = Some("sensors"))
     src.start()
     try {
-      // wait until a few successful polls have spooled
+      // wait until a few successful polls are DURABLE in the spool (poll
+      // count alone races src.stop() — see `spooled`)
       val deadline = System.currentTimeMillis() + 15000
-      while (n.get() < 5 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      while ((n.get() < 5 || spooled(spool) < 4) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
       assert(n.get() >= 5, "poller should keep polling after a failure")
+      assert(spooled(spool) >= 4, "4 successful polls must be durable")
       src.stop() // freeze the spool so processAllAvailable can drain
 
       val points = StreamOps.normalize(Map("observatory" -> "LCO"))(
@@ -142,6 +145,15 @@ class PollingE2ESpec extends SparkSpec {
     while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(25)
     assert(cond, s"timed out waiting for: $what")
   }
+
+  /** Published spool files. The live tests wait on THIS, not on the
+    * device's request counter: a poll the device has answered is not
+    * yet durable until the spool publish lands, and `src.stop()`'s
+    * interrupt can fall in that gap — counting requests then stopping
+    * lost the final poll once per few full-suite runs (374/375). */
+  private def spooled(spool: String): Int =
+    Option(new java.io.File(spool).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".txt"))
 
   test("spool retention: a long-running poller's spool stays bounded and the live stream misses nothing") {
     val spool = Files.createTempDirectory("graft-ret-spool-").toString
@@ -232,6 +244,7 @@ class PollingE2ESpec extends SparkSpec {
       device.restart()
       val before = device.requests.get()
       waitFor("reconnect after outage")(device.requests.get() >= before + 2)
+      waitFor("5 polls durable in the spool")(spooled(spool) >= 5)
       src.stop()
       poll.close()
 
@@ -271,7 +284,7 @@ class PollingE2ESpec extends SparkSpec {
       bucket = Some("sensors"))
     src.start()
     try {
-      waitFor("3 sens4 polls")(device.requests.get() >= 3)
+      waitFor("3 sens4 polls durable in the spool")(spooled(spool) >= 3)
       src.stop()
       poll.close()
 
