@@ -353,8 +353,14 @@ object Bench {
         Some(q.name -> trimmed(trimmed.length / 2))
       }
     }.toMap
-    val calibMedian =
-      if (calibs.isEmpty) 0.0 else calibs.sorted.apply(calibs.length / 2)
+    // the first pass's calibration is JIT-cold (measured ~1.6 s vs ~0.15
+    // warm) — drop it from the published median so calib_s tracks the
+    // machine, not the JVM's first minute; the full array stays in the
+    // reps file
+    val calibMedian = {
+      val warm = if (calibs.length > 1) calibs.drop(1) else calibs.toSeq
+      if (warm.isEmpty) 0.0 else warm.sorted.apply(warm.length / 2)
+    }
     // Round-over-round movement flags: compare medians against the most
     // recent BENCH_r*.json in the working directory (or an explicit
     // SPARK_GRAFT_BASELINE path). A >1.5x move either way on unchanged
