@@ -2712,7 +2712,7 @@ object Queries {
         FROM tagged WHERE is_stream)
       SELECT s.doc_id, s.lang, s.source,
         COALESCE(c.c_docs, 0) + ROW_NUMBER() OVER w AS run_docs,
-        COALESCE(c.c_chars, 0) + SUM(s.n_chars) OVER w AS run_chars
+        CAST(COALESCE(c.c_chars, 0) + SUM(s.n_chars) OVER w AS BIGINT) AS run_chars
       FROM stream s LEFT JOIN corpus c ON s.lang = c.lang AND s.source = c.source
       WINDOW w AS (PARTITION BY s.lang, s.source ORDER BY s.doc_id)
       ORDER BY s.doc_id"""))
@@ -2751,8 +2751,8 @@ object Queries {
                  ORDER BY ts) = 1 THEN 1 ELSE 0 END AS first_seen
         FROM events)
       SELECT event_type, ts, user_id,
-        SUM(first_seen) OVER (PARTITION BY event_type ORDER BY ts
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS distinct_users
+        CAST(SUM(first_seen) OVER (PARTITION BY event_type ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS distinct_users
       FROM flagged
       ORDER BY event_type, ts"""))
 
@@ -4664,7 +4664,7 @@ object Queries {
         SELECT lang, source, n_chars FROM tagged WHERE is_stream)
       SELECT s.lang, s.source,
         COALESCE(c.c_docs, 0) + COUNT(*) AS fin_docs,
-        COALESCE(c.c_chars, 0) + SUM(s.n_chars) AS fin_chars
+        CAST(COALESCE(c.c_chars, 0) + SUM(s.n_chars) AS BIGINT) AS fin_chars
       FROM stream s LEFT JOIN corpus c ON s.lang = c.lang AND s.source = c.source
       GROUP BY s.lang, s.source, c.c_docs, c.c_chars
       ORDER BY 1, 2"""))

@@ -163,7 +163,7 @@ object Bpe {
         FROM $prev, m$k m)"""
       s""",
       p$k AS (
-        SELECT l, r, SUM(c) AS cnt FROM (
+        SELECT l, r, CAST(SUM(c) AS BIGINT) AS cnt FROM (
           SELECT unnest(y[1:len(y)-1]) AS l, unnest(y[2:len(y)]) AS r, c FROM (
             SELECT string_split(trim(s, chr(1)), chr(1) || chr(1)) AS y, c FROM $prev))
         GROUP BY l, r),
@@ -204,7 +204,7 @@ object Bpe {
             regexp_replace(word, '([\s\S])', chr(1) || '\1' || chr(1), 'g'),
             chr(1)), chr(1) || chr(1)) AS y, c
         FROM wc)
-      SELECT l, r, SUM(c) AS cnt FROM (
+      SELECT l, r, CAST(SUM(c) AS BIGINT) AS cnt FROM (
         SELECT unnest(y[1:len(y)-1]) AS l, unnest(y[2:len(y)]) AS r, c FROM cs)
       GROUP BY l, r ORDER BY l, r"""
 }

@@ -32,4 +32,25 @@ class HarnessSpec extends SparkSpec {
     assert(Verify.q("a\"b\\c\nd\te") == "\"a\\\"b\\\\c\\nd\\te\"")
     assert(Verify.q("\u0001") == "\"\\u0001\"")
   }
+
+  // VERDICT r15 #2a: DuckDB widens integer SUM to HUGEINT, and the
+  // driver's pandas fetch coerces HUGEINT to float64 → "8.0" vs "8" →
+  // hash red with rows/schema green (the five-round q87/q89 signature).
+  // Lint every oracle's RESULT types via DESCRIBE so the class can never
+  // be reintroduced: any non-driver-safe output column (HUGEINT,
+  // DECIMAL, …) fails here, before a driver round is spent on it.
+  test("oracle output types are driver-safe (no HUGEINT/DECIMAL widening)") {
+    import scala.sys.process._
+    val probe = Process(Seq("python3", "-c", "import duckdb, pandas")).!(ProcessLogger(_ => ()))
+    assume(probe == 0, "python3 with duckdb+pandas unavailable — lint skipped")
+    val dir = java.nio.file.Files.createTempDirectory("oracle-lint")
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${Verify.q(k)}: ${Verify.q(v)}" }.mkString("{", ",", "}")
+    val jsonPath = dir.resolve("oracle_sql.json")
+    java.nio.file.Files.writeString(jsonPath, json)
+    val out = new StringBuilder
+    val rc = Process(Seq("python3", "tools/lint_oracle_types.py", sf(), jsonPath.toString))
+      .!(ProcessLogger(l => out.append(l).append('\n')))
+    assert(rc == 0, s"oracle type lint failed:\n$out")
+  }
 }

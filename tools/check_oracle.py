@@ -2,9 +2,19 @@
 """Local pre-check of SparkEntry oracles against DuckDB, mimicking the
 driver's compare: for each query, read the Spark parquet dump and run the
 oracle SQL in DuckDB over the same source tables; compare schema (sorted
-column names), row count, and a canonical value hash."""
+column names), row count, and a canonical value hash.
+
+VERDICT r15 #2b: fetch BOTH sides via the pandas path (`.df()`), not
+`fetchall()`. DuckDB silently widens integer SUM to HUGEINT, and a
+pandas-converting client coerces HUGEINT to float64 — canonicalizing
+"8.0" where the Spark BIGINT side reads "8". The old fetchall() mimic got
+Python ints on both sides and was blind to that whole divergence class
+for five rounds (q87/q89/q123/q132/q146/q147/q151). Fetching via .df()
+makes the local gate canonicalize the way the driver's harness does.
+"""
 import sys, json, glob, math, hashlib
 import duckdb
+import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -22,7 +32,21 @@ def canon(v):
         if math.isnan(v): return "NaN"
         return repr(round(v, 9))
     if isinstance(v, bool): return str(int(v))
+    # numpy scalars stringify like their Python counterparts except for
+    # bool_/datetime64; normalize through .item() when available
+    item = getattr(v, "item", None)
+    if item is not None and not isinstance(v, (str, bytes)):
+        try: return canon(v.item())
+        except Exception: pass
+    if v is pd.NaT: return "NULL"
     return str(v)
+
+def fetch(rel):
+    """Fetch a DuckDB relation the way a pandas client does."""
+    df = rel.df()
+    cols = list(df.columns)
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    return cols, rows
 
 def table_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -34,10 +58,8 @@ def table_hash(cols, rows):
 fails = []
 for name in sorted(oracles):
     try:
-        sp = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        sp_cols = [d[0] for d in sp.description]; sp_rows = sp.fetchall()
-        du = con.execute(oracles[name])
-        du_cols = [d[0] for d in du.description]; du_rows = du.fetchall()
+        sp_cols, sp_rows = fetch(con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
+        du_cols, du_rows = fetch(con.sql(oracles[name]))
         if sorted(sp_cols) != sorted(du_cols):
             fails.append(name); print(f"FAIL {name}: cols spark={sorted(sp_cols)} duck={sorted(du_cols)}"); continue
         if len(sp_rows) != len(du_rows):
