@@ -49,15 +49,26 @@ import org.apache.spark.sql.SparkSession
   * The artifact records what actually ran: `"reps_used"`,
   * `"warmup_used"`, `"budget_s"`.
   *
-  * CALIBRATION (VERDICT r14 #5: a machine-speed change cost a cross-jar
-  * A/B to prove): every pass starts with a fixed CPU-bound calibration
-  * query (a sum over `spark.range` — no IO, no shuffle width
-  * sensitivity); per-pass times land in the reps file (`"calib"`) and
-  * the summary carries the median (`"calib_s"`). Movement flags against
-  * a baseline that also carries `calib_s` are calibration-normalized
-  * (the prev value is scaled by calibNow/calibPrev and the flag carries
-  * `"calib_norm":true`), so the next machine change is visible in the
-  * artifact itself instead of masquerading as 80 regressions.
+  * CALIBRATION (VERDICT r14 #5, widened per VERDICT r15 #2: the r15
+  * driver run had calib_s FASTER than the builder's while 30 queries ran
+  * >3× slower — the CPU probe cannot see the subsystem that moved).
+  * Every pass starts with THREE fixed calibration probes, one per
+  * machine subsystem the suite exercises:
+  *   - `calib_s`       — CPU-bound range-sum (no IO, no shuffle);
+  *   - `calib_shuffle_s` — a small groupBy exchange through the noop
+  *     sink (shuffle write + fetch + local disk);
+  *   - `calib_state_s` — a 2-trigger micro-replay of a 200-row manifest
+  *     spool through flatMapGroupsWithState with a fresh RocksDB
+  *     checkpoint (state-store commit + checkpoint fsync + sink commit
+  *     — the streaming-replay floor).
+  * Per-pass times land in the reps file (`"calib"`, `"calib_shuffle"`,
+  * `"calib_state"`) and the summary carries the medians. Movement flags
+  * are normalized PER FAMILY: a streaming-family query's baseline value
+  * is scaled by the state calibration's ratio, everything else by the
+  * shuffle calibration's (both fall back to the CPU ratio when the
+  * baseline artifact predates the split); the flag carries
+  * `"calib_norm":true`. A machine whose disk phase — not CPU — changed
+  * then reads as calibration movement, not as 80 phantom regressions.
   *
   * Each rep executes the FULL physical plan via the noop sink (count()
   * would let the optimizer prune projections/sorts and understate the
@@ -138,6 +149,52 @@ object Bench {
       spark.range(256L * 1000 * 1000).selectExpr("sum(id * 2 + 1)").collect()
       (System.nanoTime() - t) / 1e9
     }
+    // Shuffle calibration: 4M rows through a real exchange (shuffle
+    // write + fetch via local disk) into the noop sink — the subsystem
+    // the CPU probe is blind to (VERDICT r15 #2: the r15 driver machine
+    // was 1.7x slower on shuffle-heavy queries at a FASTER calib_s).
+    def calibShuffleOnce(): Double = {
+      val t = System.nanoTime()
+      spark.range(4L * 1000 * 1000)
+        .selectExpr("id % 100000 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    // State-store calibration: a 2-trigger micro-replay (200 rows, 10
+    // series) through flatMapGroupsWithState with a FRESH RocksDB
+    // checkpoint each time — prices the streaming-replay floor
+    // (per-trigger state commits, checkpoint-log fsyncs, sink commit)
+    // that dominated the driver's r15 wall. The spool is built once per
+    // JVM, outside any timing window.
+    lazy val stateCalibSpool: java.io.File = {
+      val d = java.nio.file.Files.createTempDirectory("graft-calib-spool").toFile
+      val df = spark.range(200)
+        .selectExpr("id", "cast(id % 10 as string) AS series",
+          "timestamp_micros(id * 1000000) AS ts", "cast(id as double) AS value")
+      graft.streaming.ReplayScaffold.writeManifestBatch(
+        d, df.filter("id % 2 = 0").drop("id"), 0)
+      graft.streaming.ReplayScaffold.writeManifestBatch(
+        d, df.filter("id % 2 = 1").drop("id"), 1)
+      d
+    }
+    val calibSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("series", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def calibStateOnce(): Double = {
+      graft.streaming.StreamingDedup.configureStateStore(spark)
+      val runDir = graft.streaming.ReplayScaffold.freshRunDir(stateCalibSpool)
+      val t = System.nanoTime()
+      import spark.implicits._
+      val in = graft.streaming.ReplayScaffold
+        .manifestStream(spark, stateCalibSpool, calibSchema)
+        .as[graft.streaming.StatefulOps.SeriesPoint]
+      graft.streaming.ReplayScaffold
+        .runToParquet(graft.streaming.StatefulOps.ewma(in, 0.2).toDF(), runDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
     // Streaming residue release, once per pass: every streaming rep
     // leaves (a) its terminated StreamingQuery in the manager's
     // terminated list — each retains lastExecution's physical plan
@@ -178,6 +235,8 @@ object Bench {
       }
     }
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibsShuffle = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibsState = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
@@ -186,8 +245,14 @@ object Bench {
     // PARTIAL summary line is staged, and a shutdown hook prints it —
     // marked "partial":true — if the JVM dies before the normal summary.
     // A killed bench then still leaves a parseable artifact on stdout,
-    // stderr AND in BENCH.json, with whatever medians existed at kill
-    // time. The hook is disarmed right before the normal summary prints.
+    // stderr AND in BENCH_partial.json, with whatever medians existed at
+    // kill time. The FILE copy goes to its own path, never BENCH.json
+    // (ADVICE r15 #2: a killed 16x SKIP run would otherwise clobber the
+    // committed 1x full-suite artifact with a partial from another sf —
+    // the partial line itself carries "sf" and "partial":true, so a
+    // consumer can always attribute it). The stale partial is removed on
+    // normal completion; the hook is disarmed right before the normal
+    // summary prints.
     val partialLine = new java.util.concurrent.atomic.AtomicReference[String](null)
     def stagePartial(): Unit = {
       val res = suite.flatMap { q =>
@@ -209,8 +274,7 @@ object Bench {
         System.out.println(line); System.out.flush()
         System.err.println(line); System.err.flush()
         try {
-          val w = new java.io.PrintWriter(
-            if (only.isDefined) "BENCH_subset.json" else "BENCH.json", "UTF-8")
+          val w = new java.io.PrintWriter("BENCH_partial.json", "UTF-8")
           try w.println(line) finally w.close()
         } catch { case _: Throwable => () }
       }
@@ -219,6 +283,10 @@ object Bench {
         times: scala.collection.mutable.Map[String, Vector[Double]]): Unit = {
       val p0 = System.nanoTime()
       calibs += calibOnce()
+      calibsShuffle += calibShuffleOnce()
+      calibsState += (try calibStateOnce() catch {
+        case e: Throwable => System.err.println(s"[bench] state calib: $e"); -1.0
+      })
       suite.foreach { q =>
         val t = runOnce(q)
         if (record) {
@@ -334,6 +402,11 @@ object Bench {
       System.err.println(s"[bench] budget governor: skipping the " +
         s"${probes.size} diagnostic probes (${j3(elapsed)} s elapsed)")
     }
+    // The documented skip signal (ADVICE r15 #1): probes_s:-1 alone was
+    // an undocumented sentinel — emit the promised flag in BOTH artifacts
+    // when the probes block was shed.
+    val probesSkippedJson =
+      if (probes.nonEmpty && probesS < 0) ",\"probes_skipped\":true" else ""
     // per-pass rep times on stderr for harness diagnosis (not part of
     // the one-line JSON contract on stdout)
     suite.foreach { q =>
@@ -357,10 +430,14 @@ object Bench {
     // warm) — drop it from the published median so calib_s tracks the
     // machine, not the JVM's first minute; the full array stays in the
     // reps file
-    val calibMedian = {
-      val warm = if (calibs.length > 1) calibs.drop(1) else calibs.toSeq
+    def warmMedian(buf: Seq[Double]): Double = {
+      val ok = buf.filter(_ >= 0)
+      val warm = if (ok.length > 1) ok.drop(1) else ok
       if (warm.isEmpty) 0.0 else warm.sorted.apply(warm.length / 2)
     }
+    val calibMedian = warmMedian(calibs.toSeq)
+    val calibShuffleMedian = warmMedian(calibsShuffle.toSeq)
+    val calibStateMedian = warmMedian(calibsState.toSeq)
     // Round-over-round movement flags: compare medians against the most
     // recent BENCH_r*.json in the working directory (or an explicit
     // SPARK_GRAFT_BASELINE path). A >1.5x move either way on unchanged
@@ -401,12 +478,21 @@ object Bench {
             .flatMap(p => Option(p.get(name))))
         val prevStat = field("stat").map(_.asText()).getOrElse("median")
         val crossStat = prevStat != "trimmed_median"
-        val prevCalib = field("calib_s").map(_.asDouble()).filter(_ > 0)
-        val calibScale = prevCalib match {
-          case Some(pc) if calibMedian > 0 => calibMedian / pc
-          case _ => 1.0
-        }
-        val calibNorm = prevCalib.isDefined && calibMedian > 0
+        // Per-family normalization (VERDICT r15 #2): scale a streaming
+        // query's baseline by the STATE calibration ratio and a batch
+        // query's by the SHUFFLE ratio, falling back to the CPU ratio
+        // when the baseline artifact predates the three-probe split.
+        def prevField(n: String) = field(n).map(_.asDouble()).filter(_ > 0)
+        def ratio(prev: Option[Double], now: Double): Option[Double] =
+          prev.collect { case p if now > 0 => now / p }
+        val cpuScale = ratio(prevField("calib_s"), calibMedian)
+        val shuffleScale = ratio(prevField("calib_shuffle_s"), calibShuffleMedian)
+          .orElse(cpuScale)
+        val stateScale = ratio(prevField("calib_state_s"), calibStateMedian)
+          .orElse(cpuScale)
+        def scaleFor(name: String): Double =
+          (if (streamingFamily(name)) stateScale else shuffleScale).getOrElse(1.0)
+        val calibNorm = cpuScale.isDefined
         if (baseSf != sfOf(sfDir)) Seq.empty
         else {
           val qNode = field("queries")
@@ -421,9 +507,9 @@ object Bench {
               val tail = Option(root.get("tail")).map(_.asText()).getOrElse("")
               "\"(q[0-9]+[a-z]?(?:_[A-Za-z0-9_]+)?)\":([0-9.]+)".r.findAllMatchIn(tail)
                 .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
-          }).map { case (k, v) => short(k) -> v * calibScale }
+          }).map { case (k, v) => short(k) -> v }
           results.toSeq.flatMap { case (name, now) =>
-            prev.get(short(name)).filter(p =>
+            prev.get(short(name)).map(_ * scaleFor(name)).filter(p =>
               p > 0 && now > 0 && (now / p > 1.5 || p / now > 1.5))
               .map(p => name -> (p, now, crossStat, calibNorm))
           }
@@ -463,10 +549,12 @@ object Bench {
       val minJson = mins.map { case (k, v) => "\"" + k + "\":" + j3(v) }
         .mkString("{", ",", "}")
       val calibJson = calibs.map(j3).mkString("[", ",", "]")
+      val calibShuffleJson = calibsShuffle.map(j3).mkString("[", ",", "]")
+      val calibStateJson = calibsState.map(j3).mkString("[", ",", "]")
       val passJson = passWalls.map(j3).mkString("[", ",", "]")
       val probesFailedJson = probesFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val w = new java.io.PrintWriter(repsOut, "UTF-8")
-      try w.println(s"""{"sf":"$sfDir","stat":"trimmed_median","budget_s":${j3(budget)},"warmup_used":$warmupUsed,"reps_used":$repsUsed,"renoise_used":$renoiseUsed,"probes_s":${j3(probesS)},"probes_failed":$probesFailedJson,"calib":$calibJson,"pass_walls":$passJson,"failed":$failedJson,"noisy":$noisyJson,"median":$medianJson,"min":$minJson,"reps":$repsJson,"moved_vs_prev":$movedJson}""")
+      try w.println(s"""{"sf":"$sfDir","stat":"trimmed_median","budget_s":${j3(budget)},"warmup_used":$warmupUsed,"reps_used":$repsUsed,"renoise_used":$renoiseUsed,"probes_s":${j3(probesS)}$probesSkippedJson,"probes_failed":$probesFailedJson,"calib":$calibJson,"calib_shuffle":$calibShuffleJson,"calib_state":$calibStateJson,"pass_walls":$passJson,"failed":$failedJson,"noisy":$noisyJson,"median":$medianJson,"min":$minJson,"reps":$repsJson,"moved_vs_prev":$movedJson}""")
       finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] reps file: $e") }
     // The driver's log capture keeps only the LAST 2000 chars of this
@@ -490,8 +578,10 @@ object Bench {
     val minTotal = if (mins.nonEmpty) mins.values.sum else 0.0
     val totalStr = j3(total)
     val failedStr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val summaryLine = s"""{"metric":"total","value":$totalStr,"unit":"sec","stat":"trimmed_median","min_total":${j3(minTotal)},"n_queries":${results.size},"reps_used":$repsUsed,"warmup_used":$warmupUsed,"budget_s":${j3(budget)},"calib_s":${j3(calibMedian)},"probes_s":${j3(probesS)},"failed":$failedStr,"noisy_count":${noisy.size},"moved_count":${moved.size},"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}"""
+    val summaryLine = s"""{"metric":"total","value":$totalStr,"unit":"sec","stat":"trimmed_median","min_total":${j3(minTotal)},"n_queries":${results.size},"reps_used":$repsUsed,"warmup_used":$warmupUsed,"budget_s":${j3(budget)},"calib_s":${j3(calibMedian)},"calib_shuffle_s":${j3(calibShuffleMedian)},"calib_state_s":${j3(calibStateMedian)},"probes_s":${j3(probesS)}$probesSkippedJson,"failed":$failedStr,"noisy_count":${noisy.size},"moved_count":${moved.size},"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}"""
     partialLine.set(null) // disarm the timeout hook — the real line follows
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("BENCH_partial.json"))
+    catch { case _: Throwable => () }
     println(summaryLine)
     spark.stop()
     // The summary must survive every capture mode (VERDICT r11 #2):

@@ -4073,13 +4073,19 @@ object Queries {
   // scores the exact character edit chain. The oracle replays the full
   // LSH candidate generation WITHOUT the implementation's length
   // prefilter, so a recall-lossy filter would show as a row mismatch.
+  // Band geometry is PLANNER-CHOSEN (VERDICT r15 #6): bands is omitted
+  // so editVerifiedPairs resolves it via lshPlanChoose(16, 0.8) — (2
+  // bands x 8 rows) — and the oracle's banding replay is GENERATED from
+  // the same resolver, so the two sides can never diverge on geometry.
   val q130_edit_verified = Q("q130_edit_verified",
     (s, dir) => Dedup.editVerifiedPairs(documents(s, dir), "doc_id", "text",
-        n = 3, numPerm = 16, bands = 4, threshold = 0.8)
+        n = 3, numPerm = 16, threshold = 0.8)
       .select(col("id_a"), col("id_b"), col("lev"),
         round(col("edit_sim"), 6).as("edit_sim"))
       .orderBy("id_a", "id_b"),
-    Some("""
+    Some {
+      val (b, r) = Dedup.lshPlanChoose(16, 0.8)
+      s"""
       WITH sh AS (
         SELECT doc_id AS id,
           list_transform(
@@ -4093,8 +4099,8 @@ object Queries {
            FOR i IN generate_series(0, 15)] AS sig
         FROM sh),
       banded AS (
-        SELECT id, b, array_to_string(sig[b*4+1:b*4+4], '-') AS band_key
-        FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+        SELECT id, b, array_to_string(sig[b*$r+1:b*$r+$r], '-') AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, ${b - 1})) AS b)),
       cand AS (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM banded a JOIN banded b ON a.b = b.b AND a.band_key = b.band_key AND a.id < b.id),
@@ -4110,7 +4116,8 @@ object Queries {
                    ELSE 1.0 - CAST(lev AS DOUBLE) / mx END, 6) AS edit_sim
       FROM v
       WHERE (CASE WHEN mx = 0 THEN 1.0 ELSE 1.0 - CAST(lev AS DOUBLE) / mx END) >= 0.8
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b"""
+    })
 
   // Heaps'-law vocabulary growth: new token types and cumulative
   // vocabulary per ingest bucket — the corpus-health curve that flattens
@@ -4777,6 +4784,29 @@ object Queries {
       n = 3, numPerm = 16, bands = 4),
     Some(Dedup.bandCandidateVolumeOracle(16, 4)))
 
+  // q141's delta through the VERSIONED commit protocol (VERDICT r15
+  // #7): the maintain publishes an immutable v2 holding only affected
+  // lists plus a manifest, then atomically swaps CURRENT — a concurrent
+  // reader never sees a half-overwritten partition. The oracle is the
+  // SAME full rebuild as q141's: a hash match proves versioned
+  // maintain == in-place maintain == rebuild.
+  val q154_ivf_versioned = Q("q154_ivf_versioned",
+    (s, dir) => {
+      val all = embCandidates(s, dir)
+      val oldC = all.filter(col("cand_id") % 7 =!= 0)
+      val (centroids, assignedOld) = Similarity.ivfIndex(oldC, nlist = 16)
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ivf-versioned-${Integer.toHexString(dir.hashCode)}").toString
+      Similarity.writeIvfLayoutVersioned(assignedOld, root)
+      val added = all.filter(col("cand_id") % 7 === 0 && col("cand_id") % 11 =!= 0)
+      val removed = all.filter(col("cand_id") % 11 === 0).select("cand_id")
+      Similarity.ivfMaintainVersioned(s, root, centroids, added, removed)
+      Similarity.readIvfLayoutVersioned(s, root)
+        .select(col("cand_id"), col("centroid"))
+        .orderBy("cand_id")
+    },
+    q141_ivf_maintain.oracle)
+
   // q132 stage probe: the FULL round-1 adjacent-pair count table,
   // order-insensitive, on the same conservative oracle primitives as
   // the rewritten q132 oracle (Bpe.oracleSql scaladoc). Green here with
@@ -4852,5 +4882,5 @@ object Queries {
     q144_user_entropy, q145_audit_twovalue, q146_audit_twostate_distinct,
     q147_audit_initialstate, q148_oracle_fingerprint,
     q149_audit_tuplestate, q150_audit_tuplekey, q151_bpe_pairs,
-    q152_lsh_plan, q153_lsh_volume)
+    q152_lsh_plan, q153_lsh_volume, q154_ivf_versioned)
 }

@@ -611,11 +611,18 @@ object ScaleProbe {
     // volume the geometry actually governs); pairs = verified output
     // (recall at the edit threshold). First factor in the list doubles
     // as the JIT/codegen warmup — pass `1,16` and read the 16 row.
-    println("factor,rows4_s,rows4_cands,rows4_pairs,rows8_s,rows8_cands,rows8_pairs")
+    // plan_* columns (VERDICT r15 #8): the PLANNER-CHOSEN geometry at
+    // the operator's own (numPerm 16, t 0.8) — lshPlanChoose resolves
+    // (2 bands x 8 rows) — i.e. what q130 now runs by default.
+    val (planBands, planRows) = Dedup.lshPlanChoose(16, 0.8)
+    println(s"[editband] planner geometry at (16, 0.8): " +
+      s"$planBands bands x $planRows rows/band")
+    println("factor,rows4_s,rows4_cands,rows4_pairs,rows8_s,rows8_cands,rows8_pairs,plan_s,plan_cands,plan_pairs")
     for (f <- factors) {
       val docsN = (0 until f).map(docsCopy).reduce(_ unionByName _).persist()
       docsN.count()
       var c4 = 0L; var p4 = 0L; var c8 = 0L; var p8 = 0L
+      var cp = 0L; var pp = 0L
       val s4 = time {
         c4 = Dedup.minhashLshPairs(docsN, "doc_id", "text",
           n = 3, numPerm = 16, bands = 4, threshold = 0.0).count()
@@ -628,8 +635,14 @@ object ScaleProbe {
         p8 = Dedup.editVerifiedPairs(docsN, "doc_id", "text",
           n = 3, numPerm = 32, bands = 4, threshold = 0.8).count()
       }
+      val sp = time {
+        cp = Dedup.minhashLshPairs(docsN, "doc_id", "text",
+          n = 3, numPerm = 16, bands = planBands, threshold = 0.0).count()
+        pp = Dedup.editVerifiedPairs(docsN, "doc_id", "text",
+          n = 3, numPerm = 16, threshold = 0.8).count() // bands: planner
+      }
       docsN.unpersist()
-      println(f"$f,$s4%.2f,$c4,$p4,$s8%.2f,$c8,$p8")
+      println(f"$f,$s4%.2f,$c4,$p4,$s8%.2f,$c8,$p8,$sp%.2f,$cp,$pp")
     }
     docs.unpersist()
   }

@@ -130,6 +130,13 @@ object Dedup {
     * hash) is high-cardinality, so the shuffle is well distributed.
     *
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est >= threshold.
+    *
+    * `bands = 0` (the default) resolves the geometry with
+    * [[lshPlanChoose]] at this operator's threshold (VERDICT r15 #6) —
+    * at the historical defaults (numPerm 32, t 0.5) the planner picks
+    * the same (8 bands, 4 rows), so default behavior is unchanged; an
+    * explicit `bands` still pins the factorization (every oracle-paired
+    * query does, so its SQL replay stays geometry-identical).
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -137,10 +144,13 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       numPerm: Int = 32,
-      bands: Int = 8,
+      bands: Int = 0,
       threshold: Double = 0.5): DataFrame = {
-    val rows = numPerm / bands
-    require(bands * rows == numPerm, "bands must divide numPerm")
+    val bandsChosen =
+      if (bands > 0) bands
+      else lshPlanChoose(numPerm, threshold)._1
+    val rows = numPerm / bandsChosen
+    require(bandsChosen * rows == numPerm, "bands must divide numPerm")
     // No persist (the [[hammingPairs]] discipline, VERDICT r11 #5): the
     // self-join's two sides canonicalize to the SAME shuffle (hash on
     // (band, band_key) over identical children), so with the merge hint
@@ -148,7 +158,7 @@ object Dedup {
     // once and both sides read the one set of shuffle files — no cached
     // frame left behind in long-lived sessions, no up-front count() job.
     val sigs = withMinhashSignature(df, idCol, textCol, n, numPerm)
-    val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+    val banded = sigs.withColumn("band", explode(sequence(lit(0), lit(bandsChosen - 1))))
       .withColumn("band_key", concat_ws("-",
         transform(slice(col("sig"), col("band") * rows + 1, lit(rows)), _.cast("string"))))
     val a = banded.select(col("band"), col("band_key"),
@@ -946,6 +956,24 @@ object Dedup {
     * any text is shuffled to the verify join: lev ≥ |len_a − len_b|, so
     * the bound is exact and recall-lossless. The two doc-text joins are
     * id-keyed hash joins whose probe side is the (small) candidate set.
+    *
+    * BAND GEOMETRY (VERDICT r15 #6): `bands = 0` (the default) resolves
+    * the factorization with [[lshPlanChoose]] at `shingleThreshold` —
+    * the Jaccard level the LSH recall stage should catch, which is NOT
+    * the edit threshold in general. The editband probe measured the
+    * mapping (SCALE.md "q130 band-geometry knob"): character-cheap edits
+    * (suffix mutations) destroy up to `n` token shingles each, so a
+    * corpus whose near-dups sit at edit_sim t can occupy shingle-Jaccard
+    * levels well below t — at 16x the mutated families sat near 0.5
+    * while t was 0.8, and the tight geometry planned at 0.8 kept only
+    * 35% of verified pairs. Defaults: `shingleThreshold = NaN` plans at
+    * the edit threshold itself — the precision-first choice (at
+    * numPerm 16, t 0.8 the planner picks 2 bands x 8 rows, the geometry
+    * the probe measured cutting candidate volume 3.35x) — and a caller
+    * whose corpus pairs shingle-score below their edit score passes the
+    * measured lower level explicitly (0.5 here recovers the wide
+    * recall), or a containment-style bound like
+    * (1 − n(1−t)) / (1 + n(1−t)).
     */
   def editVerifiedPairs(
       df: DataFrame,
@@ -953,10 +981,15 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       numPerm: Int = 16,
-      bands: Int = 4,
+      bands: Int = 0,
       threshold: Double = 0.8,
-      maxLenHint: Option[Int] = None): DataFrame = {
-    val cands = minhashLshPairs(df, idCol, textCol, n, numPerm, bands, threshold = 0.0)
+      maxLenHint: Option[Int] = None,
+      shingleThreshold: Double = Double.NaN): DataFrame = {
+    val planAt = if (shingleThreshold.isNaN) threshold else shingleThreshold
+    val bandsChosen =
+      if (bands > 0) bands else lshPlanChoose(numPerm, planAt)._1
+    val cands = minhashLshPairs(df, idCol, textCol, n, numPerm, bandsChosen,
+        threshold = 0.0)
       .select("id_a", "id_b")
     // lengths travel with the candidate ids so the length prefilter runs
     // BEFORE the text payload joins — at corpus scale the texts are the
@@ -1202,19 +1235,72 @@ object Dedup {
       .orderBy("bands")
   }
 
+  private val lshPlanMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Double, Int), (Int, Int)]()
+
+  /** Driver-side twin of [[lshPlan]]: the `chosen` factorization as a
+    * plain `(bands, rowsPerBand)` pair, computed with the SAME
+    * DECIMAL-exact recurrence (BigDecimal scale-12 half-up, repeated
+    * multiplication, integer fp/fn masses, tie on fewer bands) but
+    * without a Spark job — it is the default-geometry resolver the
+    * banded operators call at PLAN-BUILD time (VERDICT r15 #6), so it
+    * must cost microseconds-to-milliseconds, not a cluster round trip.
+    * DedupSpec pins equality with [[lshPlan]]'s chosen row. Memoized:
+    * operators resolve the same (numPerm, threshold) every call. */
+  def lshPlanChoose(numPerm: Int, threshold: Double, grid: Int = 1000): (Int, Int) = {
+    require(numPerm >= 1 && grid >= 10, s"numPerm=$numPerm grid=$grid")
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold")
+    lshPlanMemo.computeIfAbsent((numPerm, threshold, grid), { _ =>
+      import java.math.{BigDecimal => BD, RoundingMode => RM}
+      def rnd(x: BD): BD = x.setScale(12, RM.HALF_UP)
+      val one = BD.ONE.setScale(12)
+      val step = BD.ONE.divide(new BD(grid), 12, RM.HALF_UP)
+      val tIdx = math.round(threshold * grid).toInt
+      val scored = (1 to numPerm).filter(numPerm % _ == 0).map { b =>
+        val r = numPerm / b
+        var fp = BD.ZERO; var fn = BD.ZERO
+        var i = 0
+        while (i < grid) {
+          val s = rnd(new BD(i).multiply(step))
+          var sr = one; var k = 0
+          while (k < r) { sr = rnd(sr.multiply(s)); k += 1 }
+          var qb = one; k = 0
+          while (k < b) { qb = rnd(qb.multiply(one.subtract(sr))); k += 1 }
+          val p = one.subtract(qb)
+          if (i < tIdx) fp = fp.add(p) else fn = fn.add(one.subtract(p))
+          i += 1
+        }
+        (b, r, fp.add(fn).movePointRight(12).longValueExact())
+      }
+      val best = scored.minBy(t => (t._3, t._1))
+      (best._1, best._2)
+    })
+  }
+
   /** Conservative DuckDB oracle for [[lshPlan]] — the same DECIMAL
     * recurrence via recursive CTEs (power = repeated multiply rounded to
     * scale 12 per step). Generated for fixed (numPerm, threshold, grid)
-    * so the two formulations evolve together. */
+    * so the two formulations evolve together.
+    *
+    * The lattice point `s` is generated EXACTLY as the Spark side does
+    * it — `i` times the same pre-rounded scale-12 step constant
+    * (ADVICE r15 #3: a float division `round(i/grid, 12)` here differs
+    * from the decimal product by 1e-12 for any grid whose reciprocal is
+    * non-terminating, e.g. 30 or 300 — only safe while callers pinned
+    * grid=1000). Both engines now multiply integers by the identical
+    * decimal literal, so the lattices agree for EVERY grid. */
   def lshPlanOracle(numPerm: Int, threshold: Double, grid: Int = 1000): String = {
     val configs = (1 to numPerm).filter(numPerm % _ == 0)
       .map(b => s"($b, ${numPerm / b})").mkString(", ")
     val tIdx = math.round(threshold * grid).toInt
+    val step = new java.math.BigDecimal(1)
+      .divide(new java.math.BigDecimal(grid), 12, java.math.RoundingMode.HALF_UP)
+      .toPlainString
     s"""
       WITH RECURSIVE cfg AS (SELECT * FROM (VALUES $configs) v(bands, rows_per_band)),
       pts AS (
         SELECT bands, rows_per_band, i,
-          CAST(round(i / $grid.0, 12) AS DECIMAL(14,12)) AS s
+          CAST(round(i * $step, 12) AS DECIMAL(14,12)) AS s
         FROM cfg, range(0, $grid) t(i)),
       powr(bands, rows_per_band, i, k, v) AS (
         SELECT bands, rows_per_band, i, 0, CAST(1 AS DECIMAL(14,12)) FROM pts

@@ -51,7 +51,7 @@ object ReplayScaffold {
     * naming, different sharding) must miss and rebuild, never replay
     * in a different arrival order. Bump on any change to
     * [[writeManifestBatch]] or a caller's spool writer. */
-  val SpoolFormatVersion: String = "spoolfmt-4" // 4: sharded manifest batches
+  val SpoolFormatVersion: String = "spoolfmt-5" // 5: 4-part manifest batches
 
   /** When true (the DEFAULT since round 13 — VERDICT r12 #1a), [[spoolFor]]
     * never touches the shared tmpdir cache: every (kind, stamp) is built
@@ -77,9 +77,16 @@ object ReplayScaffold {
     * part, rows within a trigger are unordered by definition (the
     * stateful processors sort per key). An empty batch still stages
     * one (empty) file, so the trigger structure is preserved
-    * regardless of data. */
+    * regardless of data.
+    *
+    * Default 4 parts (VERDICT r15 #4): the replay family's wall on the
+    * driver's slow-IO phase is dominated by per-file costs (open +
+    * fsync + commit-log entry per staged file); at sf0.1 each batch is
+    * small enough that 4 parse partitions still saturate, and halving
+    * the file count halves that floor. At a real cluster scale the
+    * caller passes parts ≈ executor parallelism. */
   def writeManifestBatch(dir: File, df: DataFrame, index: Int,
-      parts: Int = 8): Unit = {
+      parts: Int = 4): Unit = {
     val enc = df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
         case TimestampType => d.withColumn(f.name, unix_micros(col(f.name)))

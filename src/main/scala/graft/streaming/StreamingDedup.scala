@@ -66,6 +66,14 @@ object StreamingDedup {
         spark.conf.set(
           "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
           "true")
+        // Short replays (a handful of triggers) never live long enough
+        // for background snapshot maintenance to help recovery, but on a
+        // slow-IO machine a maintenance pass firing mid-replay competes
+        // with the commit path for the same disk (VERDICT r15 #4).
+        // Default 60s → 600s: a replay finishes before the first tick; a
+        // production deployment running open-ended streams should lower
+        // it back (recovery replays more changelog otherwise).
+        spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       case "hdfs" =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")

@@ -97,6 +97,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  // VERDICT r15 #6: the driver-side resolver the banded operators call
+  // at plan-build time must agree EXACTLY with the Spark planner's
+  // chosen row — same DECIMAL recurrence, same tie-break — including on
+  // a grid whose reciprocal is non-terminating (ADVICE r15 #3's class).
+  test("lshPlanChoose: matches lshPlan's chosen row across configs and grids") {
+    for ((np, t, g) <- Seq((16, 0.8, 1000), (32, 0.5, 1000), (16, 0.25, 1000),
+                           (64, 0.7, 300))) {
+      val chosen = Dedup.lshPlan(np, t, g).filter("chosen = 1")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      assert(chosen.size == 1)
+      assert(Dedup.lshPlanChoose(np, t, g) == chosen.head,
+        s"($np, $t, $g): scala ${Dedup.lshPlanChoose(np, t, g)} vs spark ${chosen.head}")
+    }
+    // the documented geometry the editband probe measured (SCALE.md)
+    assert(Dedup.lshPlanChoose(16, 0.8) == (2, 8))
+    // historical minhashLshPairs default is the planner choice at its
+    // own defaults — the bands=0 sentinel is behavior-preserving
+    assert(Dedup.lshPlanChoose(32, 0.5) == (8, 4))
+  }
+
   test("lshPlan: S-curve areas track an independent double computation; chosen = argmin") {
     val grid = 1000
     val t = 0.8
@@ -450,6 +470,84 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("cand_id") ->
         r.getAs[Number]("centroid").longValue).toMap
     assert(got == Map(10L -> 1L))
+  }
+
+  test("ivfMaintain: a delta draining EVERY list leaves a readable empty layout") {
+    // ADVICE r15: present.isEmpty used to skip the write and then delete
+    // every partition dir — the next read threw instead of returning 0
+    import graft.similarity.Similarity
+    val centroids = Seq((1L, Seq(1.0, 0.0))).toDF("centroid_id", "centroid_vec")
+    val oldC = Seq((10L, Seq(0.9, 0.1)), (11L, Seq(0.8, 0.2)))
+      .toDF("cand_id", "cand_vec")
+    val layout = java.nio.file.Files.createTempDirectory("ivf-drain").toString
+    Similarity.writeIvfLayout(Similarity.assignToCentroids(oldC, centroids), layout)
+    val added = spark.emptyDataset[(Long, Seq[Double])].toDF("cand_id", "cand_vec")
+    Similarity.ivfMaintain(spark, layout, centroids, added,
+      Seq(Tuple1(10L), Tuple1(11L)).toDF("cand_id"))
+    assert(spark.read.parquet(layout).count() == 0L,
+      "drained layout must read as empty, not throw")
+    // and a later maintain repopulates it cleanly (marker removed)
+    Similarity.ivfMaintain(spark, layout, centroids,
+      Seq((12L, Seq(1.0, 0.0))).toDF("cand_id", "cand_vec"),
+      spark.emptyDataset[Tuple1[Long]].toDF("cand_id"))
+    val got = spark.read.parquet(layout)
+      .collect().map(r => r.getAs[Long]("cand_id") ->
+        r.getAs[Number]("centroid").longValue).toMap
+    assert(got == Map(12L -> 1L))
+  }
+
+  // ------------------------------------------- ivfMaintainVersioned
+
+  test("ivfMaintainVersioned: old version stays readable through a maintain; swap is the commit point") {
+    import graft.similarity.Similarity
+    val centroids = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))
+    ).toDF("centroid_id", "centroid_vec")
+    val oldC = Seq(
+      (10L, Seq(0.9, 0.1)), (11L, Seq(0.8, 0.2)), // list 1 — untouched
+      (20L, Seq(0.1, 0.9)), (21L, Seq(0.2, 0.8))  // list 2 — maintained
+    ).toDF("cand_id", "cand_vec")
+    val root = java.nio.file.Files.createTempDirectory("ivf-versioned").toString
+    Similarity.writeIvfLayoutVersioned(
+      Similarity.assignToCentroids(oldC, centroids), root)
+    // a reader that resolved version 1 BEFORE the maintain: its plan
+    // points at v1's immutable directories
+    val oldReader = Similarity.readIvfLayoutVersioned(spark, root)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("cand_id") ->
+        r.getAs[Number]("centroid").longValue).toMap
+    val v1Rows = rowsOf(oldReader)
+    assert(v1Rows == Map(10L -> 1L, 11L -> 1L, 20L -> 2L, 21L -> 2L))
+    val list1Files = Option(new java.io.File(s"$root/v1/centroid=1").list())
+      .map(_.toSet).getOrElse(Set.empty[String])
+    // maintain: 22 arrives in list 2, 21 leaves
+    val v2 = Similarity.ivfMaintainVersioned(spark, root, centroids,
+      Seq((22L, Seq(0.05, 0.95))).toDF("cand_id", "cand_vec"),
+      Seq(Tuple1(21L)).toDF("cand_id"))
+    assert(v2 == 2L)
+    // the old reader still sees version 1, unchanged — no half state
+    assert(rowsOf(oldReader) == v1Rows)
+    assert(Option(new java.io.File(s"$root/v1/centroid=1").list())
+      .map(_.toSet).getOrElse(Set.empty[String]) == list1Files,
+      "untouched v1 partition was rewritten")
+    // v2 holds ONLY the maintained list; list 1 is served from v1
+    assert(!new java.io.File(s"$root/v2/centroid=1").exists())
+    // a fresh reader resolves version 2 == full rebuild of the new corpus
+    val fresh = rowsOf(Similarity.readIvfLayoutVersioned(spark, root))
+    assert(fresh == Map(10L -> 1L, 11L -> 1L, 20L -> 2L, 22L -> 2L))
+  }
+
+  test("ivfMaintainVersioned: draining every list yields an empty — still readable — version") {
+    import graft.similarity.Similarity
+    val centroids = Seq((1L, Seq(1.0, 0.0))).toDF("centroid_id", "centroid_vec")
+    val oldC = Seq((10L, Seq(0.9, 0.1))).toDF("cand_id", "cand_vec")
+    val root = java.nio.file.Files.createTempDirectory("ivf-versioned-drain").toString
+    Similarity.writeIvfLayoutVersioned(
+      Similarity.assignToCentroids(oldC, centroids), root)
+    val added = spark.emptyDataset[(Long, Seq[Double])].toDF("cand_id", "cand_vec")
+    Similarity.ivfMaintainVersioned(spark, root, centroids, added,
+      Seq(Tuple1(10L)).toDF("cand_id"))
+    assert(Similarity.readIvfLayoutVersioned(spark, root).count() == 0L)
   }
 
   // --------------------------------------------- calibratePercentRank
