@@ -607,7 +607,7 @@ object Dedup {
     * connected components → per-cluster survivor (min id), returning
     * (id, cluster, is_survivor). */
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      n: Int = 3, numPerm: Int = 32, bands: Int = 0, // 0 = lshPlanChoose
       threshold: Double = 0.5, driverMaxEdges: Int = 2000000,
       checkpointDir: Option[String] = None): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, n, numPerm, bands, threshold)
@@ -662,10 +662,12 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       numPerm: Int = 32,
-      bands: Int = 8,
+      bands: Int = 0, // 0 = lshPlanChoose(numPerm, threshold), same
+                      // geometry the batch family defaults to
       threshold: Double = 0.5): DataFrame = {
-    val rows = numPerm / bands
-    require(bands * rows == numPerm, "bands must divide numPerm")
+    val bandsChosen = if (bands > 0) bands else lshPlanChoose(numPerm, threshold)._1
+    val rows = numPerm / bandsChosen
+    require(bandsChosen * rows == numPerm, "bands must divide numPerm")
     val bFp = batch.select(col(idCol).as("id"),
       TextStats.fingerprint(col(textCol)).as("fp"))
     val exactHits = corpus
@@ -674,7 +676,7 @@ object Dedup {
       .select("fp").distinct()
     def banded(df: DataFrame): DataFrame =
       withMinhashSignature(df, idCol, textCol, n, numPerm)
-        .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+        .withColumn("band", explode(sequence(lit(0), lit(bandsChosen - 1))))
         .withColumn("band_key", concat_ws("-",
           transform(slice(col("sig"), col("band") * rows + 1, lit(rows)), _.cast("string"))))
     val nearHits = banded(corpus)
