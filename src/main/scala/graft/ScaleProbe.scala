@@ -268,6 +268,29 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    // `containment-dir <documents-dir> [threshold]` — A/B the two
+    // containmentPairs paths on an ARBITRARY parquet corpus (the gate
+    // dry-run for a real dataset): min-of-2 wall per forced strategy at
+    // the q115 config. The `auto` gate's cutover was set from the
+    // mutated-replication probe below; this mode checks it against
+    // whatever corpus the caller actually has (e.g. /tmp/graft-sf16x).
+    if (args.headOption.contains("containment-dir")) {
+      val path = args.lift(1).getOrElse("/tmp/graft-sf16x")
+      val t = args.lift(2).map(_.toDouble).getOrElse(0.4)
+      val d = spark.read.parquet(s"$path/documents.parquet")
+        .select("doc_id", "text")
+      def run(strategy: String) = graft.dedup.Dedup
+        .containmentPairs(d, "doc_id", "text", n = 3, threshold = t,
+          maxShingleFreq = 100, strategy = strategy).count()
+      run("prefix"); run("postings") // warm
+      var pp = 0L; var qp = 0L
+      def time2d(f: => Unit): Double = math.min(time(f), time(f))
+      val pS = time2d { pp = run("prefix") }
+      val qS = time2d { qp = run("postings") }
+      println(f"[containment-dir] $path docs=${d.count()} t=$t: " +
+        f"prefix ${pS}%.2f s ($pp pairs), postings ${qS}%.2f s ($qp pairs)")
+      spark.stop(); return
+    }
     // `containment [factors-csv] [modulus]` — the containment-pair probe
     // (VERDICT r12 #2): prefix-filtered containmentPairs (t = 0.4, the
     // q115 config) vs the t=0 postings path filtered post-hoc, on the
@@ -287,14 +310,18 @@ object ScaleProbe {
           maxShingleFreq = 100, strategy = "postings")
         .filter(greatest(col("cont_a"), col("cont_b")) >= 0.4)
       contPref(repMutatedDocs(1)).count(); contPost(repMutatedDocs(1)).count() // warm
-      println("factor,docs,prefix_s,prefix_pairs,postings_s,postings_pairs")
+      println("factor,docs,blocked_pairs,prefix_s,prefix_pairs,postings_s,postings_pairs")
       def time2c(f: => Unit): Double = math.min(time(f), time(f))
       for (n <- factors) {
         val docsN = repMutatedDocs(n)
+        // the auto gate's routing signal, printed for calibration: the
+        // df-capped blocked-join candidate volume Σ C(df,2)
+        val vol = graft.dedup.Dedup.containmentBlockedVolume(
+          docsN, "doc_id", "text", n = 3, maxShingleFreq = 100)
         var pp = 0L; var qp = 0L
         val pS = time2c { pp = contPref(docsN).count() }
-        val qS = if (n <= 16) time2c { qp = contPost(docsN).count() } else Double.NaN
-        println(f"$n,${n * 5000},$pS%.2f,$pp,$qS%.2f,$qp")
+        val qS = if (n <= 64) time2c { qp = contPost(docsN).count() } else Double.NaN
+        println(f"$n,${n * 5000},$vol,$pS%.2f,$pp,$qS%.2f,$qp")
       }
       spark.stop(); return
     }

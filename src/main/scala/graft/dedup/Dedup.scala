@@ -714,13 +714,50 @@ object Dedup {
           count(lit(1)).over(Window.partitionBy("id")))) // sort only, no exchange
   }
 
-  /** [[containmentPairs]] `auto` gate: input doc counts below this run
-    * the blocked-postings equi-join, at/above it the PPJoin-style
-    * prefix filter. Set from SCALE.md's measured crossover (between 4×
-    * = 20k and 16× = 80k docs of the mutated-corpus probe, closer to
-    * the low end since the postings path's cost grows with the SQUARE
-    * of co-occurrence). */
-  val ContainmentPrefixCutover: Long = 20000
+  /** [[containmentPairs]] `auto` gate budget: blocked-join candidate
+    * volumes (Σ C(df,2) over df-capped shingles) at or below this run
+    * the postings equi-join; above it, the PPJoin-style prefix filter.
+    *
+    * ROUND-16 RECALIBRATION — the old gate routed on DOC COUNT (cutover
+    * 20k docs) and was measured BACKWARDS on real corpora: it sent the
+    * 16x corpus (80k docs) to prefix at 23-30 s where postings ran
+    * 6.6-7.4 s, and at 64x (320k docs, 80.1M blocked pairs) prefix
+    * reads 306.7 s vs postings 30.1 s — identical pair sets every cell
+    * (ScaleProbe `containment`/`containment-dir`, SCALE.md r16). Even
+    * at t=0.8, where the short-side prefix is most selective, postings
+    * wins 5.4 s vs 10.3 s on the 16x corpus. The postings path's cost
+    * is LINEAR in this volume at a measured 0.35-0.38 µs/pair
+    * (6.6 s at 19.3M, 30.1 s at 80.1M) because the df cap bounds every
+    * join key's fan-out; the prefix path's extra exchanges (rank
+    * window + candidate distinct + two kept-set array joins) cost more
+    * than the aggregation they avoid at every volume reachable under
+    * cap 100.
+    *
+    * The prefix filter remains the escape hatch for the regime the cap
+    * can ADMIT but postings cannot survive: a caller raising
+    * maxShingleFreq lets single hot shingles contribute C(df,2) ~ df²/2
+    * pairs each (one 10^5-df shingle = 5x10^9 pairs on ONE key — a
+    * skew bomb postings must aggregate but rarest-first prefixes
+    * drop). The budget marks where postings' projected wall (~0.38
+    * µs/pair => ~2.5 min at 400M) stops being obviously right; above
+    * it the gate defers to the only path whose cost is not the blocked
+    * volume itself. */
+  val ContainmentPostingsVolumeBudget: Long = 400000000L
+
+  /** The `auto` gate's routing signal, exposed for probes and capacity
+    * dry-runs (the q153 discipline: price a path before paying for
+    * it): Σ C(df,2) over distinct shingles with df ≤ maxShingleFreq —
+    * the exact same-shingle pair count the postings path's blocked
+    * equi-join aggregates. One aggregate over the (persisted) posting;
+    * never materializes a pair. */
+  def containmentBlockedVolume(df: DataFrame, idCol: String,
+      textCol: String, n: Int, maxShingleFreq: Long): Long = {
+    val posting = cachedShinglePosting(df, idCol, textCol, n)
+    val row = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq)
+      .agg(sum(col("df") * (col("df") - 1))).collect()(0)
+    if (row.isNullAt(0)) 0L else row.getLong(0) / 2
+  }
 
   /** Directional n-gram CONTAINMENT pairs (Broder 1997's asymmetric
     * resemblance twin): cont_a = |A∩B|/|A|, cont_b = |A∩B|/|B|, pairs
@@ -738,16 +775,14 @@ object Dedup {
     * Path choice (`strategy`): the prefix filter pays two extra
     * exchanges (rank window + candidate distinct) to prune candidate
     * GENERATION — a trade that only wins once the blocked equi-join's
-    * candidate set is the bottleneck. SCALE.md's "Containment pairs"
-    * table puts the crossover between 4× and 16× of the 5k-doc corpus:
-    * postings 1.39 s vs prefix 2.61 s at 1×, flipping to 6.01 vs
-    * 5.58 s by 16× (80k docs) and diverging further up. `auto` (the
-    * default) takes one `df.count()` (row-group-metadata cheap on a
-    * parquet scan) and routes below [[ContainmentPrefixCutover]] docs
-    * to the postings path, at or above it to the prefix path — the
-    * no-knobs call is right at both ends (VERDICT r13 #3). `postings` /
-    * `prefix` force a path (probes, A/B pins); both produce the
-    * IDENTICAL pair set (DedupSpec pins it across the gate). */
+    * candidate set is the bottleneck. `auto` (the default) MEASURES
+    * that bottleneck instead of proxying it by doc count (the round-16
+    * recalibration — see [[ContainmentPostingsVolumeBudget]]): one
+    * aggregate over the already-persisted dfreq yields the blocked
+    * candidate volume Σ C(df,2), and volumes at or under the budget
+    * route to postings, above it to prefix. `postings` / `prefix`
+    * force a path (probes, A/B pins); both produce the IDENTICAL pair
+    * set (DedupSpec pins it across the gate). */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
@@ -762,7 +797,11 @@ object Dedup {
     val usePostings = strategy match {
       case "postings" => true
       case "prefix" => false
-      case "auto" => threshold <= 0 || df.count() < ContainmentPrefixCutover
+      case "auto" => threshold <= 0 || {
+        val row = dfreq.agg(sum(col("df") * (col("df") - 1))).collect()(0)
+        val vol = if (row.isNullAt(0)) 0L else row.getLong(0) / 2
+        vol <= ContainmentPostingsVolumeBudget
+      }
       case other => throw new IllegalArgumentException(
         s"containmentPairs strategy must be auto|postings|prefix, got $other")
     }

@@ -109,7 +109,8 @@ class DedupSpec extends SparkSpec {
     val auto = Dedup.containmentPairs(docs001, "doc_id", "text",
         n = 3, threshold = t, maxShingleFreq = 100)
       .collect().map(key).toSet
-    assert(docs001.count() < Dedup.ContainmentPrefixCutover)
+    assert(Dedup.containmentBlockedVolume(docs001, "doc_id", "text",
+      n = 3, maxShingleFreq = 100) <= Dedup.ContainmentPostingsVolumeBudget)
     assert(auto == truth, "auto gate changed the pair set")
   }
 
