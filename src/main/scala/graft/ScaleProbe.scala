@@ -291,6 +291,33 @@ object ScaleProbe {
         f"prefix ${pS}%.2f s ($pp pairs), postings ${qS}%.2f s ($qp pairs)")
       spark.stop(); return
     }
+    // `jaccard-dir <documents-dir> [threshold]` — the jaccardPairs twin
+    // of containment-dir: A/B the two-sided PPJoin prefix path (the
+    // threshold > 0 branch) against the blocked postings join filtered
+    // post-hoc, on an arbitrary parquet corpus. Checks whether the
+    // containment-gate finding (r16: postings linear under the df cap,
+    // prefix's exchanges cost more than they save) transfers to the
+    // symmetric operator, whose two-sided prefix is more selective.
+    if (args.headOption.contains("jaccard-dir")) {
+      val path = args.lift(1).getOrElse("/tmp/graft-sf16x")
+      val t = args.lift(2).map(_.toDouble).getOrElse(0.5)
+      val d = spark.read.parquet(s"$path/documents.parquet")
+        .select("doc_id", "text")
+      def pref() = graft.dedup.Dedup
+        .jaccardPairs(d, "doc_id", "text", n = 3, threshold = t,
+          maxShingleFreq = 100, strategy = "prefix").count()
+      def post() = graft.dedup.Dedup
+        .jaccardPairs(d, "doc_id", "text", n = 3, threshold = t,
+          maxShingleFreq = 100, strategy = "postings").count()
+      pref(); post() // warm
+      var pp = 0L; var qp = 0L
+      def time2j(f: => Unit): Double = math.min(time(f), time(f))
+      val pS = time2j { pp = pref() }
+      val qS = time2j { qp = post() }
+      println(f"[jaccard-dir] $path docs=${d.count()} t=$t: " +
+        f"prefix ${pS}%.2f s ($pp pairs), postings ${qS}%.2f s ($qp pairs)")
+      spark.stop(); return
+    }
     // `containment [factors-csv] [modulus]` — the containment-pair probe
     // (VERDICT r12 #2): prefix-filtered containmentPairs (t = 0.4, the
     // q115 config) vs the t=0 postings path filtered post-hoc, on the

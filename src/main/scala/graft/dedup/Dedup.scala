@@ -742,7 +742,7 @@ object Dedup {
     * µs/pair => ~2.5 min at 400M) stops being obviously right; above
     * it the gate defers to the only path whose cost is not the blocked
     * volume itself. */
-  val ContainmentPostingsVolumeBudget: Long = 400000000L
+  val PostingsVolumeBudget: Long = 400000000L
 
   /** The `auto` gate's routing signal, exposed for probes and capacity
     * dry-runs (the q153 discipline: price a path before paying for
@@ -777,7 +777,7 @@ object Dedup {
     * GENERATION — a trade that only wins once the blocked equi-join's
     * candidate set is the bottleneck. `auto` (the default) MEASURES
     * that bottleneck instead of proxying it by doc count (the round-16
-    * recalibration — see [[ContainmentPostingsVolumeBudget]]): one
+    * recalibration — see [[PostingsVolumeBudget]]): one
     * aggregate over the already-persisted dfreq yields the blocked
     * candidate volume Σ C(df,2), and volumes at or under the budget
     * route to postings, above it to prefix. `postings` / `prefix`
@@ -800,7 +800,7 @@ object Dedup {
       case "auto" => threshold <= 0 || {
         val row = dfreq.agg(sum(col("df") * (col("df") - 1))).collect()(0)
         val vol = if (row.isNullAt(0)) 0L else row.getLong(0) / 2
-        vol <= ContainmentPostingsVolumeBudget
+        vol <= PostingsVolumeBudget
       }
       case other => throw new IllegalArgumentException(
         s"containmentPairs strategy must be auto|postings|prefix, got $other")
@@ -898,13 +898,26 @@ object Dedup {
     }
   }
 
+  /** Path choice (round-16, the containment-gate finding transferred):
+    * `auto` measures the df-capped blocked candidate volume Σ C(df,2)
+    * from dfreq and runs the blocked postings join (threshold applied
+    * post-aggregation — exact) at or under
+    * [[PostingsVolumeBudget]], the prefix filter above it. Measured on
+    * the 16x corpus (ScaleProbe jaccard-dir, identical pair sets):
+    * postings 4.5 s vs prefix 12.7 s at t=0.5, 3.6 s vs 7.2 s even at
+    * t=0.8 — the two-sided prefix is more selective than containment's
+    * one-sided form, and still loses under the cap, for the same
+    * reason: its rank window + candidate distinct + kept-set joins
+    * cost more than the aggregation they avoid while the cap keeps the
+    * blocked join linear. */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      maxShingleFreq: Long = 1000): DataFrame = {
+      maxShingleFreq: Long = 1000,
+      strategy: String = "auto"): DataFrame = {
     // Codegen generator shape via [[shinglePosting]], NOT the interpreted
     // `shingles()` array HOF: the HOF ran the whole corpus's shingle
     // derivation as interpreted expressions inside the scan stage (one
@@ -916,7 +929,17 @@ object Dedup {
     val posting = cachedShinglePosting(df, idCol, textCol, n)
     val dfreq = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleFreq)
-    if (threshold <= 0) {
+    val usePostings = strategy match {
+      case "postings" => true
+      case "prefix" => false
+      case "auto" => threshold <= 0 || {
+        val row = dfreq.agg(sum(col("df") * (col("df") - 1))).collect()(0)
+        (if (row.isNullAt(0)) 0L else row.getLong(0) / 2) <= PostingsVolumeBudget
+      }
+      case other => throw new IllegalArgumentException(
+        s"jaccardPairs strategy must be auto|postings|prefix, got $other")
+    }
+    if (usePostings) {
       val filtered = posting.join(dfreq.select("shingle"), Seq("shingle"))
       val a = filtered.select(col("shingle"), col("id").as("id_a"), col("n_shingles").as("na"))
       val b = filtered.select(col("shingle"), col("id").as("id_b"), col("n_shingles").as("nb"))

@@ -73,12 +73,19 @@ class DedupSpec extends SparkSpec {
     val truth = Dedup.jaccardPairs(docs001, "doc_id", "text",
         n = 3, threshold = 0.0, maxShingleFreq = 100)
       .filter(col("jaccard") >= t).collect().map(key).toSet
+    // strategy FORCED to prefix (r16: the auto gate routes this
+    // small-volume corpus to postings, which would make the pin vacuous)
     val pref = Dedup.jaccardPairs(docs001, "doc_id", "text",
-        n = 3, threshold = t, maxShingleFreq = 100)
+        n = 3, threshold = t, maxShingleFreq = 100, strategy = "prefix")
       .collect().map(key).toSet
     assert(truth.nonEmpty, "fixture should produce at least one qualifying pair")
     assert(pref == truth,
       s"prefix path lost ${(truth -- pref).size} / invented ${(pref -- truth).size} pairs")
+    // and the auto gate reproduces the same set through whichever path
+    val auto = Dedup.jaccardPairs(docs001, "doc_id", "text",
+        n = 3, threshold = t, maxShingleFreq = 100)
+      .collect().map(key).toSet
+    assert(auto == truth, "auto gate changed the pair set")
   }
 
   test("containmentPairs prefix-filtered path (t>0) == postings path, on real documents") {
@@ -110,7 +117,7 @@ class DedupSpec extends SparkSpec {
         n = 3, threshold = t, maxShingleFreq = 100)
       .collect().map(key).toSet
     assert(Dedup.containmentBlockedVolume(docs001, "doc_id", "text",
-      n = 3, maxShingleFreq = 100) <= Dedup.ContainmentPostingsVolumeBudget)
+      n = 3, maxShingleFreq = 100) <= Dedup.PostingsVolumeBudget)
     assert(auto == truth, "auto gate changed the pair set")
   }
 
