@@ -533,8 +533,14 @@ class CorpusOpsSpec extends SparkSpec {
     // v2 holds ONLY the maintained list; list 1 is served from v1
     assert(!new java.io.File(s"$root/v2/centroid=1").exists())
     // a fresh reader resolves version 2 == full rebuild of the new corpus
-    val fresh = rowsOf(Similarity.readIvfLayoutVersioned(spark, root))
-    assert(fresh == Map(10L -> 1L, 11L -> 1L, 20L -> 2L, 22L -> 2L))
+    val freshDf = Similarity.readIvfLayoutVersioned(spark, root)
+    assert(rowsOf(freshDf) == Map(10L -> 1L, 11L -> 1L, 20L -> 2L, 22L -> 2L))
+    // the manifest's centroid filters must reach the scan as PARTITION
+    // filters (an nprobe read of a versioned layout prunes directories,
+    // same as the flat layout) — not post-scan predicates
+    val plan = freshDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid"),
+      s"versioned reads must partition-prune on centroid:\n$plan")
   }
 
   test("ivfMaintainVersioned: draining every list yields an empty — still readable — version") {
