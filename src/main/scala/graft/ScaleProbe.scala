@@ -291,6 +291,31 @@ object ScaleProbe {
         f"prefix ${pS}%.2f s ($pp pairs), postings ${qS}%.2f s ($qp pairs)")
       spark.stop(); return
     }
+    // `editverify-dir <documents-dir> [threshold]` — stage split for
+    // editVerifiedPairs on an arbitrary corpus at the planner-default
+    // geometry: candidate generation alone (the banded LSH join) vs the
+    // full operator (length prefilter + text joins + bounded DP), so
+    // the top-grower's wall is attributable to a stage, not guessed.
+    if (args.headOption.contains("editverify-dir")) {
+      val path = args.lift(1).getOrElse("/tmp/graft-sf16x")
+      val t = args.lift(2).map(_.toDouble).getOrElse(0.8)
+      val d = spark.read.parquet(s"$path/documents.parquet")
+        .select("doc_id", "text")
+      val (pb, pr) = graft.dedup.Dedup.lshPlanChoose(16, t)
+      def cands() = graft.dedup.Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 3, numPerm = 16, bands = pb, threshold = 0.0).count()
+      def full() = graft.dedup.Dedup.editVerifiedPairs(d, "doc_id", "text",
+        n = 3, numPerm = 16, threshold = t).count()
+      cands(); full() // warm
+      var nc = 0L; var np = 0L
+      def time2e(f: => Unit): Double = math.min(time(f), time(f))
+      val cS = time2e { nc = cands() }
+      val fS = time2e { np = full() }
+      println(f"[editverify-dir] $path docs=${d.count()} t=$t geometry=${pb}x$pr: " +
+        f"candidates ${cS}%.2f s ($nc), full ${fS}%.2f s ($np pairs) — " +
+        f"verify stage ≈ ${fS - cS}%.2f s")
+      spark.stop(); return
+    }
     // `jaccard-dir <documents-dir> [threshold]` — the jaccardPairs twin
     // of containment-dir: A/B the two-sided PPJoin prefix path (the
     // threshold > 0 branch) against the blocked postings join filtered
