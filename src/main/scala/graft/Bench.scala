@@ -253,10 +253,26 @@ object Bench {
     // consumer can always attribute it). The stale partial is removed on
     // normal completion; the hook is disarmed right before the normal
     // summary prints.
+    // Warmup-pass times are RECORDED since round 17 (never published on
+    // the normal path — warmup stays untimed methodology-wise) purely as
+    // a last-resort artifact: a round whose budget dies before any timed
+    // pass completes publishes the last warmup pass under
+    // "stat":"warmup_fallback" instead of publishing nothing (VERDICT
+    // r16 #1: two rc=124/parsed:null rounds in three).
+    val warmTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
     val partialLine = new java.util.concurrent.atomic.AtomicReference[String](null)
+    // the most recent COMPLETE artifact line (>=1 full timed pass):
+    // written to BENCH.json after EVERY pass, and preferred by the
+    // shutdown hook — an rc=124 kill mid-pass-2 then still leaves a
+    // complete "partial":false artifact on disk and stdout (VERDICT r16 #1)
+    val completeLine = new java.util.concurrent.atomic.AtomicReference[String](null)
     def stagePartial(): Unit = {
+      val (src, stat) =
+        if (suite.exists(q => times(q.name).nonEmpty)) (times, "trimmed_median")
+        else (warmTimes, "warmup_fallback")
       val res = suite.flatMap { q =>
-        val sorted = times(q.name).sorted
+        val sorted = src(q.name).sorted
         if (sorted.isEmpty) None
         else {
           val trimmed = if (sorted.length >= 3) sorted.dropRight(1) else sorted
@@ -266,36 +282,56 @@ object Bench {
       val qs = res.map { case (k, v) => "\"" + k + "\":" + j3(v) }
         .mkString("{", ",", "}")
       val total = res.map(_._2).sum
-      partialLine.set(s"""{"metric":"total","value":${j3(total)},"unit":"sec","stat":"trimmed_median","partial":true,"n_queries":${res.size},"sf":"$sfDir","queries":$qs}""")
+      partialLine.set(s"""{"metric":"total","value":${j3(total)},"unit":"sec","stat":"$stat","partial":true,"n_queries":${res.size},"sf":"$sfDir","queries":$qs}""")
+      // eager FILE staging, not just the hook: a SIGKILL (timeout -k
+      // grace expiry) runs no hooks, and r16's SIGTERM hook output
+      // missed the driver's capture window — the disk copy is the
+      // channel that always survives
+      try {
+        val w = new java.io.PrintWriter("BENCH_partial.json", "UTF-8")
+        try w.println(partialLine.get()) finally w.close()
+      } catch { case _: Throwable => () }
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      val line = partialLine.get()
+      val line = Option(completeLine.get()).getOrElse(partialLine.get())
       if (line != null) {
         System.out.println(line); System.out.flush()
         System.err.println(line); System.err.flush()
-        try {
+        if (partialLine.get() != null) try {
           val w = new java.io.PrintWriter("BENCH_partial.json", "UTF-8")
-          try w.println(line) finally w.close()
+          try w.println(partialLine.get()) finally w.close()
         } catch { case _: Throwable => () }
       }
     }))
-    def fullPass(record: Boolean,
-        times: scala.collection.mutable.Map[String, Vector[Double]]): Unit = {
+    // abortAfter: elapsed-seconds deadline past which the pass stops
+    // launching queries (warmup only — warmup work is expendable by
+    // definition, a timed pass must finish what it publishes). An
+    // aborted warmup leaves late-suite queries JIT-cold; with >=3 timed
+    // reps the trimmed median sheds that first-rep inflation.
+    def fullPass(into: scala.collection.mutable.Map[String, Vector[Double]],
+        abortAfter: Double = Double.MaxValue): Boolean = {
       val p0 = System.nanoTime()
+      var aborted = false
       calibs += calibOnce()
       calibsShuffle += calibShuffleOnce()
       calibsState += (try calibStateOnce() catch {
         case e: Throwable => System.err.println(s"[bench] state calib: $e"); -1.0
       })
       suite.foreach { q =>
-        val t = runOnce(q)
-        if (record) {
-          t.foreach(v => times(q.name) :+= v)
+        if (!aborted && elapsed > abortAfter) {
+          aborted = true
+          System.err.println(s"[bench] budget governor: aborting warmup pass at " +
+            s"${q.name} (${j3(elapsed)} s elapsed > ${j3(abortAfter)} s deadline)")
+        }
+        if (!aborted) {
+          val t = runOnce(q)
+          t.foreach(v => into(q.name) :+= v)
           stagePartial() // keep the timeout hook's artifact current
         }
       }
       releaseStreamingResidue()
       passWalls += (System.nanoTime() - p0) / 1e9
+      !aborted
     }
     // ---- governed warmup ----
     // arm the hook before any pass: a kill during warmup still leaves a
@@ -303,7 +339,15 @@ object Bench {
     stagePartial()
     val warmupWanted = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
     var warmupUsed = 0
-    if (warmupWanted >= 1) { fullPass(record = false, times); warmupUsed = 1 }
+    var warmupComplete = true
+    // warmup 1 aborts mid-pass once 35% of the budget is gone: on a
+    // machine in a 2x slow phase (the r16 kill) finishing the warmup
+    // would eat the window the ONE guaranteed timed pass needs — warmup
+    // work is expendable, the timed artifact is not (VERDICT r16 #1)
+    if (warmupWanted >= 1) {
+      warmupComplete = fullPass(warmTimes, abortAfter = 0.35 * budget)
+      warmupUsed = 1
+    }
     // estimated cost of one more pass = the worst of the two most RECENT
     // passes: the first warmup is usually the slowest (codegen + JIT) so
     // early decisions over-reserve — the safe direction — while after two
@@ -312,33 +356,23 @@ object Bench {
     // streaming family at fixed code)
     def estPass: Double =
       if (passWalls.isEmpty) 0.0 else passWalls.takeRight(2).max
-    // the second warmup runs only if two timed passes still fit after it
-    // (governor rule 4)
+    // the second warmup runs only if warmup 1 completed (an aborted
+    // warmup's wall underestimates a full pass) and two timed passes
+    // still fit after it (governor rule 4)
     var w = 2
-    while (w <= warmupWanted && elapsed + estPass * 3 <= budget) {
-      fullPass(record = false, times); warmupUsed = w; w += 1
+    while (warmupComplete && w <= warmupWanted && elapsed + estPass * 3 <= budget) {
+      fullPass(warmTimes); warmupUsed = w; w += 1
     }
-    // ---- governed timed passes (never below 2 — governor rule 3) ----
+    // ---- governed timed passes ----
     // NO System.gc() between passes: a full GC unloads JIT'd codegen
     // classes, so the next pass re-compiles everything and its first
     // heavy query pays 4-5x (measured: q26 31.9s after a forced GC vs
     // ~7s steady-state). G1 self-regulates fine with the pinned heap;
     // the median across interleaved passes sheds any residual outlier.
     var repsUsed = 0
-    while (repsUsed < reps &&
-        (repsUsed < 2 || elapsed + estPass <= budget)) {
-      settleJit()
-      fullPass(record = true, times)
-      repsUsed += 1
-      stagePartial()
-    }
-    if (repsUsed < reps)
-      System.err.println(s"[bench] budget governor: stopped at $repsUsed/$reps " +
-        s"timed passes (${j3(elapsed)} s elapsed, est pass ${j3(estPass)} s, " +
-        s"budget ${j3(budget)} s)")
-    // Queries with zero successful reps are published under "failed",
-    // never under "queries" — absent/None, not a small number.
-    val failed = suite.map(_.name).filter(n => times(n).isEmpty)
+    var renoiseUsed = 0
+    var probesS = -1.0
+    var probesFailed = Seq.empty[String]
     // Machine-noise marker: a >3x floor-to-ceiling spread across
     // interleaved reps is contention, not plan variance — flag it so a
     // consumer of the medians knows which round-over-round moves to
@@ -357,6 +391,220 @@ object Bench {
       val ts = if (recent.length >= 3) recent.dropRight(1) else recent
       ts.length >= 2 && ts.head > 0 && ts.last / ts.head > 3.0
     }
+    // Everything the two artifacts need, computed from CURRENT state and
+    // written to disk — called after EVERY timed pass, not only at the
+    // end (VERDICT r16 #1: the r16 kill mid-pass-2 cost a complete
+    // pass-1 artifact that existed in memory). The final call before the
+    // normal stdout print is just the last of these. Also registers the
+    // line for the shutdown hook (completeLine), so an rc=124 still
+    // prints a complete "partial"-free artifact.
+    def publishArtifacts(): String = {
+      // Queries with zero successful reps are published under "failed",
+      // never under "queries" — absent/None, not a small number.
+      val failed = suite.map(_.name).filter(n => times(n).isEmpty)
+      val noisy = noisyNames
+      // The documented skip signal (ADVICE r15 #1): probes_s:-1 alone was
+      // an undocumented sentinel — emit the promised flag in BOTH artifacts
+      // when the probes block was shed (or has not run yet).
+      val probesSkippedJson =
+        if (probes.nonEmpty && probesS < 0) ",\"probes_skipped\":true" else ""
+      // Published stat: the TRIMMED median — drop the single worst rep
+      // (the teardown/contention victim), median of the rest. Robust to
+      // one polluted pass while staying honest (never below min, unlike
+      // min it still averages over the steady state). With 3+ reps the
+      // trim always applies, so the statistic is uniform across queries.
+      val results = suite.flatMap { q =>
+        val sorted = times(q.name).sorted
+        if (sorted.isEmpty) None
+        else {
+          val trimmed = if (sorted.length >= 3) sorted.dropRight(1) else sorted
+          Some(q.name -> trimmed(trimmed.length / 2))
+        }
+      }.toMap
+      // the first pass's calibration is JIT-cold (measured ~1.6 s vs ~0.15
+      // warm) — drop it from the published median so calib_s tracks the
+      // machine, not the JVM's first minute; the full array stays in the
+      // reps file
+      def warmMedian(buf: Seq[Double]): Double = {
+        val ok = buf.filter(_ >= 0)
+        val warm = if (ok.length > 1) ok.drop(1) else ok
+        if (warm.isEmpty) 0.0 else warm.sorted.apply(warm.length / 2)
+      }
+      val calibMedian = warmMedian(calibs.toSeq)
+      val calibShuffleMedian = warmMedian(calibsShuffle.toSeq)
+      val calibStateMedian = warmMedian(calibsState.toSeq)
+      // Round-over-round movement flags: compare medians against the most
+      // recent BENCH_r*.json in the working directory (or an explicit
+      // SPARK_GRAFT_BASELINE path). A >1.5x move either way on unchanged
+      // code is how a transient-window phantom (the q15 case, VERDICT r6)
+      // is told apart from a real regression — the per-rep spreads in the
+      // reps file show whether the move is one polluted pass or all of
+      // them. Best-effort: no baseline, no flags. Each flag carries
+      // cross_stat=true when the baseline artifact was published under a
+      // DIFFERENT statistic (ADVICE r13 #4). When the baseline carries
+      // calibration probes, the prev value is machine-normalized first and
+      // the flag carries calib_norm=true PER QUERY, from the ratio that
+      // actually scaled it (ADVICE r16 #5: the old flag keyed on cpuScale
+      // while normalization applied the shuffle/state ratios).
+      val moved: Map[String, (Double, Double, Boolean, Boolean)] = (try {
+        import scala.jdk.CollectionConverters._
+        def sfOf(s: String): Option[Double] =
+          "sf([0-9][0-9.]*)$".r.findFirstMatchIn(s.stripSuffix("/"))
+            .flatMap(m => m.group(1).toDoubleOption)
+        val baselinePath = sys.env.get("SPARK_GRAFT_BASELINE").orElse {
+          val rx = "BENCH_r(\\d+)\\.json".r
+          Option(new java.io.File(".").listFiles()).toSeq.flatten
+            .flatMap(f => f.getName match {
+              case rx(n) => Some((n.toInt, f.getPath)); case _ => None })
+            .sortBy(-_._1).headOption.map(_._2)
+        }
+        baselinePath.toSeq.flatMap { path =>
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new java.io.File(path))
+          // the driver's BENCH_rN.json wraps the bench line as
+          // {sf: 0.1, tail: "<last 2000 chars>", parsed: <json|null>} —
+          // accept a raw bench line, the driver wrapper's parsed form,
+          // or (parse failed, the pre-r7 truncation) name:value pairs
+          // regex-recovered from the tail text
+          val baseSf = Option(root.get("sf")).flatMap(n =>
+            if (n.isNumber) Some(n.asDouble()) else sfOf(n.asText()))
+          def field(name: String) = Option(root.get(name))
+            .orElse(Option(root.get("parsed")).filter(_.isObject)
+              .flatMap(p => Option(p.get(name))))
+          val prevStat = field("stat").map(_.asText()).getOrElse("median")
+          val crossStat = prevStat != "trimmed_median"
+          // Per-family normalization (VERDICT r15 #2): scale a streaming
+          // query's baseline by the STATE calibration ratio and a batch
+          // query's by the SHUFFLE ratio, falling back to the CPU ratio
+          // when the baseline artifact predates the three-probe split.
+          def prevField(n: String) = field(n).map(_.asDouble()).filter(_ > 0)
+          def ratio(prev: Option[Double], now: Double): Option[Double] =
+            prev.collect { case p if now > 0 => now / p }
+          val cpuScale = ratio(prevField("calib_s"), calibMedian)
+          val shuffleScale = ratio(prevField("calib_shuffle_s"), calibShuffleMedian)
+            .orElse(cpuScale)
+          val stateScale = ratio(prevField("calib_state_s"), calibStateMedian)
+            .orElse(cpuScale)
+          // per-query: the scale actually applied, and whether one WAS
+          // applied (the calib_norm flag's real meaning — ADVICE r16 #5)
+          def scaleFor(name: String): (Double, Boolean) =
+            (if (streamingFamily(name)) stateScale else shuffleScale)
+              .map((_, true)).getOrElse((1.0, false))
+          if (baseSf != sfOf(sfDir)) Seq.empty
+          else {
+            val qNode = field("queries")
+            // keys normalized to the short form (name up to the first
+            // underscore): old rounds' files carry full names, the compact
+            // stdout contract carries short ones — compare on the common key
+            def short(n: String): String = n.takeWhile(_ != '_')
+            val prev: Map[String, Double] = (qNode match {
+              case Some(qs) if qs.isObject =>
+                qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+              case _ =>
+                val tail = Option(root.get("tail")).map(_.asText()).getOrElse("")
+                "\"(q[0-9]+[a-z]?(?:_[A-Za-z0-9_]+)?)\":([0-9.]+)".r.findAllMatchIn(tail)
+                  .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+            }).map { case (k, v) => short(k) -> v }
+            results.toSeq.flatMap { case (name, now) =>
+              val (sc, calibNorm) = scaleFor(name)
+              prev.get(short(name)).map(_ * sc).filter(p =>
+                p > 0 && now > 0 && (now / p > 1.5 || p / now > 1.5))
+                .map(p => name -> (p, now, crossStat, calibNorm))
+            }
+          }
+        }.toMap
+      } catch { case _: Throwable => Map.empty[String, (Double, Double, Boolean, Boolean)] })
+      // Per-rep arrays are a standing FILE artifact, not part of the
+      // stdout line: the driver's log capture truncates long lines
+      // (VERDICT r6 saw the tail cut), so the one-line contract stays
+      // compact and the full evidence lands next to it in the repo.
+      // A SPARK_GRAFT_ONLY subset run must not clobber the full-suite
+      // artifact the repo commits — default subset output to a sibling
+      // file; an explicit SPARK_GRAFT_REPS_OUT still wins.
+      val repsOut = sys.env.getOrElse("SPARK_GRAFT_REPS_OUT",
+        if (only.isDefined) "BENCH_reps_subset.json" else "BENCH_reps.json")
+      // min-of-reps is the contention-robust statistic (a rep can only be
+      // SLOWED by machine noise, never sped up) — published as a first-class
+      // map next to the medians so a consumer can discount the `noisy`
+      // entries without re-deriving from the reps arrays.
+      val mins = suite.flatMap { q =>
+        val ts = times(q.name)
+        if (ts.isEmpty) None else Some(q.name -> ts.min)
+      }.toMap
+      try {
+        val repsJson = suite.map { q =>
+          "\"" + q.name + "\":[" + times(q.name).map(t => j3(t)).mkString(",") + "]"
+        }.mkString("{", ",", "}")
+        val movedJson = moved.map { case (n, (p, c, x, cn)) =>
+          "\"" + n + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(c) +
+            (if (x) ",\"cross_stat\":true" else "") +
+            (if (cn) ",\"calib_norm\":true" else "") + "}"
+        }.mkString("{", ",", "}")
+        val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val medianJson = results.map { case (k, v) => "\"" + k + "\":" + j3(v) }
+          .mkString("{", ",", "}")
+        val minJson = mins.map { case (k, v) => "\"" + k + "\":" + j3(v) }
+          .mkString("{", ",", "}")
+        val calibJson = calibs.map(j3).mkString("[", ",", "]")
+        val calibShuffleJson = calibsShuffle.map(j3).mkString("[", ",", "]")
+        val calibStateJson = calibsState.map(j3).mkString("[", ",", "]")
+        val passJson = passWalls.map(j3).mkString("[", ",", "]")
+        val probesFailedJson = probesFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val w = new java.io.PrintWriter(repsOut, "UTF-8")
+        try w.println(s"""{"sf":"$sfDir","stat":"trimmed_median","budget_s":${j3(budget)},"warmup_used":$warmupUsed,"reps_used":$repsUsed,"renoise_used":$renoiseUsed,"probes_s":${j3(probesS)}$probesSkippedJson,"probes_failed":$probesFailedJson,"calib":$calibJson,"calib_shuffle":$calibShuffleJson,"calib_state":$calibStateJson,"pass_walls":$passJson,"failed":$failedJson,"noisy":$noisyJson,"median":$medianJson,"min":$minJson,"reps":$repsJson,"moved_vs_prev":$movedJson}""")
+        finally w.close()
+      } catch { case e: Throwable => System.err.println(s"[bench] reps file: $e") }
+      // The driver's log capture keeps only the LAST 2000 chars of this
+      // line, and at 86 queries a full-name medians map alone is ~2.6 KB —
+      // BENCH_r10.json captured a decapitated line and parsed null
+      // (VERDICT r10 #3). The stdout contract is therefore COMPACT
+      // (~1.4 KB): totals, failures, noisy count, the reps-file pointer,
+      // and a medians map under SHORT query keys (the name up to the first
+      // underscore — unique across the suite, asserted below so a future
+      // collision fails loudly rather than silently dropping a median).
+      // Full names, per-rep arrays, mins and the moved-vs-prev diagnostics
+      // all live in the reps FILE. "queries" stays the final key so a
+      // truncated capture still preserves the most medians possible.
+      def shortName(n: String): String = n.takeWhile(_ != '_')
+      val shortCollisions = results.keys.groupBy(shortName).filter(_._2.size > 1)
+      require(shortCollisions.isEmpty,
+        s"short-key collision in bench line: $shortCollisions")
+      val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + j3(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val minTotal = if (mins.nonEmpty) mins.values.sum else 0.0
+      val totalStr = j3(total)
+      val failedStr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val summaryLine = s"""{"metric":"total","value":$totalStr,"unit":"sec","stat":"trimmed_median","min_total":${j3(minTotal)},"n_queries":${results.size},"reps_used":$repsUsed,"warmup_used":$warmupUsed,"budget_s":${j3(budget)},"calib_s":${j3(calibMedian)},"calib_shuffle_s":${j3(calibShuffleMedian)},"calib_state_s":${j3(calibStateMedian)},"probes_s":${j3(probesS)}$probesSkippedJson,"failed":$failedStr,"noisy_count":${noisy.size},"moved_count":${moved.size},"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}"""
+      // Standing FILE artifact (VERDICT r11 #2 + r16 #1): written after
+      // every pass so a later kill cannot cost it. Subset runs go to a
+      // sibling file so they never clobber the committed full-suite one.
+      val summaryOut = if (only.isDefined) "BENCH_subset.json" else "BENCH.json"
+      try {
+        val w = new java.io.PrintWriter(summaryOut, "UTF-8")
+        try w.println(summaryLine) finally w.close()
+      } catch { case e: Throwable => System.err.println(s"[bench] summary file: $e") }
+      completeLine.set(summaryLine)
+      summaryLine
+    }
+    // Timed pass 1 is UNCONDITIONAL (an artifact needs at least one rep);
+    // every further pass must fit the projected budget — the r16 kill was
+    // an unconditional pass 2 on a machine whose slow phase had already
+    // eaten the window (VERDICT r16 #1: "722.8 s of 1400 should have been
+    // an automatic one-rep round").
+    while (repsUsed < reps &&
+        (repsUsed < 1 || elapsed + estPass <= budget)) {
+      settleJit()
+      fullPass(times)
+      repsUsed += 1
+      stagePartial()
+      publishArtifacts() // complete artifact on disk after EVERY pass
+    }
+    if (repsUsed < reps)
+      System.err.println(s"[bench] budget governor: stopped at $repsUsed/$reps " +
+        s"timed passes (${j3(elapsed)} s elapsed, est pass ${j3(estPass)} s, " +
+        s"budget ${j3(budget)} s)")
     // Contention recovery (VERDICT r12 #3): one disturbed wall-clock
     // segment on a shared machine contaminates a contiguous BLOCK of
     // queries' reps. Rather than paying more full passes up front,
@@ -366,7 +614,6 @@ object Bench {
     // the flagged queries' own latest reps plus settle slack). Disable
     // with SPARK_GRAFT_RENOISE=0.
     val renoise = sys.env.getOrElse("SPARK_GRAFT_RENOISE", "2").toInt
-    var renoiseUsed = 0
     (1 to renoise).foreach { _ =>
       val flagged = noisyNames.toSet
       val flaggedCost = suite.filter(q => flagged(q.name))
@@ -385,11 +632,8 @@ object Bench {
           s"${j3(elapsed)} s elapsed, budget ${j3(budget)} s)")
       }
     }
-    val noisy = noisyNames
     // ---- diagnostic probes: ONCE, untimed per-query, walled as a block
     // (governor rule 1) ----
-    var probesS = -1.0
-    var probesFailed = Seq.empty[String]
     // ~40 s of replays at sf0.1 — reserve a little headroom, but don't
     // let them overshoot an already-spent budget
     if (probes.nonEmpty && elapsed + 90 <= budget) {
@@ -402,200 +646,31 @@ object Bench {
       System.err.println(s"[bench] budget governor: skipping the " +
         s"${probes.size} diagnostic probes (${j3(elapsed)} s elapsed)")
     }
-    // The documented skip signal (ADVICE r15 #1): probes_s:-1 alone was
-    // an undocumented sentinel — emit the promised flag in BOTH artifacts
-    // when the probes block was shed.
-    val probesSkippedJson =
-      if (probes.nonEmpty && probesS < 0) ",\"probes_skipped\":true" else ""
     // per-pass rep times on stderr for harness diagnosis (not part of
     // the one-line JSON contract on stdout)
     suite.foreach { q =>
       System.err.println(s"[bench-reps] ${q.name}: " +
         times(q.name).map(t => String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))).mkString(" "))
     }
-    // Published stat: the TRIMMED median — drop the single worst rep
-    // (the teardown/contention victim), median of the rest. Robust to
-    // one polluted pass while staying honest (never below min, unlike
-    // min it still averages over the steady state). With 3+ reps the
-    // trim always applies, so the statistic is uniform across queries.
-    val results = suite.flatMap { q =>
-      val sorted = times(q.name).sorted
-      if (sorted.isEmpty) None
-      else {
-        val trimmed = if (sorted.length >= 3) sorted.dropRight(1) else sorted
-        Some(q.name -> trimmed(trimmed.length / 2))
-      }
-    }.toMap
-    // the first pass's calibration is JIT-cold (measured ~1.6 s vs ~0.15
-    // warm) — drop it from the published median so calib_s tracks the
-    // machine, not the JVM's first minute; the full array stays in the
-    // reps file
-    def warmMedian(buf: Seq[Double]): Double = {
-      val ok = buf.filter(_ >= 0)
-      val warm = if (ok.length > 1) ok.drop(1) else ok
-      if (warm.isEmpty) 0.0 else warm.sorted.apply(warm.length / 2)
-    }
-    val calibMedian = warmMedian(calibs.toSeq)
-    val calibShuffleMedian = warmMedian(calibsShuffle.toSeq)
-    val calibStateMedian = warmMedian(calibsState.toSeq)
-    // Round-over-round movement flags: compare medians against the most
-    // recent BENCH_r*.json in the working directory (or an explicit
-    // SPARK_GRAFT_BASELINE path). A >1.5x move either way on unchanged
-    // code is how a transient-window phantom (the q15 case, VERDICT r6)
-    // is told apart from a real regression — the per-rep spreads in the
-    // reps file show whether the move is one polluted pass or all of
-    // them. Best-effort: no baseline, no flags. Each flag carries
-    // cross_stat=true when the baseline artifact was published under a
-    // DIFFERENT statistic (ADVICE r13 #4). When the baseline also
-    // carries "calib_s", the prev value is machine-normalized by
-    // calibNow/calibPrev first and the flag carries calib_norm=true —
-    // an r14-style machine-speed change then stops reading as a wall of
-    // phantom movement (VERDICT r14 #5).
-    val moved: Map[String, (Double, Double, Boolean, Boolean)] = (try {
-      import scala.jdk.CollectionConverters._
-      def sfOf(s: String): Option[Double] =
-        "sf([0-9][0-9.]*)$".r.findFirstMatchIn(s.stripSuffix("/"))
-          .flatMap(m => m.group(1).toDoubleOption)
-      val baselinePath = sys.env.get("SPARK_GRAFT_BASELINE").orElse {
-        val rx = "BENCH_r(\\d+)\\.json".r
-        Option(new java.io.File(".").listFiles()).toSeq.flatten
-          .flatMap(f => f.getName match {
-            case rx(n) => Some((n.toInt, f.getPath)); case _ => None })
-          .sortBy(-_._1).headOption.map(_._2)
-      }
-      baselinePath.toSeq.flatMap { path =>
-        val root = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File(path))
-        // the driver's BENCH_rN.json wraps the bench line as
-        // {sf: 0.1, tail: "<last 2000 chars>", parsed: <json|null>} —
-        // accept a raw bench line, the driver wrapper's parsed form,
-        // or (parse failed, the pre-r7 truncation) name:value pairs
-        // regex-recovered from the tail text
-        val baseSf = Option(root.get("sf")).flatMap(n =>
-          if (n.isNumber) Some(n.asDouble()) else sfOf(n.asText()))
-        def field(name: String) = Option(root.get(name))
-          .orElse(Option(root.get("parsed")).filter(_.isObject)
-            .flatMap(p => Option(p.get(name))))
-        val prevStat = field("stat").map(_.asText()).getOrElse("median")
-        val crossStat = prevStat != "trimmed_median"
-        // Per-family normalization (VERDICT r15 #2): scale a streaming
-        // query's baseline by the STATE calibration ratio and a batch
-        // query's by the SHUFFLE ratio, falling back to the CPU ratio
-        // when the baseline artifact predates the three-probe split.
-        def prevField(n: String) = field(n).map(_.asDouble()).filter(_ > 0)
-        def ratio(prev: Option[Double], now: Double): Option[Double] =
-          prev.collect { case p if now > 0 => now / p }
-        val cpuScale = ratio(prevField("calib_s"), calibMedian)
-        val shuffleScale = ratio(prevField("calib_shuffle_s"), calibShuffleMedian)
-          .orElse(cpuScale)
-        val stateScale = ratio(prevField("calib_state_s"), calibStateMedian)
-          .orElse(cpuScale)
-        def scaleFor(name: String): Double =
-          (if (streamingFamily(name)) stateScale else shuffleScale).getOrElse(1.0)
-        val calibNorm = cpuScale.isDefined
-        if (baseSf != sfOf(sfDir)) Seq.empty
-        else {
-          val qNode = field("queries")
-          // keys normalized to the short form (name up to the first
-          // underscore): old rounds' files carry full names, the compact
-          // stdout contract carries short ones — compare on the common key
-          def short(n: String): String = n.takeWhile(_ != '_')
-          val prev: Map[String, Double] = (qNode match {
-            case Some(qs) if qs.isObject =>
-              qs.fields().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
-            case _ =>
-              val tail = Option(root.get("tail")).map(_.asText()).getOrElse("")
-              "\"(q[0-9]+[a-z]?(?:_[A-Za-z0-9_]+)?)\":([0-9.]+)".r.findAllMatchIn(tail)
-                .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
-          }).map { case (k, v) => short(k) -> v }
-          results.toSeq.flatMap { case (name, now) =>
-            prev.get(short(name)).map(_ * scaleFor(name)).filter(p =>
-              p > 0 && now > 0 && (now / p > 1.5 || p / now > 1.5))
-              .map(p => name -> (p, now, crossStat, calibNorm))
-          }
-        }
-      }.toMap
-    } catch { case _: Throwable => Map.empty[String, (Double, Double, Boolean, Boolean)] })
-    // Per-rep arrays are a standing FILE artifact, not part of the
-    // stdout line: the driver's log capture truncates long lines
-    // (VERDICT r6 saw the tail cut), so the one-line contract stays
-    // compact and the full evidence lands next to it in the repo.
-    // A SPARK_GRAFT_ONLY subset run must not clobber the full-suite
-    // artifact the repo commits — default subset output to a sibling
-    // file; an explicit SPARK_GRAFT_REPS_OUT still wins.
-    val repsOut = sys.env.getOrElse("SPARK_GRAFT_REPS_OUT",
-      if (only.isDefined) "BENCH_reps_subset.json" else "BENCH_reps.json")
-    // min-of-reps is the contention-robust statistic (a rep can only be
-    // SLOWED by machine noise, never sped up) — published as a first-class
-    // map next to the medians so a consumer can discount the `noisy`
-    // entries without re-deriving from the reps arrays.
-    val mins = suite.flatMap { q =>
-      val ts = times(q.name)
-      if (ts.isEmpty) None else Some(q.name -> ts.min)
-    }.toMap
-    try {
-      val repsJson = suite.map { q =>
-        "\"" + q.name + "\":[" + times(q.name).map(t => j3(t)).mkString(",") + "]"
-      }.mkString("{", ",", "}")
-      val movedJson = moved.map { case (n, (p, c, x, cn)) =>
-        "\"" + n + "\":{\"prev\":" + j3(p) + ",\"now\":" + j3(c) +
-          (if (x) ",\"cross_stat\":true" else "") +
-          (if (cn) ",\"calib_norm\":true" else "") + "}"
-      }.mkString("{", ",", "}")
-      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val noisyJson = noisy.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val medianJson = results.map { case (k, v) => "\"" + k + "\":" + j3(v) }
-        .mkString("{", ",", "}")
-      val minJson = mins.map { case (k, v) => "\"" + k + "\":" + j3(v) }
-        .mkString("{", ",", "}")
-      val calibJson = calibs.map(j3).mkString("[", ",", "]")
-      val calibShuffleJson = calibsShuffle.map(j3).mkString("[", ",", "]")
-      val calibStateJson = calibsState.map(j3).mkString("[", ",", "]")
-      val passJson = passWalls.map(j3).mkString("[", ",", "]")
-      val probesFailedJson = probesFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val w = new java.io.PrintWriter(repsOut, "UTF-8")
-      try w.println(s"""{"sf":"$sfDir","stat":"trimmed_median","budget_s":${j3(budget)},"warmup_used":$warmupUsed,"reps_used":$repsUsed,"renoise_used":$renoiseUsed,"probes_s":${j3(probesS)}$probesSkippedJson,"probes_failed":$probesFailedJson,"calib":$calibJson,"calib_shuffle":$calibShuffleJson,"calib_state":$calibStateJson,"pass_walls":$passJson,"failed":$failedJson,"noisy":$noisyJson,"median":$medianJson,"min":$minJson,"reps":$repsJson,"moved_vs_prev":$movedJson}""")
-      finally w.close()
-    } catch { case e: Throwable => System.err.println(s"[bench] reps file: $e") }
-    // The driver's log capture keeps only the LAST 2000 chars of this
-    // line, and at 86 queries a full-name medians map alone is ~2.6 KB —
-    // BENCH_r10.json captured a decapitated line and parsed null
-    // (VERDICT r10 #3). The stdout contract is therefore COMPACT
-    // (~1.4 KB): totals, failures, noisy count, the reps-file pointer,
-    // and a medians map under SHORT query keys (the name up to the first
-    // underscore — unique across the suite, asserted below so a future
-    // collision fails loudly rather than silently dropping a median).
-    // Full names, per-rep arrays, mins and the moved-vs-prev diagnostics
-    // all live in the reps FILE. "queries" stays the final key so a
-    // truncated capture still preserves the most medians possible.
-    def shortName(n: String): String = n.takeWhile(_ != '_')
-    val shortCollisions = results.keys.groupBy(shortName).filter(_._2.size > 1)
-    require(shortCollisions.isEmpty,
-      s"short-key collision in bench line: $shortCollisions")
-    val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + j3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val minTotal = if (mins.nonEmpty) mins.values.sum else 0.0
-    val totalStr = j3(total)
-    val failedStr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val summaryLine = s"""{"metric":"total","value":$totalStr,"unit":"sec","stat":"trimmed_median","min_total":${j3(minTotal)},"n_queries":${results.size},"reps_used":$repsUsed,"warmup_used":$warmupUsed,"budget_s":${j3(budget)},"calib_s":${j3(calibMedian)},"calib_shuffle_s":${j3(calibShuffleMedian)},"calib_state_s":${j3(calibStateMedian)},"probes_s":${j3(probesS)}$probesSkippedJson,"failed":$failedStr,"noisy_count":${noisy.size},"moved_count":${moved.size},"reps_file":"$repsOut","sf":"$sfDir","queries":$qs}"""
-    partialLine.set(null) // disarm the timeout hook — the real line follows
+    // final artifact: the last publish, now carrying the renoise reps
+    // and the probes wall
+    val summaryLine = publishArtifacts()
+    // disarm the timeout hook COMPLETELY — the real line follows on
+    // stdout, and a hook re-print after normal completion would leave a
+    // third copy (and a resurrected BENCH_partial.json) behind
+    partialLine.set(null)
+    completeLine.set(null)
     try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("BENCH_partial.json"))
     catch { case _: Throwable => () }
     println(summaryLine)
     spark.stop()
     // The summary must survive every capture mode (VERDICT r11 #2):
-    // (a) a standing FILE artifact in the working dir — subset runs go
-    // to a sibling file so they never clobber the committed full-suite
-    // one; (b) after spark.stop(), the bare line once more as the FINAL
-    // stdout AND stderr line, so a consumer tailing either stream ends
-    // on a parseable `}` (build.sbt's StdoutOutput/showSuccess strip
-    // sbt's [info] prefix and trailing [success] line).
-    val summaryOut = if (only.isDefined) "BENCH_subset.json" else "BENCH.json"
-    try {
-      val w = new java.io.PrintWriter(summaryOut, "UTF-8")
-      try w.println(summaryLine) finally w.close()
-    } catch { case e: Throwable => System.err.println(s"[bench] summary file: $e") }
+    // after spark.stop(), the bare line once more as the FINAL stdout AND
+    // stderr line, so a consumer tailing either stream ends on a
+    // parseable `}` (build.sbt's StdoutOutput/showSuccess strip sbt's
+    // [info] prefix and trailing [success] line). The standing FILE
+    // artifact was already written (and re-written per pass) by
+    // publishArtifacts.
     System.out.println(summaryLine); System.out.flush()
     System.err.println(summaryLine); System.err.flush()
   }
