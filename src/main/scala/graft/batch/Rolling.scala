@@ -132,7 +132,22 @@ object Rolling {
       .unionByName(ticks.withColumn("v", lit(null).cast("double")).withColumn("is_raw", lit(0)))
     val w = Window.partitionBy(keyCols: _*).orderBy(col("t").asc, col("is_raw").desc)
     val before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // The forward-looking bracket (first raw observation at or after the
+    // tick) is NOT expressed as `first(...) over (current row ..
+    // unbounded following)`: Spark's UnboundedFollowingWindowFunctionFrame
+    // rebuilds its aggregate buffer from the current row to the partition
+    // end for EVERY row — O(n²) per key's series (measured: the frame
+    // dominated q91's wall at 667 raw points/key; SPARK's growing-frame
+    // processor is incremental, the shrinking one is not). The same value
+    // computed over the REVERSED sort is a growing frame: (t desc,
+    // is_raw asc) is the exact reverse of (t asc, is_raw desc) — the key
+    // is unique per row (raw and tick rows at one t differ in is_raw) —
+    // so `last(.., ignoreNulls) over (unbounded preceding .. current)`
+    // under the reversed order selects the identical bracket row in O(n).
+    // Costs one extra local sort per partition; no extra exchange (same
+    // partitioning).
+    val wDesc = Window.partitionBy(keyCols: _*).orderBy(col("t").desc, col("is_raw").asc)
+    val afterInc = wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rawV = when(col("is_raw") === 1, col("v"))
     val rawT = when(col("is_raw") === 1, col("t"))
     val bracketed =
@@ -144,8 +159,8 @@ object Rolling {
         unioned
           .withColumn("pv", last(rawV, ignoreNulls = true).over(before))
           .withColumn("pt", last(rawT, ignoreNulls = true).over(before))
-          .withColumn("nv", first(rawV, ignoreNulls = true).over(after))
-          .withColumn("nt", first(rawT, ignoreNulls = true).over(after))
+          .withColumn("nv", last(rawV, ignoreNulls = true).over(afterInc))
+          .withColumn("nt", last(rawT, ignoreNulls = true).over(afterInc))
           .filter(col("is_raw") === 0)
           .withColumn(valueCol,
             when(col("pt") === col("t"), col("pv")).otherwise(

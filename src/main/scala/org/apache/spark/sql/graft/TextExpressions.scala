@@ -317,3 +317,138 @@ case class MinhashSig(child: Expression, n: Int, numPerm: Int)
   override protected def withNewChildInternal(newChild: Expression): MinhashSig =
     copy(child = newChild)
 }
+
+/** Static call target for [[WinnowSelect]]: the whole winnowing kernel
+  * — tokenize, k-gram h60 hashes over byte ranges, sliding rightmost-
+  * min selection with a monotonic deque, adjacent-run dedup — as ONE
+  * compiled O(tokens) pass per row. The Column-DSL formulation of the
+  * same algorithm (transform + slice/array_min/reverse/array_position
+  * lambdas) runs through Catalyst's INTERPRETED higher-order-function
+  * path, where every lambda occurrence of a subexpression re-evaluates
+  * it per element with ArrayData allocations — measured 5-20x slower
+  * on q134 depending on how many times the window slice appears in the
+  * expression tree. */
+object WinnowStatics {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Deduped winnowing selection of `text`: array of (pos, fp) structs,
+    * pos = 0-based k-gram index selected by some window (rightmost
+    * minimal h60 of each w-window), fp = that k-gram's h60 — one entry
+    * per contiguous selection run (exactly the distinct selected set;
+    * equal selections are provably adjacent, see
+    * graft.text.Winnowing.fingerprints). Bit-identical to the Column
+    * formulation `h60(concat_ws(" ", slice(split(text," "), i+1, k)))`:
+    * k-grams are hashed over byte ranges of the original UTF-8 text
+    * (words joined by single spaces reproduce the source bytes), h60 =
+    * first 15 md5 hex digits as a signed-positive long. Short docs
+    * (< k tokens) hash their whole token run; < w+k−1 tokens means one
+    * window over what exists — every doc yields >= 1 entry. */
+  def select(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    // word start offsets (split(" ") semantics: empty words kept)
+    var spaces = 0
+    var p = 0
+    while (p < bytes.length) { if (bytes(p) == ' ') spaces += 1; p += 1 }
+    val wc = spaces + 1
+    val starts = new Array[Int](wc + 1)
+    var idx = 1
+    p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') { starts(idx) = p + 1; idx += 1 }
+      p += 1
+    }
+    starts(wc) = bytes.length + 1
+    // k-gram h60 hashes, positions 0..max(wc-k, 0)
+    val nGrams = math.max(wc - k, 0) + 1
+    val hs = new Array[Long](nGrams)
+    val md = digests.get()
+    var i = 0
+    while (i < nGrams) {
+      val from = starts(i)
+      val to = starts(math.min(i + k, wc)) - 1
+      md.reset()
+      md.update(bytes, from, to - from)
+      val d = md.digest()
+      // h60: first 15 md5 hex digits = top 60 bits of the digest
+      hs(i) = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+        ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >>> 4)
+      i += 1
+    }
+    // sliding windows j = 0..max(nGrams-w, 0), each selecting its
+    // RIGHTMOST minimal hash; monotonic deque keeps values strictly
+    // increasing (>= popped on push), so the front is automatically the
+    // latest index among equal minima — the rightmost-min in O(1)
+    // amortized per window
+    val nWin = math.max(nGrams - w, 0) + 1
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0
+    val poss = new Array[Long](nWin)
+    val fps = new Array[Long](nWin)
+    var emitted = 0
+    var lastPos = -1
+    var next = 0
+    var j = 0
+    while (j < nWin) {
+      val windowEnd = math.min(j + w - 1, nGrams - 1)
+      while (next <= windowEnd) {
+        val v = hs(next)
+        while (tail > head && hs(deque(tail - 1)) >= v) tail -= 1
+        deque(tail) = next
+        tail += 1
+        next += 1
+      }
+      while (deque(head) < j) head += 1
+      val sel = deque(head)
+      if (sel != lastPos) { // adjacent-run dedup = exact distinct
+        poss(emitted) = sel.toLong
+        fps(emitted) = hs(sel)
+        emitted += 1
+        lastPos = sel
+      }
+      j += 1
+    }
+    val rows = new Array[Any](emitted)
+    var e = 0
+    while (e < emitted) {
+      rows(e) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](poss(e), fps(e)))
+      e += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** Codegen'd `winnow_select(text, k, w)` — the deduped winnowing
+  * fingerprint selection (Schleimer/Wilkerson/Aiken 2003) of a document
+  * in one scan-fused pass: array<struct<pos:long, fp:long>>. See
+  * [[WinnowStatics.select]] for semantics and the equivalence contract
+  * with the Column formulation (CorpusOpsSpec pins both against an
+  * independent JVM replay). Null in → null out. */
+case class WinnowSelect(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_select"
+
+  override protected def nullSafeEval(s: Any): Any =
+    WinnowStatics.select(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.WinnowStatics.select($s, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
