@@ -3244,8 +3244,12 @@ object Queries {
   // AND the min-over-rows estimate integer-exactly, so the hash match
   // pins the estimator itself, not just the surviving token set.
   val q99_cm_heavy_hitters = Q("q99_cm_heavy_hitters",
+    // spread BEFORE the token explode: both CM passes (counter build +
+    // estimate filter) are scan-fused over the token stream, which ran
+    // as two 1-task stages on the single-row-group input (guide §2.5);
+    // spreading the 5000 doc rows costs ~1.5 MB of shuffle once
     (s, dir) => Sketches.cmHeavyHitters(
-        documents(s, dir).select(explode(split(col("text"), " ")).as("token")),
+        Tables.spread(documents(s, dir)).select(explode(split(col("text"), " ")).as("token")),
         col("token"), phiDen = 2000L, depth = 3, width = 1024)
       .orderBy(col("cnt").desc, col("token")),
     Some("""

@@ -33,6 +33,44 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     harden(spark).read.parquet(s"$dir/$name.parquet")
 
+  /** Spread an under-split SCAN across the session's default parallelism
+    * before heavy scan-fused derivation (guide §2.5 "input skew: one
+    * huge unsplittable file → repartition immediately after the read").
+    * The testdata tables are single-row-group parquet files, which Spark
+    * cannot split below one task (`maxPartitionBytes` splits at
+    * row-group boundaries) — so a scan-fused kernel (per-shingle md5,
+    * per-dim decimal products) runs on ONE core of local[32] until the
+    * first exchange; q128's dot-product stage alone measured 4.3 s in a
+    * 1-task stage (OPTIMIZATION_r17.md).
+    *
+    * Scale-adaptive by GUARD, not by constant: fires only when the
+    * input is fewer files than `defaultParallelism` AND under
+    * `spark.graft.spread.maxBytes` (default 1 GiB) in total — the
+    * small-unsplittable layout. A cluster-scale table arrives as many
+    * splits and passes through untouched (repartitioning a large input
+    * here would be a full shuffle of the corpus — the exact anti-pattern
+    * the guard exists to prevent). Round-robin repartition keeps retry
+    * determinism via Spark's sort-before-repartition default. */
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= target) df
+    else {
+      val maxBytes = spark.conf.getOption("spark.graft.spread.maxBytes")
+        .map(_.toLong).getOrElse(1L << 30)
+      val total =
+        try {
+          val conf = spark.sessionState.newHadoopConf()
+          files.map { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(conf).getFileStatus(p).getLen
+          }.sum
+        } catch { case _: Throwable => Long.MaxValue }
+      if (total <= maxBytes) df.repartition(target) else df
+    }
+  }
+
   def region(s: SparkSession, dir: String): DataFrame = read(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame = read(s, dir, "nation")
   def customer(s: SparkSession, dir: String): DataFrame = read(s, dir, "customer")

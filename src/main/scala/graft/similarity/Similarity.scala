@@ -137,8 +137,16 @@ object Similarity {
   def centroidMargins(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(27, 12)
-    val ex = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
-        posexplode(asDouble(col(vecCol))).as(Seq("dim0", "v")))
+    // spread AFTER the explode: the N×L decimal dot-product work is
+    // scan-fused and `ex` has three consumers (cent/vnorm/dots) — with
+    // the explode upstream of the (reused) exchange it is computed once
+    // and every consumer reads the exchange in parallel. On a
+    // single-row-group input the unspread plan ran the 4.3 s dot-product
+    // stage as ONE task (guide §2.5 / OPTIMIZATION_r17.md q128); the
+    // guard makes this the identity on cluster-scale pre-split inputs.
+    val ex = graft.Tables.spread(
+      emb.select(col(idCol).as("id"), col(labelCol).as("label"),
+        posexplode(asDouble(col(vecCol))).as(Seq("dim0", "v"))))
       .select(col("id"), col("label"), (col("dim0") + 1).as("dim"), col("v"))
     val cent = ex.groupBy(col("label").as("clabel"), col("dim"))
       .agg((sum(col("v").cast(dec)).cast("double") / count(lit(1))).as("c"))

@@ -81,18 +81,38 @@ object TextRank {
     // no persist: every consumer is inside the caller's one action and
     // ReuseExchange dedups the edge subtree there (object scaladoc —
     // the resident cache was q107's measured +2 s per cold call)
+    // Eagerly materialize the edge table as a plan LEAF (localCheckpoint,
+    // not persist — r13 measured the InMemory columnar build at +2 s per
+    // cold call; a local checkpoint stores the deserialized partitions of
+    // a computation that must run exactly once anyway). Every iteration
+    // (and every lineage-truncation checkpoint below) then consumes a
+    // leaf instead of re-planning — and possibly re-executing — the
+    // corpus-side bigram aggregation. The edge table is vocabulary-
+    // bounded (object scaladoc), so checkpoint storage is small at any
+    // corpus size.
     val edges = weighted.join(wTot, Seq("u"))
       .select(col("u"), col("v"), (d(col("w")) / d(col("w_tot"))).as("frac"))
+      .localCheckpoint(true)
 
     var ranks = edges.select(col("u").as("word")).distinct()
       .select(col("word"), lit(1.0).as("s"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       ranks = edges.join(broadcast(ranks), edges("u") === ranks("word"))
         .select(col("v"), (col("frac") * col("s")).cast(DecimalType(27, 12)).as("c"))
         .groupBy("v")
         .agg(((lit(1.0) - lit(damping)) +
           lit(damping) * sum("c").cast("double")).as("s"))
         .withColumnRenamed("v", "word")
+      // Truncate lineage every 3 iterations: the nested iteration plan
+      // grows linearly and AQE re-optimizes the WHOLE remaining plan at
+      // every stage boundary, so driver planning cost grows
+      // quadratically with iteration count — measured 2.8 s of q107's
+      // 4.7 s wall spent OUTSIDE stages (OPTIMIZATION_r17.md). An eager
+      // localCheckpoint materializes the vocabulary-bounded rank vector
+      // (small by the object scaladoc's broadcast argument) and resets
+      // the plan to a leaf. Values are unchanged — the checkpoint
+      // replays the identical deterministic plan, just earlier.
+      if (i % 3 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("word"), col("s").as("score"))
       .orderBy(col("score").desc, col("word"))

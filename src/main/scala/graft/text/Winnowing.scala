@@ -57,7 +57,7 @@ object Winnowing {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
-    docs.select(col(idCol).as("id"),
+    graft.Tables.spread(docs).select(col(idCol).as("id"),
         explode(call_function("winnow_select", col(textCol), lit(k), lit(w))).as("s"))
       .select(col("id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }

@@ -399,6 +399,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out("B") == (2L, 500L, 0L, 0L), "identical values: MAD 0, no outliers")
   }
 
+  test("robustOutliers: bucketed rank-find path is row-identical to the direct path") {
+    // values straddle bucket boundaries (width 65536 cents) and include
+    // duplicates + a heavy tail; forcing directBytes=0 routes to the
+    // bucketed two-phase shape, which must reproduce the direct CDF
+    // exactly (median, MAD and flag counts are all rank statistics)
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map { i =>
+      (if (i % 3 == 0) "A" else "B",
+        math.abs(rnd.nextGaussian() * 900) + (if (i % 97 == 0) 50000.0 else 0.0))
+    }.toDF("g", "price")
+    def run(): Map[String, (Long, Long, Long, Long)] =
+      graft.sketch.Sketches.robustOutliers(df, Seq("g"), col("price"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val direct = run()
+    spark.conf.set("spark.graft.median.directBytes", "0")
+    try {
+      val bucketed = run()
+      assert(bucketed == direct)
+    } finally spark.conf.unset("spark.graft.median.directBytes")
+  }
+
   test("behavioralEntropy: uniform two-type user ln2, single-type user 0") {
     val origin = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
