@@ -895,7 +895,10 @@ object Similarity {
     *  - `manifest-v<N>.json`     — centroid → version whose directory
     *    serves that inverted list at version N (immutable once written);
     *  - `CURRENT`                — the live version number; updated by
-    *    writing a temp file and ATOMIC_MOVE-renaming over it, the one
+    *    writing a temp file and overwrite-renaming it into place
+    *    (Hadoop FileContext.rename(OVERWRITE) — atomic on HDFS-semantics
+    *    stores; S3 needs a conditional-put instead, see the metadata-IO
+    *    note below), the one
     *    mutation in the protocol.
     *
     * Readers ([[readIvfLayoutVersioned]]) resolve CURRENT → manifest →
@@ -908,14 +911,16 @@ object Similarity {
     * writes only the affected lists; the full-rebuild cost is never
     * paid. */
   def writeIvfLayoutVersioned(assigned: DataFrame, root: String): Unit = {
-    val dir = new java.io.File(root)
-    dir.mkdirs()
+    val fs = fsFor(root)
+    fs.mkdirs(hPath(root))
     assigned.write.mode("overwrite").partitionBy("centroid")
       .parquet(s"$root/v1")
-    val lists = Option(new java.io.File(s"$root/v1").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("centroid="))
-      .map(_.getName.stripPrefix("centroid=").toLong)
+    // list through the Hadoop FileSystem, NOT java.io.File: on an
+    // HDFS/S3 root a java.io listing returns null and the manifest
+    // would silently read as empty while data exists (ADVICE r16 #2)
+    val lists = fs.listStatus(hPath(s"$root/v1"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid="))
+      .map(_.getPath.getName.stripPrefix("centroid=").toLong)
     writeManifest(root, 1, lists.map(_ -> 1L).toMap)
     swapCurrent(root, 1)
   }
@@ -944,7 +949,16 @@ object Similarity {
   /** One maintain step against a versioned layout: same delta semantics
     * and same affected-list-only write volume as [[ivfMaintain]], but
     * committed as version N+1 + manifest + atomic CURRENT swap. Returns
-    * the published version number. */
+    * the published version number.
+    *
+    * SINGLE WRITER at a time (ADVICE r16 #4): concurrent READERS are
+    * safe at any point, but two concurrent maintains would both read
+    * CURRENT=N and race to publish N+1. The manifest write's
+    * create-without-overwrite is the cheap guard — the second writer
+    * throws on the existing `manifest-v<N+1>.json` BEFORE the CURRENT
+    * swap, leaving its unreferenced v<N+1> data as garbage, never as a
+    * readable mixed state. Serialize maintains externally (one
+    * scheduler) and this guard never fires. */
   def ivfMaintainVersioned(
       spark: SparkSession,
       root: String,
@@ -984,30 +998,74 @@ object Similarity {
     next
   }
 
+  // ---- versioned-layout metadata IO, all through the Hadoop FileSystem
+  // API (VERDICT r16 #3 / ADVICE r16 #2): the parquet data writes above
+  // already go through Hadoop, so CURRENT/manifest must too — java.nio
+  // would silently target the driver's LOCAL disk under an hdfs:// root.
+  // S3 caveat (documented, not handled): S3 has no atomic rename; the
+  // CURRENT swap needs a conditional-put (if-match) or an external
+  // pointer service there. HDFS-semantics stores get the atomic
+  // overwrite-rename via FileContext below.
+
+  private def hPath(s: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s)
+
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsFor(root: String): org.apache.hadoop.fs.FileSystem =
+    hPath(root).getFileSystem(hadoopConf())
+
+  private def readSmallFile(root: String, name: String): String = {
+    val fs = fsFor(root)
+    val p = hPath(s"$root/$name")
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, "UTF-8")
+  }
+
+  private def writeSmallFile(root: String, name: String, body: String,
+      overwrite: Boolean): Unit = {
+    val fs = fsFor(root)
+    val out = fs.create(hPath(s"$root/$name"), overwrite)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
   private def currentVersion(root: String): Long = {
-    val f = java.nio.file.Paths.get(root, "CURRENT")
-    require(java.nio.file.Files.exists(f), s"no CURRENT pointer under $root")
-    java.nio.file.Files.readString(f).trim.toLong
+    require(fsFor(root).exists(hPath(s"$root/CURRENT")),
+      s"no CURRENT pointer under $root")
+    readSmallFile(root, "CURRENT").trim.toLong
   }
 
   private def swapCurrent(root: String, v: Long): Unit = {
-    val tmp = java.nio.file.Paths.get(root, s".CURRENT.tmp-$v")
-    java.nio.file.Files.writeString(tmp, v.toString)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(root, "CURRENT"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // temp write + overwrite-rename: FileContext.rename(OVERWRITE) is
+    // the Hadoop API's atomic replace on HDFS-semantics filesystems
+    // (FileSystem.rename cannot overwrite)
+    writeSmallFile(root, s".CURRENT.tmp-$v", v.toString, overwrite = true)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      hPath(root).toUri, hadoopConf())
+    fc.rename(hPath(s"$root/.CURRENT.tmp-$v"), hPath(s"$root/CURRENT"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def writeManifest(root: String, v: Long, m: Map[Long, Long]): Unit = {
     val json = m.toSeq.sortBy(_._1)
       .map { case (c, ver) => s""""$c":$ver""" }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(root, s"manifest-v$v.json"), json)
+    // overwrite = false: a manifest version is immutable once written,
+    // and failing on an existing manifest-v<N>.json is the cheap
+    // single-writer guard — two concurrent maintains both reading
+    // CURRENT=N cannot both publish N+1 (ADVICE r16 #4); the loser
+    // throws here, before the CURRENT swap, and its partial v<N+1> data
+    // directory is unreferenced garbage, not corruption.
+    writeSmallFile(root, s"manifest-v$v.json", json, overwrite = false)
   }
 
   private def readManifest(root: String, v: Long): Map[Long, Long] = {
-    val txt = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(root, s"manifest-v$v.json")).trim
+    val txt = readSmallFile(root, s"manifest-v$v.json").trim
     val body = txt.stripPrefix("{").stripSuffix("}").trim
     if (body.isEmpty) Map.empty
     else body.split(",").map { kv =>

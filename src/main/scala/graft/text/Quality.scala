@@ -329,10 +329,12 @@ object Quality {
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val dec27 = org.apache.spark.sql.types.DecimalType(27, 12)
     val dec10 = org.apache.spark.sql.types.DecimalType(10, 0)
-    // spread: the bigram explode + per-doc counts are scan-fused; on a
-    // single-row-group input they ran 1-task (guide §2.5)
-    val toks = graft.Tables.spread(docs)
-      .select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("w"))
+    // NO Tables.spread here (tried in r17, reverted): the serial
+    // pre-exchange segment is only the tokenize projection (~0.3 s at
+    // sf0.1) — the per-doc bigram COUNT already partial-aggregates into
+    // its own exchange, and the added repartition cost more than the
+    // parallelism it bought (min-of-reps +0.7 s, OPTIMIZATION_r17.md)
+    val toks = docs.select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("w"))
     // interior bigrams: zip w[0..n-2] with w[1..n-1] (codegen generators —
     // slice/arrays_zip/explode all stay inside whole-stage codegen)
     val bg = toks.filter(size(col("w")) >= 2)

@@ -578,6 +578,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Similarity.readIvfLayoutVersioned(spark, root).count() == 0L)
   }
 
+  test("ivfMaintainVersioned: metadata IO works under an explicit file: scheme; a stale second writer of a version fails before the swap") {
+    import graft.similarity.Similarity
+    val centroids = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "centroid_vec")
+    val data = Seq((10L, Seq(0.9, 0.1)), (20L, Seq(0.1, 0.9)))
+      .toDF("cand_id", "cand_vec")
+    // an explicit URI-scheme root exercises the Hadoop FileSystem path
+    // resolution end to end (a java.nio implementation would create a
+    // literal "./file:..." directory or throw)
+    val root = "file://" + java.nio.file.Files.createTempDirectory("ivf-scheme").toString
+    Similarity.writeIvfLayoutVersioned(
+      Similarity.assignToCentroids(data, centroids), root)
+    assert(Similarity.readIvfLayoutVersioned(spark, root).count() == 2L)
+    val none = spark.emptyDataset[Tuple1[Long]].toDF("cand_id")
+    val v2 = Similarity.ivfMaintainVersioned(spark, root, centroids,
+      Seq((22L, Seq(0.05, 0.95))).toDF("cand_id", "cand_vec"), none)
+    assert(v2 == 2L)
+    assert(Similarity.readIvfLayoutVersioned(spark, root).count() == 3L)
+    // single-writer guard: rewind CURRENT to 1 (a writer that resolved
+    // the old version) — its attempt to re-publish version 2 must fail
+    // on the immutable manifest, BEFORE any CURRENT swap
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(s"$root/CURRENT")
+    val out = fs.create(cur, true)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    intercept[Exception] {
+      Similarity.ivfMaintainVersioned(spark, root, centroids,
+        Seq((23L, Seq(0.9, 0.05))).toDF("cand_id", "cand_vec"), none)
+    }
+    // the guard fired before the swap: CURRENT still reads 1
+    val in = fs.open(cur)
+    val b = new Array[Byte](fs.getFileStatus(cur).getLen.toInt)
+    try in.readFully(0, b) finally in.close()
+    assert(new String(b, "UTF-8").trim == "1")
+  }
+
   // --------------------------------------------- calibratePercentRank
 
   test("calibratePercentRank: strict-below CDF semantics, ties share, singleton 0") {
