@@ -168,8 +168,11 @@ object Dedup {
     a.hint("merge").join(b.hint("merge"), Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / numPerm).as("est_jaccard"))
+        // codegen'd agreement count (ArrayEqCount) — the interpreted
+        // zip_with form was the verify stage's whole CPU on hot band
+        // keys (bit-identical; DedupSpec pins the pair sets)
+        (call_function("array_eq_count", col("sig_a"), col("sig_b"))
+          .cast("double") / numPerm).as("est_jaccard"))
       // threshold BEFORE the dedup shuffle: the per-row filter is free and
       // shrinks the distinct() input from every banded candidate to just
       // the passing pairs — the difference between shuffling the candidate
@@ -685,7 +688,7 @@ object Dedup {
         .select(col("band"), col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))),
         Seq("band", "band_key"))
       .select(col("id_b"),
-        (size(filter(zip_with(col("sig_b"), col("sig_c"), (x, y) => x === y), p => p))
+        (call_function("array_eq_count", col("sig_b"), col("sig_c"))
           .cast("double") / numPerm).as("est"))
       .filter(col("est") >= threshold)
       .select(col("id_b").as("id")).distinct()
@@ -1089,9 +1092,25 @@ object Dedup {
     sized
       .join(texts.select(col("id").as("id_a"), col("t").as("t_a")), Seq("id_a"))
       .join(texts.select(col("id").as("id_b"), col("t").as("t_b")), Seq("id_b"))
+      // The DP below is CPU-DENSE and byte-light: a candidate-pair row
+      // is ~2 text payloads but costs O(cap·len) DP cells. AQE's
+      // byte-based coalescing judged the post-join exchange "small" and
+      // ran the whole verify in ONE task (16×: two 1-task stages of
+      // 23 s + 19 s = 42 s of q130's 45 s wall — OPTIMIZATION_r17.md).
+      // An explicit round-robin repartition to the session's default
+      // parallelism pins the verify fan-out; AQE never coalesces
+      // user-specified repartitions. Cost: one exchange of the
+      // candidate-pair texts — a frame the LSH gate already bounds.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("lev",
+        // `opaque` fences the DP from optimizer substitution: without
+        // it the downstream filters inline this expression and push it
+        // into the text-attach join CONDITION — 2-3 evaluations per
+        // pair inside an AQE-coalesced 1-task stage below the
+        // repartition (the 16x q130 12 s serial stage)
         when(col("t_a") === col("t_b"), lit(0L))
-          .otherwise(levenshtein(col("t_a"), col("t_b"), cap).cast("long")))
+          .otherwise(call_function("opaque",
+            levenshtein(col("t_a"), col("t_b"), cap)).cast("long")))
       .filter(col("lev") >= 0)
       .withColumn("edit_sim",
         when(greatest(col("len_a"), col("len_b")) === 0, lit(1.0))
@@ -1155,8 +1174,8 @@ object Dedup {
       .join(broadcast(sizes.select(col("g").as("g_b"), col("n").as("n_b"))), Seq("g_b"))
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .select(col("g_a"), col("g_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / numPerm).as("est_jaccard"),
+        (call_function("array_eq_count", col("sig_a"), col("sig_b"))
+          .cast("double") / numPerm).as("est_jaccard"),
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter"))).as("exact_jaccard"),
         col("inter"), col("n_a"), col("n_b"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PqAdc, PunctCount, QuantizeMse, RandomProjBuckets, SignProject, SortedContainsLong, SubwordCount, SubwordPieces, WinnowSelect}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PqAdc, PunctCount, QuantizeMse, RandomProjBuckets, SignProject, SortedContainsLong, SubwordCount, SubwordPieces, WinnowSelect, ArrayEqCount, OptimizerOpaque}
 
 /** Public facade for the codegen'd vector/fingerprint expressions
   * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
@@ -110,6 +110,14 @@ object VectorFunctions {
       (children: Seq[Expression]) => WinnowSelect(children(0),
         children(1).eval().asInstanceOf[Number].intValue(),
         children(2).eval().asInstanceOf[Number].intValue())),
+    // opaque(x): determinism-opaque passthrough — fences an expensive
+    // expression against optimizer substitution/pushdown (§4.4 remedy)
+    (FunctionIdentifier("opaque"),
+      new ExpressionInfo(classOf[OptimizerOpaque].getName, "opaque"),
+      (children: Seq[Expression]) => OptimizerOpaque(children(0))),
+    (FunctionIdentifier("array_eq_count"),
+      new ExpressionInfo(classOf[ArrayEqCount].getName, "array_eq_count"),
+      (children: Seq[Expression]) => ArrayEqCount(children(0), children(1))),
     (FunctionIdentifier("sorted_contains"),
       new ExpressionInfo(classOf[SortedContainsLong].getName, "sorted_contains"),
       (children: Seq[Expression]) => SortedContainsLong(children(0), children(1))),

@@ -34,17 +34,59 @@ object ProductQuantizer {
 
   /** Learn per-subspace codebooks. `vectors` = `(id: long, vec:
     * array<double>)`, `dim % m == 0`. Returns `(sub, cid, cvec)` with
-    * `sub` in `[0, m)`, `cid` in `[0, ksub)`, `cvec` of `dim/m`. */
+    * `sub` in `[0, m)`, `cid` in `[0, ksub)`, `cvec` of `dim/m`.
+    *
+    * All `m` subspaces train in ONE keyed pass per k-means step (r17):
+    * the original per-subspace [[Similarity.kmeansFit]] loop launched
+    * `m × (iters + 1)` tiny driver actions — at m=4/iters=1 that made
+    * q78 a 37-job query whose wall was mostly per-job fixed cost, and
+    * on a cluster it is m sequential barrier chains where one suffices.
+    * Keying every stage by `sub` runs the same math on the same row
+    * groups (init = the ksub lowest-id vectors per sub; assignment =
+    * same broadcast cosine + max_by tie rule; update = the same
+    * DECIMAL(27,12) per-(sub,cid,dim) mean), so the codebooks are
+    * bit-identical (SimilaritySpec pins this against the per-sub loop;
+    * the q78 oracle replays training unchanged). */
   def pqTrain(vectors: DataFrame, dim: Int, m: Int, ksub: Int,
       iters: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
     val sub = dim / m
-    (0 until m).map { s =>
-      Similarity.kmeansFit(
-        vectors.select(col("id"), slice(col("vec"), s * sub + 1, sub).as("vec")),
-        ksub, iters)
-        .select(lit(s).as("sub"), col("cid"), col("centroid").as("cvec"))
-    }.reduce(_ unionByName _)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val subvecs = vectors
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("vec").as("fullvec"))
+      .select(col("sub").cast("int").as("sub"), col("id"),
+        slice(col("fullvec"), col("sub") * sub + 1, lit(sub)).as("vec"))
+    // init: per subspace, the ksub lowest-id subvectors, cid in id order
+    // (kmeansFit's orderBy(id).limit(k) seed rule, keyed)
+    var centroids: Seq[(Int, Int, Seq[Double])] = subvecs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("sub").orderBy("id")))
+      .filter(col("rn") <= ksub)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("cid"), col("vec"))
+      .as[(Int, Int, Seq[Double])].collect().toSeq
+    for (_ <- 0 until iters) {
+      val cdf = centroids.toDF("sub", "cid", "cvec")
+      centroids = subvecs.join(broadcast(cdf), Seq("sub"))
+        .select(col("sub"), col("id"), col("vec"), col("cid"),
+          VectorFunctions.cosineFast(col("vec"), col("cvec")).as("sim"))
+        .groupBy("sub", "id", "vec")
+        .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("nid")))
+          .as("cid"))
+        .select(col("sub"), col("cid"), posexplode(col("vec")).as(Seq("dim", "v")))
+        .groupBy("sub", "cid", "dim")
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 12)))
+          .cast("double") / count(lit(1))).as("m"))
+        .groupBy("sub", "cid")
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("sub"), col("cid"),
+          transform(col("dm"), s => s("m")).as("cvec"))
+        .as[(Int, Int, Seq[Double])].collect().toSeq
+    }
+    centroids.toDF("sub", "cid", "cvec")
   }
 
   /** Encode every vector as its `m` nearest-centroid codes (cosine

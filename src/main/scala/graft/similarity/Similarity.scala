@@ -913,6 +913,17 @@ object Similarity {
   def writeIvfLayoutVersioned(assigned: DataFrame, root: String): Unit = {
     val fs = fsFor(root)
     fs.mkdirs(hPath(root))
+    // A (re)build OWNS the root: reset stale protocol state first —
+    // leftover manifest-v<N>/v<N> from a previous generation would both
+    // defeat the maintain path's create-without-overwrite single-writer
+    // guard (a fresh v2 maintain colliding with a dead layout's v2) and
+    // leave orphan versions a mis-restored CURRENT could resolve.
+    fs.listStatus(hPath(root)).foreach { s =>
+      val n = s.getPath.getName
+      if (n == "CURRENT" || n.startsWith("manifest-v") ||
+          (s.isDirectory && n.matches("v\\d+")))
+        fs.delete(s.getPath, true)
+    }
     assigned.write.mode("overwrite").partitionBy("centroid")
       .parquet(s"$root/v1")
     // list through the Hadoop FileSystem, NOT java.io.File: on an
@@ -921,7 +932,7 @@ object Similarity {
     val lists = fs.listStatus(hPath(s"$root/v1"))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid="))
       .map(_.getPath.getName.stripPrefix("centroid=").toLong)
-    writeManifest(root, 1, lists.map(_ -> 1L).toMap)
+    writeManifest(root, 1, lists.map(_ -> 1L).toMap, overwrite = false)
     swapCurrent(root, 1)
   }
 
@@ -993,7 +1004,7 @@ object Similarity {
       p
     }
     val nextManifest = (manifest -- affected) ++ present.map(_ -> next)
-    writeManifest(root, next, nextManifest)
+    writeManifest(root, next, nextManifest, overwrite = false)
     swapCurrent(root, next) // the commit point — atomic, all-or-nothing
     next
   }
@@ -1052,16 +1063,21 @@ object Similarity {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  private def writeManifest(root: String, v: Long, m: Map[Long, Long]): Unit = {
+  private def writeManifest(root: String, v: Long, m: Map[Long, Long],
+      overwrite: Boolean): Unit = {
     val json = m.toSeq.sortBy(_._1)
       .map { case (c, ver) => s""""$c":$ver""" }.mkString("{", ",", "}")
-    // overwrite = false: a manifest version is immutable once written,
-    // and failing on an existing manifest-v<N>.json is the cheap
-    // single-writer guard — two concurrent maintains both reading
-    // CURRENT=N cannot both publish N+1 (ADVICE r16 #4); the loser
-    // throws here, before the CURRENT swap, and its partial v<N+1> data
-    // directory is unreferenced garbage, not corruption.
-    writeSmallFile(root, s"manifest-v$v.json", json, overwrite = false)
+    // overwrite = false on the MAINTAIN path: a maintained manifest
+    // version is immutable once written, and failing on an existing
+    // manifest-v<N+1>.json is the cheap single-writer guard — two
+    // concurrent maintains both reading CURRENT=N cannot both publish
+    // N+1 (ADVICE r16 #4); the loser throws here, before the CURRENT
+    // swap, and its partial v<N+1> data directory is unreferenced
+    // garbage, not corruption. The INITIAL layout build also passes
+    // overwrite = false — it has already reset the root's protocol
+    // state, so an existing manifest-v1 there means a concurrent
+    // builder, which the guard should catch too.
+    writeSmallFile(root, s"manifest-v$v.json", json, overwrite)
   }
 
   private def readManifest(root: String, v: Long): Map[Long, Long] = {

@@ -452,3 +452,30 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
     copy(child = newChild)
 }
+
+/** Determinism-opaque passthrough: evaluates exactly its child, but
+  * reports `deterministic = false` so the optimizer will not substitute
+  * it past a Project (PushPredicateThroughProject / CollapseProject).
+  * The JVM twin of the guide's "mark expensive UDFs non-deterministic"
+  * remedy (§4.4): editVerifiedPairs' bounded-Levenshtein column was
+  * inlined into the downstream filters and pushed into the text-attach
+  * JOIN CONDITION — evaluated up to 3× per candidate pair, inside an
+  * AQE-coalesced single-task stage BELOW the verify repartition (16×
+  * q130: 12 s serial — OPTIMIZATION_r17.md). Wrapped, the DP stays in
+  * its own projection, above the repartition, computed once per pair.
+  * Values and nullability are the child's; only optimizer moves are
+  * disabled, so results are bit-identical. */
+case class OptimizerOpaque(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "opaque"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): OptimizerOpaque =
+    copy(child = newChild)
+}

@@ -511,3 +511,52 @@ case class SignProject(child: Expression, flatSigns: Seq[Double], outDims: Int,
   override protected def withNewChildInternal(newChild: Expression): SignProject =
     copy(child = newChild)
 }
+
+/** Codegen'd count of positionally-EQUAL entries of two `ARRAY<BIGINT>`
+  * columns — the MinHash signature-agreement kernel. The
+  * `size(filter(zip_with(a, b, _ === _), x => x))` form it replaces runs
+  * through Catalyst's interpreted higher-order-function path (boxed
+  * lambda + two intermediate arrays per row), which at 13 s of CPU on a
+  * 16× hot band key was the whole verify stage (OPTIMIZATION_r17.md
+  * q130). Counts over min(len_a, len_b) positions — signatures always
+  * share numPerm length, and zip_with's null padding never compared
+  * equal, so the value is identical. Null if either input is null. */
+case class ArrayEqCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_eq_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayEqCount =
+    copy(left = newLeft, right = newRight)
+}

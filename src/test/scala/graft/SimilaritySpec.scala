@@ -315,6 +315,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.sortBy(_.getLong(0)).map(_.toString).sameElements(again))
   }
 
+  test("pqTrain: single keyed pass is codebook-identical to per-subspace kmeansFit") {
+    import graft.similarity.ProductQuantizer
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id").as("id"), Similarity.asDouble(col("embedding")).as("vec"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getAs[Int]("sub"), r.getAs[Int]("cid")),
+        r.getSeq[Double](2))).toMap
+    val keyed = canon(ProductQuantizer.pqTrain(emb, dim = 64, m = 4, ksub = 8, iters = 2))
+    // the pre-r17 reference implementation: m independent kmeansFit runs
+    val perSub = (0 until 4).map { s =>
+      Similarity.kmeansFit(
+        emb.select(col("id"), slice(col("vec"), s * 16 + 1, 16).as("vec")), 8, 2)
+        .select(lit(s).as("sub"), col("cid"), col("centroid").as("cvec"))
+    }.reduce(_ unionByName _)
+    val ref = canon(perSub)
+    assert(keyed.keySet == ref.keySet)
+    keyed.foreach { case (k, v) => assert(v == ref(k), s"codebook differs at $k") }
+  }
+
   test("pq_adc equals the explicit per-subspace reconstruction score") {
     import graft.similarity.ProductQuantizer
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
