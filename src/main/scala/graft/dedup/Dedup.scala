@@ -148,7 +148,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val bandsChosen =
       if (bands > 0) bands
-      else lshPlanChoose(numPerm, threshold)._1
+      else planBandsFor(numPerm, threshold)
     val rows = numPerm / bandsChosen
     require(bandsChosen * rows == numPerm, "bands must divide numPerm")
     // No persist (the [[hammingPairs]] discipline, VERDICT r11 #5): the
@@ -668,7 +668,7 @@ object Dedup {
       bands: Int = 0, // 0 = lshPlanChoose(numPerm, threshold), same
                       // geometry the batch family defaults to
       threshold: Double = 0.5): DataFrame = {
-    val bandsChosen = if (bands > 0) bands else lshPlanChoose(numPerm, threshold)._1
+    val bandsChosen = if (bands > 0) bands else planBandsFor(numPerm, threshold)
     val rows = numPerm / bandsChosen
     require(bandsChosen * rows == numPerm, "bands must divide numPerm")
     val bFp = batch.select(col(idCol).as("id"),
@@ -1054,7 +1054,7 @@ object Dedup {
       shingleThreshold: Double = Double.NaN): DataFrame = {
     val planAt = if (shingleThreshold.isNaN) threshold else shingleThreshold
     val bandsChosen =
-      if (bands > 0) bands else lshPlanChoose(numPerm, planAt)._1
+      if (bands > 0) bands else planBandsFor(numPerm, planAt)
     val cands = minhashLshPairs(df, idCol, textCol, n, numPerm, bandsChosen,
         threshold = 0.0)
       .select("id_a", "id_b")
@@ -1330,6 +1330,19 @@ object Dedup {
     * must cost microseconds-to-milliseconds, not a cluster round trip.
     * DedupSpec pins equality with [[lshPlan]]'s chosen row. Memoized:
     * operators resolve the same (numPerm, threshold) every call. */
+  /** Band-count resolution for the `bands = 0` sentinel: the PLANNING
+    * threshold is the caller's verify threshold clamped into
+    * [[lshPlanChoose]]'s open (0,1) domain. threshold 0.0 (the
+    * documented "estimate filter OFF" mode) and 1.0 both worked with the
+    * historical fixed defaults and must keep resolving instead of
+    * tripping lshPlanChoose's require (ADVICE r16 #3); every declared
+    * query's threshold is strictly inside (0,1), so their geometry is
+    * unchanged. */
+  private[graft] def planBandsFor(numPerm: Int, threshold: Double): Int = {
+    val t = math.min(0.99, math.max(0.01, threshold))
+    lshPlanChoose(numPerm, t)._1
+  }
+
   def lshPlanChoose(numPerm: Int, threshold: Double, grid: Int = 1000): (Int, Int) = {
     require(numPerm >= 1 && grid >= 10, s"numPerm=$numPerm grid=$grid")
     require(threshold > 0 && threshold < 1, s"threshold=$threshold")

@@ -163,6 +163,21 @@ class DedupSpec extends SparkSpec {
     pairs.get((1L, 2L)).foreach(est => assert(est > 0.3))
   }
 
+  test("minhashLshPairs: bands=0 sentinel resolves at the OFF-mode thresholds 0.0 and 1.0") {
+    // ADVICE r16 #3: the planner-default sentinel used to trip
+    // lshPlanChoose's (0,1) require for the documented estimate-filter-
+    // OFF mode (threshold 0.0) and for 1.0; the planning threshold is
+    // now clamped into the open interval, so both resolve. Threshold
+    // semantics are unchanged: 0.0 keeps every banded collision.
+    val all = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numPerm = 32, bands = 0, threshold = 0.0).collect()
+    assert(all.nonEmpty)
+    val exactOnly = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numPerm = 32, bands = 0, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exactOnly.contains((1L, 4L)), "identical docs must survive t=1.0")
+  }
+
   test("simhash: identical texts share fingerprint; hamming grows with difference") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -29,7 +29,20 @@ def load(path):
     queries = root.get("queries") or root.get("median") or {}
     # normalize keys to the short form (up to first underscore)
     qs = {k.split("_")[0]: v for k, v in queries.items()}
-    calib = {k: root.get(k) for k in ("calib_s", "calib_shuffle_s", "calib_state_s")}
+
+    def warm_median(arr):
+        ok = [v for v in arr if v is not None and v >= 0]
+        warm = ok[1:] if len(ok) > 1 else ok  # first value is JIT-cold
+        return statistics.median(warm) if warm else None
+
+    calib = {}
+    for scalar, array in (("calib_s", "calib"),
+                          ("calib_shuffle_s", "calib_shuffle"),
+                          ("calib_state_s", "calib_state")):
+        v = root.get(scalar)
+        if v is None and isinstance(root.get(array), list):
+            v = warm_median(root[array])
+        calib[scalar] = v
     return qs, calib
 
 
