@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Tables
 import graft.text.TextStats
 
 /** Deduplication operators for web-scale corpora: exact, MinHash+LSH,
@@ -58,14 +59,13 @@ object Dedup {
   def hashedShingles(text: Column, n: Int): Column =
     transform(shingles(text, n), s => h32(s))
 
-  /** Exploded (id, shingle-string) posting list, built WITHOUT
-    * higher-order lambdas: the word array is materialized once, start
-    * positions explode as a generator, and each shingle is a codegen'd
-    * `concat_ws(slice(words, i, n))` — the whole stage stays inside
-    * whole-stage codegen. The lambda form ([[shingles]] inside a
-    * `transform`) is interpreted expression-by-expression and was 10-50×
-    * slower per row, AND it ran inside the scan stage, which for a small
-    * file count means almost no parallelism.
+  /** Exploded (id, shingle-string) posting list, built by the compiled
+    * [[org.apache.spark.sql.graft.ShingleGen]] generator: ONE pass over
+    * the text bytes per row, each shingle a zero-copy byte-range view —
+    * no word array, no per-shingle slice copies or joined-string
+    * allocations (the r17 explode(sequence)+concat_ws(slice) form paid
+    * all three per shingle; the still-older lambda form was additionally
+    * interpreted, 10-50× slower per row).
     *
     * The `repartition(id)` both fans the per-row work across the cluster
     * (shuffle-partition count, AQE-adjustable) and pre-clusters rows for
@@ -77,11 +77,10 @@ object Dedup {
     * aggregates of minhash; set-semantics callers dedup on top (their
     * per-id grouping rides the same partitioning, still shuffle-free). */
   def shinglePosting(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), split(col(textCol), " ").as("words"))
+    df.select(col(idCol).as("id"), col(textCol).as("t"))
       .repartition(col("id"))
-      .select(col("id"), col("words"),
-        explode(sequence(lit(0), greatest(size(col("words")) - n, lit(0)))).as("i"))
-      .select(col("id"), concat_ws(" ", slice(col("words"), col("i") + 1, lit(n))).as("s"))
+      .select(col("id"),
+        explode(call_function("shingle_gen", col("t"), lit(n))).as("s"))
 
   /** MinHash signature from precomputed shingle hashes: `numPerm`
     * permutations under `(a_i * h + b_i) mod P`, `a_i = 2i+1`,
@@ -473,14 +472,21 @@ object Dedup {
     val idCol = nodes.columns.head
     // Plan-truncation mode for the iterative path: executor-local by
     // default (fast, but a lost executor fails the job — acceptable for
-    // a deterministic batch pass); pass `checkpointDir` to switch every
-    // per-iteration truncation to RELIABLE `checkpoint` on that
-    // directory, the fault-tolerant swap the localCheckpoint note below
-    // names. Superseded iterates' checkpoint files are deleted as soon
-    // as they're dead, so disk stays one iterate wide, not maxIterations.
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // a deterministic batch pass); pass `checkpointDir` — or set the
+    // session conf `spark.graft.checkpoint.dir` ([[graft.Leaf]]) — to
+    // switch every per-iteration truncation to RELIABLE `checkpoint` on
+    // that directory, the fault-tolerant swap the localCheckpoint note
+    // below names. Superseded iterates' checkpoint files are deleted as
+    // soon as they're dead, so disk stays one iterate wide, not
+    // maxIterations.
+    val ckDir = checkpointDir.orElse(
+      pairs.sparkSession.conf.getOption(graft.Leaf.DirConf).filter(_.nonEmpty))
+    ckDir.foreach { d =>
+      val sc = pairs.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
+    }
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      if (ckDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
     // Materialize the edge list ONCE before branching: the candidate
     // pipeline feeding `pairs` (an LSH band join) is expensive, and both
@@ -547,25 +553,11 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
-  /** Drop the storage behind a checkpointed frame — executor blocks for
-    * `localCheckpoint(true)` (the checkpoint persists its internal RDD
-    * directly as a LogicalRDD leaf, invisible to the CacheManager that
-    * `Dataset.unpersist` talks to), checkpoint FILES for reliable
-    * `checkpoint` (deleted via the frame's Hadoop FileSystem). Only for
-    * frames that will never be read again (the lineage is truncated;
-    * recompute after this is impossible). */
-  private def freeLocalCheckpoint(ds: DataFrame): Unit =
-    ds.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-        lr.rdd.getCheckpointFile.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          try p.getFileSystem(
-            ds.sparkSession.sparkContext.hadoopConfiguration).delete(p, true)
-          catch { case _: java.io.IOException => () }
-        }
-      case _ => ()
-    }
+  /** Drop the storage behind a checkpointed frame — shared helper in
+    * [[graft.Leaf]] (executor blocks for localCheckpoint, checkpoint
+    * FILES for reliable checkpoint). Only for frames that will never be
+    * read again. */
+  private def freeLocalCheckpoint(ds: DataFrame): Unit = graft.Leaf.free(ds)
 
   /** Driver-side union-find over a collected edge list, joined back to
     * the corpus as a broadcast map. Arbitrary-root union with path
@@ -1130,13 +1122,22 @@ object Dedup {
     * est_jaccard  = matching minhash coordinates / numPerm
     * exact_jaccard = |A∩B| / |A∪B| over distinct shingle strings.
     *
-    * Scale shape: the signature is ONE corpus pass — a shingle explode
-    * into a group-keyed min() aggregate (map-side partial mins make the
-    * exchange |groups|×numPerm, not corpus-sized). The pairwise stage is
-    * |groups|² sketch algebra on a broadcast-small frame. The exact path
-    * is shingle-vocabulary-bounded: distinct (group, shingle) rows joined
-    * on shingle — never doc-pairs, never text. At 100 TB with dozens of
-    * sources every stage after the scan is metadata-sized.
+    * Scale shape (round 18): ONE corpus pass — the shingle explode feeds
+    * a single distinct-(group, shingle) aggregate, and EVERYTHING
+    * downstream reads that vocabulary-bounded set through one reused
+    * exchange: sizes, the shingle-keyed intersection self-join, and the
+    * MinHash signature itself (min() per permutation is idempotent over
+    * duplicate shingles, so the signature of the occurrence STREAM
+    * equals the signature of the distinct SET — the r17 shape paid a
+    * second full explode+md5 pass for the same mins). Signature
+    * agreement runs as a BANDED equi-join (guide §3 blocked join): each
+    * signature explodes into numPerm (coordinate, hash) rows joined on
+    * that band key, producing only AGREEING coordinates — sketch
+    * payloads never enter a nested-loop pair frame. The |groups|² output
+    * frame is assembled from group METADATA (sizes, 2 longs/row) with
+    * matches and intersections attached by broadcast hash joins. At
+    * 100 TB with dozens of sources every stage after the scan is
+    * metadata-sized, and the corpus is read — and md5'd — exactly once.
     */
   def sourceMinhashSimilarity(
       df: DataFrame,
@@ -1144,16 +1145,9 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       numPerm: Int = 32): DataFrame = {
-    val posting = df
-      .select(col(groupCol).as("g"), split(col(textCol), " ").as("words"))
-      .select(col("g"), col("words"),
-        explode(sequence(lit(0), greatest(size(col("words")) - n, lit(0)))).as("i"))
-      .select(col("g"), concat_ws(" ", slice(col("words"), col("i") + 1, lit(n))).as("s"))
-    val sigs = posting.select(col("g"), h32(col("s")).as("h"))
-      .groupBy("g").agg(
-        array((0 until numPerm).map { i =>
-          min((lit(2 * i + 1).cast("long") * col("h") + lit(7919L * i + 1)) % Prime)
-        }: _*).as("sig"))
+    val posting = Tables.spread(df)
+      .select(col(groupCol).as("g"),
+        explode(call_function("shingle_gen", col(textCol), lit(n))).as("s"))
     // exact side: distinct shingle STRINGS per group (hash-collision-free
     // ground truth), sizes + pairwise intersections via a shingle-keyed
     // self-join — vocabulary-bounded, the q101 HLL set-ops shape made exact.
@@ -1163,18 +1157,34 @@ object Dedup {
       .join(sets.select(col("g").as("g_b"), col("s")), Seq("s"))
       .filter(col("g_a") < col("g_b"))
       .groupBy("g_a", "g_b").agg(count(lit(1)).as("inter"))
-    // |groups|² pair frame: a broadcast nested-loop on the < condition —
-    // both sides are |groups| rows of numPerm longs, driver-small.
-    val pairs = sigs.select(col("g").as("g_a"), col("sig").as("sig_a"))
-      .join(broadcast(sigs.select(col("g").as("g_b"), col("sig").as("sig_b"))),
+    // signature from the distinct set, not the occurrence stream: min is
+    // duplicate-insensitive, so this is bit-identical to hashing every
+    // occurrence — and it reuses the distinct exchange the exact side
+    // already pays for instead of a second corpus-wide explode+md5 pass
+    val sigs = sets.select(col("g"), h32(col("s")).as("h"))
+      .groupBy("g").agg(
+        array((0 until numPerm).map { i =>
+          min((lit(2 * i + 1).cast("long") * col("h") + lit(7919L * i + 1)) % Prime)
+        }: _*).as("sig"))
+    // banded signature agreement: equi-join on the (coordinate, hash)
+    // band key counts exactly the agreeing coordinates per pair; pairs
+    // sharing no coordinate simply don't appear (matches -> 0 below)
+    val coords = sigs.select(col("g"), posexplode(col("sig")))
+      .select(col("g"), col("pos").as("i"), col("col").as("h"))
+    val matches = coords.select(col("g").as("g_a"), col("i"), col("h"))
+      .join(coords.select(col("g").as("g_b"), col("i"), col("h")), Seq("i", "h"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b").agg(count(lit(1)).as("matches"))
+    // |groups|² pair frame over group metadata only (2 longs a side)
+    val pairs = sizes.select(col("g").as("g_a"), col("n").as("n_a"))
+      .join(broadcast(sizes.select(col("g").as("g_b"), col("n").as("n_b"))),
         col("g_a") < col("g_b"))
     pairs
+      .join(broadcast(matches), Seq("g_a", "g_b"), "left")
       .join(broadcast(inter), Seq("g_a", "g_b"), "left")
-      .join(broadcast(sizes.select(col("g").as("g_a"), col("n").as("n_a"))), Seq("g_a"))
-      .join(broadcast(sizes.select(col("g").as("g_b"), col("n").as("n_b"))), Seq("g_b"))
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .select(col("g_a"), col("g_b"),
-        (call_function("array_eq_count", col("sig_a"), col("sig_b"))
+        (coalesce(col("matches"), lit(0L))
           .cast("double") / numPerm).as("est_jaccard"),
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter"))).as("exact_jaccard"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PqAdc, PunctCount, QuantizeMse, RandomProjBuckets, SignProject, SortedContainsLong, SubwordCount, SubwordPieces, WinnowSelect, ArrayEqCount, OptimizerOpaque}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PqAdc, PunctCount, QuantizeMse, RandomProjBuckets, SignProject, SortedContainsLong, SubwordCount, SubwordPieces, WinnowSelect, ArrayEqCount, OptimizerOpaque, BpeMergeFold, BpePairs, ShingleGen}
 
 /** Public facade for the codegen'd vector/fingerprint expressions
   * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
@@ -118,6 +118,22 @@ object VectorFunctions {
     (FunctionIdentifier("array_eq_count"),
       new ExpressionInfo(classOf[ArrayEqCount].getName, "array_eq_count"),
       (children: Seq[Expression]) => ArrayEqCount(children(0), children(1))),
+    // bpe_merge(s, left, right): one BPE merge round folded through a
+    // symbol string — the compiled twin of the aggregate HOF fold (§4)
+    (FunctionIdentifier("bpe_merge"),
+      new ExpressionInfo(classOf[BpeMergeFold].getName, "bpe_merge"),
+      (children: Seq[Expression]) => BpeMergeFold(children(0), children(1), children(2))),
+    // bpe_pairs(s): adjacent symbol pairs of a symbol string — compiled
+    // twin of the arrays_zip/slice Column form
+    (FunctionIdentifier("bpe_pairs"),
+      new ExpressionInfo(classOf[BpePairs].getName, "bpe_pairs"),
+      (children: Seq[Expression]) => BpePairs(children(0))),
+    // shingle_gen(text, n): word n-gram shingle strings in one compiled
+    // pass, zero-copy byte-range views; n must be a foldable int literal
+    (FunctionIdentifier("shingle_gen"),
+      new ExpressionInfo(classOf[ShingleGen].getName, "shingle_gen"),
+      (children: Seq[Expression]) => ShingleGen(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("sorted_contains"),
       new ExpressionInfo(classOf[SortedContainsLong].getName, "sorted_contains"),
       (children: Seq[Expression]) => SortedContainsLong(children(0), children(1))),

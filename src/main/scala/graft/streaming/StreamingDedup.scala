@@ -74,6 +74,21 @@ object StreamingDedup {
         // production deployment running open-ended streams should lower
         // it back (recovery replays more changelog otherwise).
         spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+        // Row-count tracking makes EVERY state put pay a RocksDB
+        // read-before-write (insert-vs-update classification) solely to
+        // feed the numTotalStateRows METRIC — query results are
+        // byte-identical either way (HarnessSpec pins provider parity;
+        // the oracle sweep covers every streaming query). At 100 TB
+        // state volumes that is a doubled point-lookup load on the
+        // commit path. Default off; re-enable per session via
+        // `spark.graft.rocksdb.trackRows` or env
+        // SPARK_GRAFT_ROCKSDB_TRACKROWS when the ops metric is worth
+        // the write amplification. A/B measurement: SCALE.md round-18.
+        val trackRows = spark.conf.getOption("spark.graft.rocksdb.trackRows")
+          .orElse(sys.env.get("SPARK_GRAFT_ROCKSDB_TRACKROWS"))
+          .getOrElse("false")
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", trackRows)
       case "hdfs" =>
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")

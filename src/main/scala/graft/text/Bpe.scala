@@ -44,24 +44,37 @@ object Bpe {
 
   private def symsOf(s: Column): Column = split(s, Sep)
 
-  /** Fold one merge (left, right) through a symbol string. */
+  /** Fold one merge (left, right) through a symbol string — the
+    * compiled `bpe_merge` kernel (one O(bytes) pass per word;
+    * [[org.apache.spark.sql.graft.BpeStatics]] documents the exact
+    * equivalence with [[applyMergeHof]], the original interpreted
+    * `aggregate` fold, which rebuilt the accumulator by immutable
+    * string concat — O(len²) bytes copied per word plus per-element
+    * interpreted-lambda dispatch, the §4 anti-pattern in the ONE
+    * expression every merge round applies to every vocabulary word). */
   private def applyMerge(s: Column, left: String, right: String): Column =
+    call_function("bpe_merge", s, lit(left), lit(right))
+
+  /** The original interpreted HOF fold, kept as the independent
+    * semantic reference the kernel is spec-pinned against
+    * (CorpusOpsSpec "bpe_merge kernel ≡ aggregate fold"). */
+  private[graft] def applyMergeHof(s: Column, left: String, right: String): Column =
     aggregate(symsOf(s), lit(""),
       (acc, x) => when(acc === "", x)
         .when((acc === left || acc.endsWith(Sep + left)) && x === right,
           concat(acc, x))
         .otherwise(concat(acc, lit(Sep), x)))
 
-  /** Adjacent symbol pairs of a symbol string, exploded. */
-  private def pairFrame(words: DataFrame): DataFrame = {
-    val y = symsOf(col("s"))
+  /** Adjacent symbol pairs of a symbol string, exploded — the compiled
+    * `bpe_pairs` generator ([[org.apache.spark.sql.graft.BpePairStatics]]
+    * has the equivalence contract with the arrays_zip/slice form it
+    * replaces: that form materialized the split array plus two slice
+    * copies plus a zipped struct array PER WORD PER ROUND — the largest
+    * exec-time stages of q132 at 16×, OPTIMIZATION_r18.md). */
+  private def pairFrame(words: DataFrame): DataFrame =
     words
-      .select(col("c"),
-        explode(arrays_zip(
-          slice(y, lit(1), size(y) - 1),
-          slice(y, lit(2), size(y) - 1))).as("p"))
-      .select(col("p.0").as("l"), col("p.1").as("r"), col("c"))
-  }
+      .select(col("c"), explode(call_function("bpe_pairs", col("s"))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("c"))
 
   /** Train `rounds` BPE merges over the corpus' space-tokenized words.
     * Returns the merge table: (round, merge_left, merge_right,

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.Leaf
 
 /** Graph-based keyword extraction — TextRank (Mihalcea & Tarau 2004,
   * "TextRank: Bringing Order into Texts"): weighted PageRank power
@@ -81,21 +82,22 @@ object TextRank {
     // no persist: every consumer is inside the caller's one action and
     // ReuseExchange dedups the edge subtree there (object scaladoc —
     // the resident cache was q107's measured +2 s per cold call)
-    // Eagerly materialize the edge table as a plan LEAF (localCheckpoint,
-    // not persist — r13 measured the InMemory columnar build at +2 s per
-    // cold call; a local checkpoint stores the deserialized partitions of
-    // a computation that must run exactly once anyway). Every iteration
-    // (and every lineage-truncation checkpoint below) then consumes a
-    // leaf instead of re-planning — and possibly re-executing — the
-    // corpus-side bigram aggregation. The edge table is vocabulary-
-    // bounded (object scaladoc), so checkpoint storage is small at any
-    // corpus size.
-    val edges = weighted.join(wTot, Seq("u"))
-      .select(col("u"), col("v"), (d(col("w")) / d(col("w_tot"))).as("frac"))
-      .localCheckpoint(true)
+    // Eagerly materialize the edge table as a plan LEAF (Leaf.leaf:
+    // localCheckpoint by default, reliable checkpoint when
+    // `spark.graft.checkpoint.dir` is set — not persist; r13 measured
+    // the InMemory columnar build at +2 s per cold call, while a
+    // checkpoint stores the deserialized partitions of a computation
+    // that must run exactly once anyway). Every iteration (and every
+    // lineage-truncation checkpoint below) then consumes a leaf instead
+    // of re-planning — and possibly re-executing — the corpus-side
+    // bigram aggregation. The edge table is vocabulary-bounded (object
+    // scaladoc), so checkpoint storage is small at any corpus size.
+    val edges = Leaf.leaf(weighted.join(wTot, Seq("u"))
+      .select(col("u"), col("v"), (d(col("w")) / d(col("w_tot"))).as("frac")))
 
     var ranks = edges.select(col("u").as("word")).distinct()
       .select(col("word"), lit(1.0).as("s"))
+    var prevCkpt: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       ranks = edges.join(broadcast(ranks), edges("u") === ranks("word"))
         .select(col("v"), (col("frac") * col("s")).cast(DecimalType(27, 12)).as("c"))
@@ -108,11 +110,20 @@ object TextRank {
       // every stage boundary, so driver planning cost grows
       // quadratically with iteration count — measured 2.8 s of q107's
       // 4.7 s wall spent OUTSIDE stages (OPTIMIZATION_r17.md). An eager
-      // localCheckpoint materializes the vocabulary-bounded rank vector
-      // (small by the object scaladoc's broadcast argument) and resets
-      // the plan to a leaf. Values are unchanged — the checkpoint
-      // replays the identical deterministic plan, just earlier.
-      if (i % 3 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
+      // leaf materializes the vocabulary-bounded rank vector (small by
+      // the object scaladoc's broadcast argument) and resets the plan to
+      // a leaf. Values are unchanged — the checkpoint replays the
+      // identical deterministic plan, just earlier. The SUPERSEDED rank
+      // leaf is dead the moment the new one materializes (nothing
+      // references it) — free its storage now instead of waiting for
+      // the ContextCleaner. The edge leaf and the LAST rank leaf stay
+      // live: the returned plan's remaining iterations read them.
+      if (i % 3 == 0 && i < iterations) {
+        val ck = Leaf.leaf(ranks)
+        prevCkpt.foreach(Leaf.free)
+        prevCkpt = Some(ck)
+        ranks = ck
+      }
     }
     ranks.select(col("word"), col("s").as("score"))
       .orderBy(col("score").desc, col("word"))

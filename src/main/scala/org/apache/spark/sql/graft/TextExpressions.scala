@@ -3,7 +3,7 @@
  * packaging for third-party native expressions. */
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
@@ -465,6 +465,233 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
   * its own projection, above the repartition, computed once per pair.
   * Values and nullability are the child's; only optimizer moves are
   * disabled, so results are bit-identical. */
+/** Static call target for [[ShingleGen]]: all word n-gram shingles of a
+  * text in ONE pass over its UTF-8 bytes, each shingle a ZERO-COPY view
+  * (`UTF8String.fromBytes(bytes, from, len)`) of the original byte
+  * array. Bit-identical to the Column form
+  * `transform(sequence(0, greatest(size(words)-n, 0)), i =>
+  * concat_ws(" ", slice(words, i+1, n)))` with `words = split(text, " ")`:
+  * `split(" ")` keeps empty words, so word starts are exactly the
+  * positions after each 0x20 byte, and k consecutive words joined by
+  * single spaces reproduce the source byte range verbatim (the
+  * [[WinnowStatics]] byte-range argument; UTF-8 continuation bytes
+  * cannot alias 0x20). Short texts (< n words) yield their whole word
+  * run as the single shingle, matching `slice`'s clamping. The Column
+  * form allocates a word array, two array slices and a joined string
+  * per shingle; this kernel allocates only the view headers. */
+object ShingleStatics {
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    var spaces = 0
+    var p = 0
+    while (p < bytes.length) { if (bytes(p) == ' ') spaces += 1; p += 1 }
+    val wc = spaces + 1
+    val starts = new Array[Int](wc + 1)
+    var idx = 1
+    p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') { starts(idx) = p + 1; idx += 1 }
+      p += 1
+    }
+    starts(wc) = bytes.length + 1
+    val nGrams = math.max(wc - n, 0) + 1
+    val out = new Array[Any](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val from = starts(i)
+      val to = starts(math.min(i + n, wc)) - 1
+      out(i) = UTF8String.fromBytes(bytes, from, to - from)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd `shingle_gen(text, n)` — word n-gram shingle strings of a
+  * document as one compiled pass ([[ShingleStatics.shingles]] has the
+  * equivalence contract with the split/slice/concat_ws Column form;
+  * DedupSpec pins both). Feeds `explode(...)` in every posting-list
+  * builder. Null in → null out. */
+case class ShingleGen(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_gen"
+
+  override protected def nullSafeEval(s: Any): Any =
+    ShingleStatics.shingles(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.ShingleStatics.shingles($s, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleGen =
+    copy(child = newChild)
+}
+
+/** Static call target for [[BpePairs]]: adjacent symbol pairs of a
+  * U+0001-separated symbol string in one pass, each symbol a zero-copy
+  * byte-range view. Bit-identical to the Column form
+  * `arrays_zip(slice(y, 1, size(y)-1), slice(y, 2, size(y)-1))` over
+  * `y = split(s, sep)`: symbols are the 0x01-delimited byte ranges
+  * (split keeps empties), pair j = (symbol j, symbol j+1), and a
+  * single-symbol string yields no pairs (slice length `size-1 = 0`). */
+object BpePairStatics {
+  def pairs(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var seps = 0
+    var p = 0
+    while (p < n) { if (bytes(p) == 1) seps += 1; p += 1 }
+    val wc = seps + 1
+    if (wc < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val starts = new Array[Int](wc + 1)
+    var idx = 1
+    p = 0
+    while (p < n) {
+      if (bytes(p) == 1) { starts(idx) = p + 1; idx += 1 }
+      p += 1
+    }
+    starts(wc) = n + 1
+    val out = new Array[Any](wc - 1)
+    var j = 0
+    while (j < wc - 1) {
+      val a = UTF8String.fromBytes(bytes, starts(j), starts(j + 1) - 1 - starts(j))
+      val b = UTF8String.fromBytes(bytes, starts(j + 1), starts(j + 2) - 1 - starts(j + 1))
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](a, b))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd `bpe_pairs(s)` — adjacent symbol pairs
+  * `array<struct<l:string, r:string>>` of a symbol string
+  * ([[BpePairStatics.pairs]] has the equivalence contract with the
+  * arrays_zip/slice Column form; CorpusOpsSpec pins both). The Column
+  * form materializes the split array plus two slice copies plus a
+  * zipped struct array per word per merge round. Null in → null out. */
+case class BpePairs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("r", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bpe_pairs"
+
+  override protected def nullSafeEval(s: Any): Any =
+    BpePairStatics.pairs(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.BpePairStatics.pairs($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpePairs =
+    copy(child = newChild)
+}
+
+/** Static call target for [[BpeMergeFold]]: one BPE merge (left, right)
+  * folded through a U+0001-separated symbol string in ONE compiled
+  * O(bytes) pass — the exact greedy left-to-right semantics of
+  * [[graft.text.Bpe]]'s original `aggregate` HOF fold, byte-for-byte:
+  *
+  *   - the accumulator-empty branch (`acc === ""`) maps to `outLen == 0`
+  *     — it keeps firing while the output is still empty (a leading
+  *     empty symbol is swallowed), not just for element 1;
+  *   - the fuse test `(acc === left || acc.endsWith(Sep+left)) && x ===
+  *     right` is exactly "last emitted symbol == left && next == right"
+  *     (symbols never contain the separator, so endsWith(Sep+left) ⇔
+  *     the last symbol is left);
+  *   - a fused symbol becomes left+right ≠ left (right is non-empty in
+  *     every caller), so it cannot re-fuse as LEFT in the same pass —
+  *     greedy scan-after-merge, the Sennrich reference behavior.
+  *
+  * The HOF fold is INTERPRETED (Catalyst higher-order functions don't
+  * codegen) and builds the accumulator by immutable string concat —
+  * O(len²) bytes copied per word plus per-element lambda dispatch. This
+  * kernel writes each output byte once into a right-sized buffer
+  * (output ≤ input: fusing drops a separator, nothing grows).
+  * CorpusOpsSpec pins it against the HOF fold on randomized words. */
+object BpeStatics {
+  private def regionEq(a: Array[Byte], aFrom: Int, b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) {
+      if (a(aFrom + i) != b(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  def merge(s: UTF8String, left: UTF8String, right: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val lb = left.getBytes
+    val rb = right.getBytes
+    val n = b.length
+    val out = new Array[Byte](n)
+    var outLen = 0
+    var lastStart = 0
+    var i = 0
+    while (i <= n) {
+      var to = i
+      while (to < n && b(to) != 1) to += 1
+      val symLen = to - i
+      if (outLen == 0) { // fold's `acc === ""` branch
+        System.arraycopy(b, i, out, 0, symLen)
+        outLen = symLen
+        lastStart = 0
+      } else {
+        val fuse = (outLen - lastStart) == lb.length && symLen == rb.length &&
+          regionEq(out, lastStart, lb) && regionEq(b, i, rb)
+        if (fuse) {
+          // append right to the last symbol — it becomes left+right
+          System.arraycopy(b, i, out, outLen, symLen)
+          outLen += symLen
+        } else {
+          out(outLen) = 1
+          outLen += 1
+          lastStart = outLen
+          System.arraycopy(b, i, out, outLen, symLen)
+          outLen += symLen
+        }
+      }
+      i = to + 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, outLen))
+  }
+}
+
+/** Codegen'd `bpe_merge(s, left, right)` — one BPE merge round applied
+  * to a U+0001-separated symbol string (see [[BpeStatics.merge]] for
+  * the equivalence contract with the `aggregate` HOF fold it replaces).
+  * `left`/`right` are per-round constants (the argmax pair), passed as
+  * literal children so one generated class serves every round. Null in
+  * → null out. */
+case class BpeMergeFold(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_merge"
+
+  override protected def nullSafeEval(s: Any, l: Any, r: Any): Any =
+    BpeStatics.merge(s.asInstanceOf[UTF8String],
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, l, r) =>
+      s"org.apache.spark.sql.graft.BpeStatics.merge($s, $l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BpeMergeFold =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 case class OptimizerOpaque(child: Expression) extends UnaryExpression {
   override lazy val deterministic: Boolean = false
   override def dataType: DataType = child.dataType

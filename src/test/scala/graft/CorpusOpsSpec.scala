@@ -44,6 +44,67 @@ class CorpusOpsSpec extends SparkSpec {
     assert((r.getString(1), r.getString(2), r.getLong(3)) == ("a", "b", 3L))
   }
 
+  test("bpe_merge kernel ≡ the interpreted aggregate fold, randomized words + adversarial runs") {
+    // The compiled kernel (BpeStatics.merge) must replay the original
+    // HOF fold byte-for-byte, including its degenerate branches: run
+    // fusion ("aaaa" under (a,a)), fused-symbol non-cascade, boundary
+    // non-matches ("xa|ba" under (a,b) must NOT merge), leading/trailing
+    // empty symbols (the fold's `acc === ""` quirk swallows a LEADING
+    // empty symbol), multi-byte UTF-8 symbols.
+    val S = Bpe.Sep
+    def w(syms: String*): String = syms.mkString(S)
+    val adversarial = Seq(
+      "", "a", w("a", "a"), w("a", "a", "a", "a"),
+      w("a", "b", "a", "b"), w("xa", "ba"), w("ab", "a", "b"),
+      w("", "a", "b"), w("a", "b", ""), w("", ""),
+      w("aa", "aa", "aa"), w("é", "ß", "é"), w("a", "é", "a"),
+      w("ba", "a", "b", "a"))
+    val rnd = new scala.util.Random(4242)
+    val alpha = Vector("a", "b", "ab", "ba", "aa", "é")
+    val randomized = (1 to 200).map { _ =>
+      (1 to (1 + rnd.nextInt(12))).map(_ => alpha(rnd.nextInt(alpha.size))).mkString(S)
+    }
+    val df = (adversarial ++ randomized).toDF("s")
+    val merges = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("ab", "a"),
+      ("aa", "aa"), ("é", "ß"), ("a", "é"))
+    merges.foreach { case (l, r) =>
+      val rows = df.select(
+          call_function("bpe_merge", col("s"), lit(l), lit(r)).as("got"),
+          Bpe.applyMergeHof(col("s"), l, r).as("want"),
+          col("s")).collect()
+      rows.foreach { row =>
+        assert(row.getString(0) == row.getString(1),
+          s"merge ($l,$r) on '${row.getString(2).replace(S, "|")}': " +
+            s"kernel '${row.getString(0).replace(S, "|")}' != fold '${row.getString(1).replace(S, "|")}'")
+      }
+    }
+    // null passthrough
+    val nr = Seq[Option[String]](None).toDF("s")
+      .select(call_function("bpe_merge", col("s"), lit("a"), lit("b"))).collect()
+    assert(nr.head.isNullAt(0))
+  }
+
+  test("bpe_pairs kernel ≡ the arrays_zip/slice Column form") {
+    val S = Bpe.Sep
+    val rnd = new scala.util.Random(1331)
+    val alpha = Vector("a", "b", "ab", "é", "xyz")
+    val words = Seq("", "a", s"a${S}b", s"a${S}b${S}c", s"${S}a", s"a$S") ++
+      (1 to 150).map(_ =>
+        (1 to (1 + rnd.nextInt(10))).map(_ => alpha(rnd.nextInt(alpha.size))).mkString(S))
+    def old(s: org.apache.spark.sql.Column) = {
+      val y = split(s, S)
+      arrays_zip(slice(y, lit(1), size(y) - 1), slice(y, lit(2), size(y) - 1))
+    }
+    val rows = words.toDF("s").select(
+      call_function("bpe_pairs", col("s")).as("got"), old(col("s")).as("want"),
+      col("s")).collect()
+    rows.foreach { r =>
+      val got = r.getSeq[org.apache.spark.sql.Row](0).map(p => (p.getString(0), p.getString(1)))
+      val want = r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getString(0), p.getString(1)))
+      assert(got == want, s"'${r.getString(2).replace(S, "|")}': $got != $want")
+    }
+  }
+
   test("Bpe: oracleSql round count drives the generated CTE chain") {
     val sql = Bpe.oracleSql(3)
     assert(sql.contains("m3 AS") && !sql.contains("m4 AS"))

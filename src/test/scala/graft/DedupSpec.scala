@@ -19,6 +19,42 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq("a b", "b c", "c d"))
   }
 
+  test("shingle_gen kernel ≡ the split/slice/concat_ws Column form, adversarial texts") {
+    // The compiled generator slices byte ranges of the original text
+    // (ShingleStatics scaladoc); it must replay the Column form exactly,
+    // including split(" ")'s empty-word semantics on doubled/leading/
+    // trailing spaces, short texts (< n words), empty strings, and
+    // multi-byte UTF-8.
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a  b c", " leading", "trailing ", "  ", "", "one",
+      "one two", "é ß ü words λ", "a b  c   d e",
+      (1 to 50).map(i => s"tok${i % 7}").mkString(" "))
+    val rnd = new scala.util.Random(97)
+    val randomized = (1 to 100).map(_ =>
+      (0 until rnd.nextInt(20)).map(_ =>
+        if (rnd.nextInt(10) == 0) "" else s"w${rnd.nextInt(9)}").mkString(" "))
+    val df = (texts ++ randomized).toDF("t")
+    Seq(1, 2, 3, 6).foreach { n =>
+      def old(t: org.apache.spark.sql.Column) = {
+        val words = split(t, " ")
+        transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => concat_ws(" ", slice(words, i + 1, lit(n))))
+      }
+      val rows = df.select(
+        call_function("shingle_gen", col("t"), lit(n)).as("got"),
+        old(col("t")).as("want"), col("t")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n text='${r.getString(2)}': ${r.getSeq[String](0)} != ${r.getSeq[String](1)}")
+      }
+    }
+    // null passthrough
+    val nr = Seq[Option[String]](None).toDF("t")
+      .select(call_function("shingle_gen", col("t"), lit(3))).collect()
+    assert(nr.head.isNullAt(0))
+  }
+
   test("exactGroups finds the duplicate pair, keeps min id as survivor") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
       .filter(col("n_dups") > 1).collect()

@@ -371,13 +371,44 @@ class PlanShapeSpec extends SparkSpec {
       "rank window must consume the aggregated frequency table")
   }
 
-  test("q134: winnowing selection stays in the scan stage — one exchange total") {
+  test("q134: winnowing selection stays in the scan stage — only the guarded spread and the final sort exchange") {
     val p = plan("q134_winnowing")
-    // per-doc array math (k-gram hashes, windows, rightmost-min) is all
-    // projection; the only exchange is the final orderBy's range
-    // partitioning (the operator itself adds none)
-    assert("Exchange".r.findAllIn(p).length <= 1,
-      s"winnowing must not shuffle before the final sort:\n$p")
+    // per-doc array math (tokenize, k-gram hashes, rightmost-min) is one
+    // compiled winnow_select projection; the only exchanges are the
+    // final orderBy's range partitioning and (on under-split inputs)
+    // Tables.spread's guarded round-robin below the kernel (guide §2.5 —
+    // identity on cluster-scale pre-split inputs)
+    val exchanges = "Exchange \\w+".r.findAllIn(p).toList
+    assert(exchanges.length <= 2,
+      s"winnowing must not shuffle beyond spread + final sort:\n$p")
+    assert(exchanges.count(e => !e.contains("RoundRobin")) <= 1,
+      s"any exchange besides the final range sort must be the guarded spread round-robin: $exchanges\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the whole selection kernel is ONE compiled expression — the r17
+    // interpreted-HOF forest (slice/reverse/array_min lambdas) must not
+    // reappear (8.8x at 1x, 17x at 16x — OPTIMIZATION_r17.md)
+    assert("winnow_select".r.findAllIn(p).length == 1,
+      s"selection must be a single winnow_select kernel:\n$p")
+    assert(!p.contains("array_distinct") && !p.contains("lambdafunction"),
+      s"no interpreted HOF selection path:\n$p")
+  }
+
+  test("q130: bounded-Levenshtein DP fenced to ONE evaluation above the pinned verify fan-out") {
+    // r17's 16x q130 41.5 s -> 3.6 s fix (OPTIMIZATION_r17.md): without
+    // the opaque fence the optimizer inlines the DP into the text-attach
+    // JOIN CONDITION (2-3 evaluations per pair) and AQE byte-coalescing
+    // runs the CPU-dense verify in ONE task. Pin both properties so a
+    // future optimizer/AQE change can't silently reintroduce the shape.
+    val p = plan("q130_edit_verified")
+    assert("levenshtein".r.findAllIn(p).length == 1,
+      s"the DP must be evaluated exactly once per candidate pair:\n$p")
+    assert(p.contains("opaque("),
+      s"the DP must stay behind the optimizer fence:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"the verify fan-out must be pinned by an explicit repartition (AQE never coalesces it):\n$p")
+    // plans print top-down (downstream first): the DP projection must
+    // appear ABOVE (= before) the round-robin exchange it fans out on
+    assert(p.indexOf("levenshtein") < p.indexOf("RoundRobinPartitioning"),
+      s"the DP must sit above the verify repartition, not below it:\n$p")
   }
 }

@@ -55,27 +55,63 @@ class TextRankSpec extends SparkSpec {
     assert(got == Set("a", "b"), s"only the a-b edge survives minCount=2: $got")
   }
 
-  test("plan shape: iterations broadcast the rank vector; edges served by exchange reuse, zero resident caches") {
+  test("plan shape: iterations broadcast the rank vector over leaf-truncated edges; only live leaves stay resident") {
+    // Contract since r17 (OPTIMIZATION_r17.md q107): the edge table and
+    // every-3rd-iteration rank vector are EAGER plan leaves
+    // (Leaf.leaf), so AQE's per-stage re-optimization stays O(1) in
+    // iteration depth (the nested plan made driver planning quadratic —
+    // 2.8 s of q107's 4.7 s wall). This replaces the r13 "zero resident
+    // caches" pin: a checkpoint leaf is NOT an InMemoryRelation cache
+    // (no extra materialization pass — the checkpoint IS the one
+    // required computation), and superseded rank leaves are freed
+    // eagerly inside textRank; only the LIVE leaves the returned plan
+    // reads (edges + latest rank) stay resident, GC-cleaned with the
+    // result.
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = TextRank.textRank(docs, "text", iterations = 5, k = 20)
-    // pre-execution plan prints the whole tree (post-AQE sections hide
-    // broadcast-stage subtrees)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"),
       "rank vector must broadcast to the edges — a sort-merge join would reshuffle the edge table every iteration")
-    assert("BroadcastHashJoin \\[u#".r.findAllIn(plan).size >= 5,
-      "each power iteration joins the edges via broadcast")
+    // truncation at i=3 leaves iterations 4..5 in the returned plan,
+    // each broadcasting the rank vector onto the edge leaf
+    assert("BroadcastHashJoin \\[u#".r.findAllIn(plan).size == 2,
+      s"post-truncation iterations join the edge leaf via broadcast:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"edges and the truncated rank vector must be plan leaves:\n$plan")
     df.collect()
-    // the edge subtree is deliberately NOT persisted (VERDICT r13 #2:
-    // the resident cache cost a full materialization pass per cold
-    // call); inside the one action its exchanges are served by
-    // ReuseExchange instead — visible in the post-AQE final plan
-    val finalPlan = df.queryExecution.executedPlan.toString
-    assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("StageReuse") ||
-      finalPlan.contains("ReusedQueryStage"),
-      s"edge exchanges must be reused across iterations, got no reuse marker in plan")
-    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
-      "textRank must leave no resident cache behind")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 2,
+      s"only the live leaves (edge table + latest rank checkpoint) may stay resident, got ${added.size}")
+  }
+
+  test("spark.graft.checkpoint.dir routes leaf truncation to reliable checkpoints; results and ordering unchanged") {
+    // VERDICT r17 #2/#4: localCheckpoint is executor-local (not
+    // fault-tolerant); the conf swaps every Leaf.leaf to a reliable
+    // checkpoint() on a durable dir. Fallback (conf unset) is the
+    // localCheckpoint path pinned by the plan-shape test above.
+    val docs = Seq(
+      "hub aa hub bb hub cc",
+      "hub aa hub bb hub cc",
+      "hub cc hub aa hub bb").toDF("text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val base = rows(TextRank.textRank(docs, "text", iterations = 5, k = 10))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(graft.Leaf.DirConf, dir)
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val got = rows(TextRank.textRank(docs, "text", iterations = 5, k = 10))
+      assert(got == base, s"reliable-checkpoint run must be bit-identical: $got vs $base")
+      assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+        "reliable checkpoints hold no resident executor blocks")
+      // the leaves actually went through the durable dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files written under $dir")
+    } finally {
+      spark.conf.unset(graft.Leaf.DirConf)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
   }
 }
