@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PqAdc, PunctCount, QuantizeMse, RandomProjBuckets, SignProject, SortedContainsLong, SubwordCount, SubwordPieces, WinnowSelect, ArrayEqCount, OptimizerOpaque, BpeMergeFold, BpePairs, ShingleGen}
+import org.apache.spark.sql.graft.{CosineSim, DotProduct, HammingDist, MinhashSig, NfcNormalize, PqAdc, PunctCount, QuantizeMse, RandomProjBuckets, SignProject, SortedContainsLong, SubwordCount, SubwordPieces, WinnowSelect, ArrayEqCount, OptimizerOpaque, BpeMergeFold, BpePairs, ShingleGen, GramH60}
 
 /** Public facade for the codegen'd vector/fingerprint expressions
   * ([[org.apache.spark.sql.graft.CosineSim]] / `HammingDist`).
@@ -133,6 +133,11 @@ object VectorFunctions {
     (FunctionIdentifier("shingle_gen"),
       new ExpressionInfo(classOf[ShingleGen].getName, "shingle_gen"),
       (children: Seq[Expression]) => ShingleGen(children(0),
+        children(1).eval().asInstanceOf[Number].intValue())),
+    // gram_h60(text, k): h60 of every word k-gram in one compiled pass
+    (FunctionIdentifier("gram_h60"),
+      new ExpressionInfo(classOf[GramH60].getName, "gram_h60"),
+      (children: Seq[Expression]) => GramH60(children(0),
         children(1).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("sorted_contains"),
       new ExpressionInfo(classOf[SortedContainsLong].getName, "sorted_contains"),

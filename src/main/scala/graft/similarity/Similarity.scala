@@ -654,12 +654,25 @@ object Similarity {
     val cents = kmeansFit(vectors, k, iters)
     val assigned = assignCarrying(vectors,
       cents.select(col("cid"), col("centroid").as("cvec")))
-    val pairs = assigned.select(col("cid"), col("id").as("id_a"), col("vec").as("va"))
-      .join(assigned.select(col("cid"), col("id").as("id_b"), col("vec").as("vb")),
-        Seq("cid"))
+    // Per-ROW hoisted norm: the within-cluster pair filter evaluates a
+    // cosine per pair, and `cosine_sim` recomputes BOTH operand norms
+    // inside every pair evaluation — at Σ n_c² pair volume that is 2/3
+    // of the stage's flops spent re-deriving per-row constants. Hoist
+    // sqrt(Σx²) once per row and evaluate dot/(nrm_a·nrm_b) per pair:
+    // bit-identical doubles, because cosine_sim's three accumulators are
+    // independent left-to-right sums (dot_product replays the dot term's
+    // accumulation exactly, sqrt/multiply/divide happen in the same
+    // order on the same values — VectorExpressions scaladoc; the q69
+    // oracle stays green unchanged).
+    val withNorm = assigned.withColumn("nrm",
+      sqrt(graft.functions.VectorFunctions.dotFast(col("vec"), col("vec"))))
+    val pairs = withNorm.select(col("cid"), col("id").as("id_a"),
+        col("vec").as("va"), col("nrm").as("nrm_a"))
+      .join(withNorm.select(col("cid"), col("id").as("id_b"),
+        col("vec").as("vb"), col("nrm").as("nrm_b")), Seq("cid"))
       .filter(col("id_a") < col("id_b"))
-      .filter(graft.functions.VectorFunctions.cosineFast(col("va"), col("vb"))
-        >= threshold)
+      .filter(graft.functions.VectorFunctions.dotFast(col("va"), col("vb"))
+        / (col("nrm_a") * col("nrm_b")) >= threshold)
     val dropped = pairs.select(col("id_b").as("id")).distinct()
     assigned.select("id", "cid")
       .join(dropped, Seq("id"), "left_anti")

@@ -55,6 +55,22 @@ object Bpe {
   private def applyMerge(s: Column, left: String, right: String): Column =
     call_function("bpe_merge", s, lit(left), lit(right))
 
+  /** Plan-evidence probe: the merge-application projection of one round
+    * applied to the initial word table (what `merges` runs per round),
+    * exposed so StagePlans can dump its physical plan — the q132 outer
+    * plan is a driver-materialized LocalTableScan and can't show it. */
+  private[graft] def mergeApplyProbe(docs: DataFrame, textCol: String,
+      left: String, right: String): DataFrame = {
+    val wc = docs
+      .select(explode(TextStats.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .select(concat_ws(Sep, transform(
+        sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1)))).as("s"), col("c"))
+    wc.withColumn("s", applyMerge(col("s"), left, right))
+  }
+
   /** The original interpreted HOF fold, kept as the independent
     * semantic reference the kernel is spec-pinned against
     * (CorpusOpsSpec "bpe_merge kernel ≡ aggregate fold"). */

@@ -127,13 +127,19 @@ object Selection {
       k: Int, minDocs: Int = 2): DataFrame = {
     require(k >= 2, s"span width must be >= 2 words, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val base = docs.select(col(idCol).as("id"),
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"),
       split(col(textCol), " ").as("ws"))
       .withColumn("n", size(col("ws")))
+    // span hashes via the compiled gram_h60 kernel: one md5 per k-gram
+    // over byte ranges of the original text — the transform/slice/
+    // concat_ws/h60 Column form ran through Catalyst's interpreted HOF
+    // path and allocated a slice + joined string + hex string per
+    // position (the q134 winnowing finding, same fix; SelectionSpec
+    // pins kernel ≡ Column form). n >= k keeps full k-grams only, so
+    // the kernel's short-text clamp row is never consumed.
     val grams = base.filter(col("n") >= k)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0), col("n") - k),
-        i => Dedup.h60(concat_ws(" ", slice(col("ws"), i + 1, lit(k))))))
+      .select(col("id"),
+        posexplode(call_function("gram_h60", col("t"), lit(k)))
         .as(Seq("start", "gh")))
     val dupg = grams.groupBy("gh").agg(countDistinct(col("id")).as("dfd"))
       .filter(col("dfd") >= minDocs).select("gh")

@@ -531,6 +531,83 @@ case class ShingleGen(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Static call target for [[GramH60]]: the h60 (first 15 md5 hex
+  * digits as a signed-positive long) of every word k-gram of a text, in
+  * ONE compiled pass over its UTF-8 bytes — md5 runs over the byte
+  * range of each k-gram directly (the [[WinnowStatics]] argument:
+  * split(" ") word starts are the positions after each 0x20 byte, and k
+  * words joined by single spaces reproduce the source byte range
+  * verbatim). Bit-identical to the Column form
+  * `transform(sequence(0, greatest(size(ws)-k, 0)), i =>
+  * h60(concat_ws(" ", slice(ws, i+1, k))))` — which runs through
+  * Catalyst's INTERPRETED higher-order-function path and allocates a
+  * slice, a joined string and a 32-char hex string per position. Texts
+  * shorter than k words hash their whole word run as the single entry
+  * (slice clamping). */
+object GramStatics {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def h60grams(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    var spaces = 0
+    var p = 0
+    while (p < bytes.length) { if (bytes(p) == ' ') spaces += 1; p += 1 }
+    val wc = spaces + 1
+    val starts = new Array[Int](wc + 1)
+    var idx = 1
+    p = 0
+    while (p < bytes.length) {
+      if (bytes(p) == ' ') { starts(idx) = p + 1; idx += 1 }
+      p += 1
+    }
+    starts(wc) = bytes.length + 1
+    val nGrams = math.max(wc - k, 0) + 1
+    val hs = new Array[Long](nGrams)
+    val md = digests.get()
+    var i = 0
+    while (i < nGrams) {
+      val from = starts(i)
+      val to = starts(math.min(i + k, wc)) - 1
+      md.reset()
+      md.update(bytes, from, to - from)
+      val d = md.digest()
+      // first 15 md5 hex digits = top 60 bits of the digest
+      hs(i) = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+        ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >>> 4)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hs)
+  }
+}
+
+/** Codegen'd `gram_h60(text, k)` — h60 hash of every word k-gram
+  * (positions implicit by array index; [[GramStatics.h60grams]] has the
+  * equivalence contract with the interpreted transform it replaces;
+  * SelectionSpec pins both). Null in → null out. */
+case class GramH60(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"gram size must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_h60"
+
+  override protected def nullSafeEval(s: Any): Any =
+    GramStatics.h60grams(s.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"org.apache.spark.sql.graft.GramStatics.h60grams($s, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramH60 =
+    copy(child = newChild)
+}
+
 /** Static call target for [[BpePairs]]: adjacent symbol pairs of a
   * U+0001-separated symbol string in one pass, each symbol a zero-copy
   * byte-range view. Bit-identical to the Column form

@@ -60,6 +60,32 @@ class SelectionSpec extends SparkSpec {
   // Duplicated-span removal
   // -------------------------------------------------------------------
 
+  test("gram_h60 kernel ≡ the transform/slice/concat_ws/h60 Column form") {
+    // q77's span hashes: the compiled kernel must replay the interpreted
+    // HOF form bit-for-bit (same h60 = first 15 md5 hex digits over the
+    // identical joined-string bytes), including multi-space/empty-word
+    // texts, unicode, and the short-text whole-run clamp.
+    import graft.dedup.Dedup
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a  b c d e f g", "short", "", "é ß words here and there λ x",
+      (1 to 40).map(i => s"w${i % 5}").mkString(" "))
+    val df = texts.toDF("t")
+    Seq(2, 6).foreach { k =>
+      def old(t: org.apache.spark.sql.Column) = {
+        val ws = split(t, " ")
+        transform(sequence(lit(0), greatest(size(ws) - k, lit(0))),
+          i => Dedup.h60(concat_ws(" ", slice(ws, i + 1, lit(k)))))
+      }
+      val rows = df.select(call_function("gram_h60", col("t"), lit(k)).as("got"),
+        old(col("t")).as("want"), col("t")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"k=$k text='${r.getString(2)}'")
+      }
+    }
+  }
+
   test("duplicatedSpans: shared 6-gram span removed, unique text kept") {
     val span = "s1 s2 s3 s4 s5 s6"
     val docs = Seq(
